@@ -28,6 +28,16 @@ _ECHAR = {
 _ESC_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))", re.S)
 
 
+def _chr_checked(cp: int) -> str:
+    if cp > 0x10FFFF:
+        raise RDFParseError(f"codepoint out of range: {cp:#x}")
+    if 0xD800 <= cp <= 0xDFFF:
+        # lone surrogates are not RDF strings/IRIs
+        # (W3C turtle-syntax-bad-numeric-escape-*)
+        raise RDFParseError(f"surrogate codepoint escape: {cp:#x}")
+    return chr(cp)
+
+
 def unescape_string(s: str) -> str:
     """Resolve ECHAR + UCHAR escapes in a quoted string body."""
     if "\\" not in s:
@@ -35,12 +45,9 @@ def unescape_string(s: str) -> str:
 
     def sub(m: re.Match) -> str:
         if m.group(1) is not None:
-            return chr(int(m.group(1), 16))
+            return _chr_checked(int(m.group(1), 16))
         if m.group(2) is not None:
-            cp = int(m.group(2), 16)
-            if cp > 0x10FFFF:
-                raise RDFParseError(f"codepoint out of range: \\U{m.group(2)}")
-            return chr(cp)
+            return _chr_checked(int(m.group(2), 16))
         c = m.group(3)
         if c not in _ECHAR:
             raise RDFParseError(f"illegal escape sequence \\{c}")
@@ -59,9 +66,9 @@ def unescape_iri(s: str) -> str:
 
     def sub(m: re.Match) -> str:
         if m.group(1) is not None:
-            return chr(int(m.group(1), 16))
+            return _chr_checked(int(m.group(1), 16))
         if m.group(2) is not None:
-            return chr(int(m.group(2), 16))
+            return _chr_checked(int(m.group(2), 16))
         raise RDFParseError(f"illegal escape in IRI: \\{m.group(3)}")
 
     return _ESC_RE.sub(sub, s)

@@ -1,0 +1,347 @@
+"""Turtle 1.1 parser — recursive descent over a regex scanner.
+
+Grammar/semantics parity with the reference's recursive-descent parser
+(jena-arq/.../riot/lang/LangTurtle.java:62 + LangTurtleBase.java):
+
+- directives @prefix/@base/PREFIX/BASE, positional effect
+  (LangTurtleBase.java:109-200: a redefinition applies to subsequent
+  terms only)
+- predicate-object lists ';' (:582-599), object lists ',' (:669)
+- blank-node property lists '[...]' (:737-762)
+- collections '(...)' → rdf:first/rdf:rest/rdf:nil in list order (:767-814)
+- numeric/boolean shorthand → xsd:integer/decimal/double/boolean (:479)
+- 'a' → rdf:type; prefixed-name escapes; all four string quote forms
+- every IRI resolved against the current base (RFC 3986,
+  ParserProfileStd.internalMakeIRI, riot/system/ParserProfileStd.java:101-134)
+
+Per-document mutable state (prefix map, base, bnode labels) lives inside a
+single parse() call — the Ray stage wraps one call per document row, so the
+state never crosses batch or task boundaries (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..model import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_FIRST,
+    RDF_LANGSTRING,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_NS,
+    XSD_STRING,
+    RDFParseError,
+)
+from . import grammar as g
+from .escapes import unescape_iri, unescape_string
+from .iri import resolve
+
+# --- tokenizer --------------------------------------------------------------
+
+_TOKEN_SPEC = [
+    ("WS", r"[ \t\r\n]+"),
+    ("COMMENT", r"#[^\n]*"),
+    ("IRIREF", g.IRIREF),
+    ("STRING_LONG2", g.STRING_LITERAL_LONG_QUOTE),
+    ("STRING_LONG1", g.STRING_LITERAL_LONG_SINGLE_QUOTE),
+    ("STRING2", g.STRING_LITERAL_QUOTE),
+    ("STRING1", g.STRING_LITERAL_SINGLE_QUOTE),
+    ("BNODE", g.BLANK_NODE_LABEL),
+    ("ATPREFIX", r"@prefix(?![A-Za-z0-9\-])"),
+    ("ATBASE", r"@base(?![A-Za-z0-9\-])"),
+    ("LANGTAG", g.LANGTAG),
+    ("DOUBLE", g.DOUBLE),
+    ("DECIMAL", g.DECIMAL),
+    ("INTEGER", g.INTEGER),
+    ("DTYPE", r"\^\^"),
+    ("ANON", r"\[[ \t\r\n]*\]"),
+    ("PNAME_LN", g.PNAME_LN),
+    ("PNAME_NS", g.PNAME_NS),
+    # bare keywords AFTER pnames so e.g. "a:b" lexes as a pname
+    ("KEYWORD", r"(?:true|false|a)(?![A-Za-z0-9_:\-])|(?:[Pp][Rr][Ee][Ff][Ii][Xx]|[Bb][Aa][Ss][Ee])(?![A-Za-z0-9_:\-])"),
+    ("PUNCT", r"[][();,.]"),
+]
+_SCANNER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC), re.S)
+
+
+def _tokenize(text: str):
+    pos, n = 0, len(text)
+    out = []
+    while pos < n:
+        m = _SCANNER.match(text, pos)
+        if m is None:
+            raise RDFParseError(f"cannot tokenize at offset {pos}: {text[pos:pos+30]!r}")
+        kind = m.lastgroup
+        if kind not in ("WS", "COMMENT"):
+            out.append((kind, m.group(0)))
+        pos = m.end()
+    out.append(("EOF", ""))
+    return out
+
+
+# --- parser -----------------------------------------------------------------
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_LOCAL_ESC_RE = re.compile(r"\\([_~.\-!$&'()*+,;=/?#@%])")
+
+
+class TurtleParser:
+    """One instance per document. ``parse`` returns a list of 8-tuples
+    ``(s_kind, s_lex, p, o_kind, o_lex, o_datatype, o_lang, g="")`` with
+    document-local bnode labels (anonymous nodes get labels "!a<N>")."""
+
+    def __init__(self, base: str = ""):
+        self.base = base
+        self.prefixes: dict[str, str] = {}
+        self.anon_counter = 0
+        self.out: list[tuple] = []
+        self.toks: list[tuple[str, str]] = []
+        self.i = 0
+
+    # token helpers
+    def _peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def _next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect_punct(self, ch: str) -> None:
+        k, v = self._next()
+        if k != "PUNCT" or v != ch:
+            raise RDFParseError(f"expected {ch!r}, got {v!r}")
+
+    def _fresh_bnode(self) -> str:
+        self.anon_counter += 1
+        return f"!a{self.anon_counter}"
+
+    # term construction
+    def _make_iri(self, ref: str) -> str:
+        if _SCHEME_RE.match(ref) and not self.base:
+            return ref
+        if self.base:
+            return resolve(self.base, ref)
+        if not _SCHEME_RE.match(ref):
+            raise RDFParseError(f"relative IRI {ref!r} with no base")
+        return ref
+
+    def _iri_from_token(self, kind: str, val: str) -> str:
+        if kind == "IRIREF":
+            iri = unescape_iri(val[1:-1])
+            for c in iri:
+                if ord(c) <= 0x20 or c in '<>"{}|^`':
+                    raise RDFParseError(f"illegal char in IRI: {iri!r}")
+            return self._make_iri(iri)
+        if kind in ("PNAME_LN", "PNAME_NS"):
+            ns, _, local = val.partition(":")
+            if ns not in self.prefixes:
+                raise RDFParseError(f"undefined prefix {ns!r}:")
+            return self.prefixes[ns] + _LOCAL_ESC_RE.sub(
+                lambda m: m.group(1), _decode_pct_keep(local)
+            )
+        raise RDFParseError(f"not an IRI token: {val!r}")
+
+    # grammar productions
+    def parse(self, text: str) -> list[tuple]:
+        self.toks = _tokenize(text)
+        self.i = 0
+        while self._peek()[0] != "EOF":
+            k, v = self._peek()
+            if k == "ATPREFIX":
+                self._next()
+                self._directive_prefix(require_dot=True)
+            elif k == "ATBASE":
+                self._next()
+                self._directive_base(require_dot=True)
+            elif k == "KEYWORD" and v.lower() == "prefix":
+                self._next()
+                self._directive_prefix(require_dot=False)
+            elif k == "KEYWORD" and v.lower() == "base":
+                self._next()
+                self._directive_base(require_dot=False)
+            else:
+                self._triples()
+                self._expect_punct(".")
+        return self.out
+
+    def _directive_prefix(self, require_dot: bool) -> None:
+        k, v = self._next()
+        if k != "PNAME_NS":
+            raise RDFParseError(f"expected prefix name, got {v!r}")
+        ns = v[:-1]
+        k2, v2 = self._next()
+        if k2 != "IRIREF":
+            raise RDFParseError(f"expected IRI in @prefix, got {v2!r}")
+        iri = unescape_iri(v2[1:-1])
+        # positional: applies to subsequent terms only (LangTurtleBase:172-199)
+        self.prefixes[ns] = self._make_iri(iri) if not _SCHEME_RE.match(iri) else iri
+        if require_dot:
+            self._expect_punct(".")
+
+    def _directive_base(self, require_dot: bool) -> None:
+        k, v = self._next()
+        if k != "IRIREF":
+            raise RDFParseError(f"expected IRI in @base, got {v!r}")
+        iri = unescape_iri(v[1:-1])
+        self.base = resolve(self.base, iri) if self.base else iri
+        if require_dot:
+            self._expect_punct(".")
+
+    def _triples(self) -> None:
+        k, v = self._peek()
+        if k == "PUNCT" and v == "[":
+            subj = self._bnode_property_list()
+            # predicateObjectList is optional after a bnode property list
+            k2, v2 = self._peek()
+            if not (k2 == "PUNCT" and v2 == "."):
+                self._predicate_object_list(subj)
+        elif k == "PUNCT" and v == "(":
+            subj = self._collection()
+            self._predicate_object_list(subj)
+        else:
+            subj = self._subject()
+            self._predicate_object_list(subj)
+
+    def _subject(self) -> tuple[int, str]:
+        k, v = self._next()
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+            return (KIND_IRI, self._iri_from_token(k, v))
+        if k == "BNODE":
+            return (KIND_BNODE, v[2:])
+        if k == "ANON":
+            return (KIND_BNODE, self._fresh_bnode())
+        raise RDFParseError(f"bad subject: {v!r} (literal subjects are illegal)")
+
+    def _predicate(self) -> str:
+        k, v = self._next()
+        if k == "KEYWORD" and v == "a":
+            return RDF_TYPE
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+            return self._iri_from_token(k, v)
+        raise RDFParseError(f"bad predicate: {v!r}")
+
+    def _predicate_object_list(self, subj: tuple[int, str]) -> None:
+        while True:
+            p = self._predicate()
+            self._object_list(subj, p)
+            k, v = self._peek()
+            if k == "PUNCT" and v == ";":
+                self._next()
+                # allow trailing ';' before '.' / ']'
+                k2, v2 = self._peek()
+                if k2 == "PUNCT" and v2 in (".", "]", ";"):
+                    while self._peek() == ("PUNCT", ";"):
+                        self._next()
+                    if self._peek()[1] in (".", "]"):
+                        return
+                continue
+            return
+
+    def _object_list(self, subj: tuple[int, str], p: str) -> None:
+        while True:
+            o = self._object()
+            self._emit(subj, p, o)
+            if self._peek() == ("PUNCT", ","):
+                self._next()
+                continue
+            return
+
+    def _object(self) -> tuple[int, str, str, str]:
+        """Returns (kind, lex, datatype, lang)."""
+        k, v = self._peek()
+        if k == "PUNCT" and v == "[":
+            kind, lab = self._bnode_property_list()
+            return (kind, lab, "", "")
+        if k == "PUNCT" and v == "(":
+            kind, lab = self._collection()
+            return (kind, lab, "", "")
+        self._next()
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+            return (KIND_IRI, self._iri_from_token(k, v), "", "")
+        if k == "BNODE":
+            return (KIND_BNODE, v[2:], "", "")
+        if k == "ANON":
+            return (KIND_BNODE, self._fresh_bnode(), "", "")
+        if k in ("STRING2", "STRING1", "STRING_LONG2", "STRING_LONG1"):
+            lex = self._string_body(k, v)
+            nk, nv = self._peek()
+            if nk == "LANGTAG":
+                self._next()
+                return (KIND_LITERAL, lex, RDF_LANGSTRING, nv[1:])
+            if nk == "DTYPE":
+                self._next()
+                dk, dv = self._next()
+                return (KIND_LITERAL, lex, self._iri_from_token(dk, dv), "")
+            return (KIND_LITERAL, lex, XSD_STRING, "")
+        if k == "INTEGER":
+            return (KIND_LITERAL, v, XSD_NS + "integer", "")
+        if k == "DECIMAL":
+            return (KIND_LITERAL, v, XSD_NS + "decimal", "")
+        if k == "DOUBLE":
+            return (KIND_LITERAL, v, XSD_NS + "double", "")
+        if k == "KEYWORD" and v in ("true", "false"):
+            return (KIND_LITERAL, v, XSD_NS + "boolean", "")
+        raise RDFParseError(f"bad object: {v!r}")
+
+    @staticmethod
+    def _string_body(kind: str, v: str) -> str:
+        if kind in ("STRING_LONG2", "STRING_LONG1"):
+            return unescape_string(v[3:-3])
+        return unescape_string(v[1:-1])
+
+    def _bnode_property_list(self) -> tuple[int, str]:
+        self._expect_punct("[")
+        label = self._fresh_bnode()
+        self._predicate_object_list((KIND_BNODE, label))
+        self._expect_punct("]")
+        return (KIND_BNODE, label)
+
+    def _collection(self) -> tuple[int, str]:
+        # (...) → rdf:first/rdf:rest chain in list order (LangTurtleBase:767-814)
+        self._expect_punct("(")
+        items: list[tuple[int, str, str, str]] = []
+        while not (self._peek() == ("PUNCT", ")")):
+            if self._peek()[0] == "EOF":
+                raise RDFParseError("unterminated collection")
+            items.append(self._object())
+        self._next()  # ')'
+        if not items:
+            return (KIND_IRI, RDF_NIL)
+        cells = [self._fresh_bnode() for _ in items]
+        for idx, item in enumerate(items):
+            cell = (KIND_BNODE, cells[idx])
+            self._emit(cell, RDF_FIRST, item)
+            rest: tuple[int, str, str, str]
+            if idx + 1 < len(cells):
+                rest = (KIND_BNODE, cells[idx + 1], "", "")
+            else:
+                rest = (KIND_IRI, RDF_NIL, "", "")
+            self._emit(cell, RDF_REST, rest)
+        return (KIND_BNODE, cells[0])
+
+    def _emit(self, subj: tuple[int, str], p: str, o: tuple[int, str, str, str]) -> None:
+        self.out.append((subj[0], subj[1], p, o[0], o[1], o[2], o[3], ""))
+
+
+def _decode_pct_keep(local: str) -> str:
+    """PN_LOCAL %-escapes stay literal percent sequences (Turtle spec)."""
+    return local
+
+
+def parse_turtle(text: str, base: str = "", on_error: str = "raise") -> list[tuple]:
+    """Parse one Turtle document → list of term 8-tuples (see TurtleParser)."""
+    try:
+        return TurtleParser(base=base).parse(text)
+    except RDFParseError:
+        if on_error == "skip":
+            return []
+        raise
+    except RecursionError:
+        if on_error == "skip":
+            return []
+        raise RDFParseError("nesting too deep")

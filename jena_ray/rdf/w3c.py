@@ -1,0 +1,102 @@
+"""W3C RDF test-suite manifest reader.
+
+Python port of the reference's manifest-driven conformance runner
+(jena-arq/src/test/java/org/apache/jena/riot/Scripts_RIOT_rdf_tests_std.java:40-80
+→ arq/junit/manifest/Manifest.java). The manifest.ttl is itself Turtle, so
+we bootstrap with our own parser.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from ..model import KIND_IRI, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
+from .turtle import parse_turtle
+
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+RDFT = "http://www.w3.org/ns/rdftest#"
+
+POSITIVE_SYNTAX = {
+    RDFT + "TestTurtlePositiveSyntax",
+    RDFT + "TestNTriplesPositiveSyntax",
+    RDFT + "TestNQuadsPositiveSyntax",
+    RDFT + "TestTrigPositiveSyntax",
+}
+NEGATIVE_SYNTAX = {
+    RDFT + "TestTurtleNegativeSyntax",
+    RDFT + "TestNTriplesNegativeSyntax",
+    RDFT + "TestNQuadsNegativeSyntax",
+    RDFT + "TestTrigNegativeSyntax",
+}
+EVAL = {RDFT + "TestTurtleEval", RDFT + "TestTrigEval"}
+NEGATIVE_EVAL = {RDFT + "TestTurtleNegativeEval", RDFT + "TestTrigNegativeEval"}
+
+
+@dataclass
+class W3CTest:
+    name: str
+    kind: str  # "positive" | "negative" | "eval" | "negative-eval" | other
+    action: str  # path to input file
+    result: str | None  # path to golden .nt for eval tests
+    base_iri: str  # base IRI the test must be parsed with
+
+
+def read_manifest(manifest_path: str) -> list[W3CTest]:
+    manifest_path = os.path.abspath(manifest_path)
+    dir_path = os.path.dirname(manifest_path)
+    base = "file://" + manifest_path
+    text = open(manifest_path, encoding="utf-8").read()
+    triples = parse_turtle(text, base=base)
+
+    # index: (s_kind, s_lex) -> {p: [(o_kind, o_lex)]}
+    idx: dict[tuple, dict[str, list[tuple]]] = {}
+    for t in triples:
+        idx.setdefault((t[0], t[1]), {}).setdefault(t[2], []).append((t[3], t[4]))
+
+    def get1(node: tuple, p: str) -> tuple | None:
+        v = idx.get(node, {}).get(p)
+        return v[0] if v else None
+
+    # assumedTestBase: the IRI against which each action file must be parsed
+    root = (KIND_IRI, base)
+    assumed = get1(root, MF + "assumedTestBase")
+    test_base_root = assumed[1] if assumed else base.rsplit("/", 1)[0] + "/"
+
+    entries_head = get1(root, MF + "entries")
+    out: list[W3CTest] = []
+    node = entries_head
+    while node is not None and not (node[0] == KIND_IRI and node[1] == RDF_NIL):
+        entry = get1(node, RDF_FIRST)
+        node = get1(node, RDF_REST)
+        if entry is None:
+            break
+        ttype = get1(entry, RDF_TYPE)
+        action = get1(entry, MF + "action")
+        result = get1(entry, MF + "result")
+        if ttype is None or action is None:
+            continue
+        t = ttype[1]
+        if t in POSITIVE_SYNTAX:
+            kind = "positive"
+        elif t in NEGATIVE_SYNTAX:
+            kind = "negative"
+        elif t in EVAL:
+            kind = "eval"
+        elif t in NEGATIVE_EVAL:
+            kind = "negative-eval"
+        else:
+            kind = t
+        act_file = action[1].rsplit("/", 1)[-1]
+        res_file = result[1].rsplit("/", 1)[-1] if result else None
+        name = entry[1].rsplit("#", 1)[-1]
+        out.append(
+            W3CTest(
+                name=name,
+                kind=kind,
+                action=os.path.join(dir_path, act_file),
+                result=os.path.join(dir_path, res_file) if res_file else None,
+                base_iri=test_base_root + act_file,
+            )
+        )
+    return out
