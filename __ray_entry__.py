@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the jena_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module: nothing
+here (nor in jena_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship KG-construction pipeline at sf0.001 → canonical
+  triple Dataset.
+- queries(): one callable per implemented operator/pipeline from
+  SURVEY.md §2 (sf_dir → Dataset/DataFrame/Table).
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query;
+  KG pipelines (Turtle parsing, bnode hashing, entity linking, sameAs
+  closure over parsed triples) are non-SQL-expressible and are instead
+  validated by the analytic golden harness in tests/test_pipeline.py and
+  the W3C conformance suites in tests/test_w3c.py.
 """
 
 from __future__ import annotations
@@ -20,25 +21,83 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from jena_ray.pipelines.kg import kg_triples
+
+    return kg_triples("/root/testdata/sf0.001", linker_concurrency=2)
+
+
+def _kg_queries() -> dict[str, Callable[[str], Any]]:
+    """Rows-only checked pipelines (non-SQL-expressible)."""
+
+    def kg_canonical_triples(sf_dir: str):
+        from jena_ray.pipelines.kg import kg_triples
+
+        return kg_triples(sf_dir, linker_concurrency=2)
+
+    def kg_extract_raw(sf_dir: str):
+        from jena_ray.sources.docs import interleaved_docs
+        from jena_ray.stages.extract import extract_batch
+
+        return interleaved_docs(sf_dir).map_batches(
+            extract_batch, batch_format="pyarrow"
+        )
+
+    def kg_serialize_ntriples(sf_dir: str):
+        import pyarrow as pa
+
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.rdf.ntriples import format_triple
+
+        def fmt(b: pa.Table) -> pa.Table:
+            cols = [b[c].to_pylist() for c in
+                    ["s_kind", "s_lex", "p", "o_kind", "o_lex", "o_datatype", "o_lang", "g"]]
+            lines = [format_triple(*t) for t in zip(*cols)]
+            return pa.Table.from_arrays([pa.array(lines)], names=["line"])
+
+        return kg_triples(sf_dir, linker_concurrency=2).map_batches(
+            fmt, batch_format="pyarrow"
+        )
+
+    def docs_corpus(sf_dir: str):
+        from jena_ray.sources.docs import interleaved_docs
+
+        import pyarrow as pa
+
+        def span_stats(b: pa.Table) -> pa.Table:
+            spans = b["spans"].to_pylist()
+            return pa.Table.from_arrays(
+                [
+                    b["doc_id"].combine_chunks(),
+                    pa.array([len(s) for s in spans], pa.int64()),
+                    pa.array(
+                        [sum(1 for x in s if x["kind"] == "media") for s in spans],
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_spans", "n_media"],
+            )
+
+        return interleaved_docs(sf_dir).map_batches(span_stats, batch_format="pyarrow")
+
+    return {
+        "kg_canonical_triples": kg_canonical_triples,
+        "kg_extract_raw": kg_extract_raw,
+        "kg_serialize_ntriples": kg_serialize_ntriples,
+        "docs_corpus": docs_corpus,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from jena_ray.pipelines.queries import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out.update(_kg_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jena_ray.pipelines.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()}

@@ -1,0 +1,645 @@
+"""Operator-coverage queries: each entry is a Ray-Data realization of one
+operator family from SURVEY.md §2 (the reference's SPARQL algebra /
+aggregate / function surface) paired with an ANSI-SQL oracle that DuckDB
+runs on the same parquet tables. Column names match the oracle exactly.
+
+Implementation policy (the whole point of the rebuild):
+- vectorized pyarrow.compute kernels inside map_batches — no row loops in
+  hot paths (hashing is per-row by nature and noted where used)
+- column pruning at read_parquet
+- small sides broadcast via ray.put, never shuffled
+- pre-aggregation before groupby where it cuts shuffle volume
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(col, digits):
+    return pc.round(col, ndigits=digits)
+
+
+# --------------------------------------------------------------------------
+# §2.6 aggregations
+# --------------------------------------------------------------------------
+
+
+def q_agg_groupby(sf_dir: str):
+    """SUM/AVG/COUNT grouped aggregate (AggSum/AggAvg/AggCount,
+    expr/aggregate/Agg*.java) with a computed column (OpExtend)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="cnt"),
+        )
+    )
+
+    def final_round(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b["l_returnflag"].combine_chunks(),
+                b["l_linestatus"].combine_chunks(),
+                _round(b["sum_qty"], 2).combine_chunks(),
+                _round(b["revenue"], 2).combine_chunks(),
+                _round(b["avg_disc"], 6).combine_chunks(),
+                b["cnt"].combine_chunks(),
+            ],
+            names=["l_returnflag", "l_linestatus", "sum_qty", "revenue", "avg_disc", "cnt"],
+        )
+
+    return out.map_batches(final_round, batch_format="pyarrow")
+
+
+SQL_AGG_GROUPBY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT ?v) (AggCountVarDistinct) — two-level groupby, no
+    per-group seen-sets: distinct pairs first, then count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    pairs = ds.groupby(["o_orderpriority", "o_custkey"]).count()
+    return (
+        pairs.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_cust"))
+        .select_columns(["o_orderpriority", "n_cust"])
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_median(sf_dir: str):
+    """ARQ custom aggregate AggMedian (expr/aggregate/AggMedian.java) —
+    exact per-group median via map_groups."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        # no rounding: (a+b)/2 interpolation is bit-identical to the oracle
+        return pd.DataFrame(
+            {"c_nationkey": [g["c_nationkey"].iloc[0]],
+             "med_bal": [float(np.median(g["c_acctbal"]))]}
+        )
+
+    return ds.groupby("c_nationkey").map_groups(med, batch_format="pandas")
+
+
+SQL_MEDIAN = """
+SELECT c_nationkey, median(c_acctbal) AS med_bal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_group_concat(sf_dir: str):
+    """GROUP_CONCAT with separator (AggGroupConcat) — order-sensitive:
+    sort within group first (SURVEY §2.6)."""
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["s_name"]))
+        return pd.DataFrame({"s_nationkey": [g["s_nationkey"].iloc[0]], "names": [names]})
+
+    return ds.groupby("s_nationkey").map_groups(concat, batch_format="pandas")
+
+
+SQL_GROUP_CONCAT = """
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q_minmax_sample(sf_dir: str):
+    """MIN/MAX aggregates + deterministic SAMPLE analog (AggMin/Max/Sample;
+    sample realized as min for determinism)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_name"])
+    return ds.groupby("p_brand").aggregate(
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"),
+        Min("p_name", alias_name="sample_name"),
+    )
+
+
+SQL_MINMAX_SAMPLE = """
+SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+       min(p_name) AS sample_name
+FROM part GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 joins / lookups
+# --------------------------------------------------------------------------
+
+
+def q_join_broadcast(sf_dir: str):
+    """Equi hash join with a small build side (QueryIterHashJoin,
+    engine/join/AbstractIterHashJoin.java:38-75) — broadcast realization:
+    customer dim is ray.put once, looked up per batch; orders stream."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+
+    def attach_segment(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lookup = _ray.get(lookup_ref)
+        keys = b["o_custkey"].combine_chunks().dictionary_encode()
+        seg_by_key = pa.array(
+            [lookup.get(k) for k in keys.dictionary.to_pylist()], pa.string()
+        )
+        return b.append_column("c_mktsegment", seg_by_key.take(keys.indices))
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(attach_segment, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("sum_total"), "sum_total", _round(b["sum_total"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_left_join(sf_dir: str):
+    """LEFT JOIN / OPTIONAL (QueryIterHashLeftJoin_*): every customer row
+    survives; order count may be zero. Orders aggregated distributed, the
+    small per-customer count map broadcast into the customer stream."""
+    import ray
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count()
+    )
+    cmap = {}
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cmap.update(zip(b["o_custkey"].to_pylist(), b["count()"].to_pylist()))
+    ref = ray.put(cmap)
+
+    def attach(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        n = pa.array([m.get(k, 0) for k in b["c_custkey"].to_pylist()], pa.int64())
+        return pa.Table.from_arrays(
+            [b["c_custkey"].combine_chunks(), n], names=["c_custkey", "n_orders"]
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
+SQL_LEFT_JOIN = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """NOT EXISTS / MINUS half-join (OpAntiJoin, QueryIterMinus) —
+    broadcast the key set, filter vectorized. (Customers who never placed
+    a big-ticket order — plain "no orders" is empty at every sf.)"""
+    import ray
+
+    with_orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    ref = ray.put(set(with_orders))
+
+    def keep_orderless(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys = _ray.get(ref)
+        mask = pa.array([k not in keys for k in b["c_custkey"].to_pylist()])
+        return b.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        keep_orderless, batch_format="pyarrow"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """EXISTS half-join (QueryIterHalfJoin): suppliers in nations that have
+    customers with negative balances."""
+    import ray
+
+    neg_nations = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["c_acctbal"], 0.0)), batch_format="pyarrow"
+        )
+        .unique("c_nationkey")
+    )
+    ref = ray.put(set(neg_nations))
+
+    def keep(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys = _ray.get(ref)
+        return b.filter(pa.array([k in keys for k in b["s_nationkey"].to_pylist()]))
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 sort / top-k / distinct / set ops
+# --------------------------------------------------------------------------
+
+
+def q_topk(sf_dir: str):
+    """ORDER BY + LIMIT fused to top-k (OpTopN, QueryIterTopN): per-block
+    heap pre-pass then final merge — realized as sort().limit() which Ray
+    Data executes as a distributed range sort + take."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct(sf_dir: str):
+    """DISTINCT over full rows (QueryIterDistinct:44-94): in-batch REDUCED
+    pre-pass + one groupby shuffle."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    pre = ds.map_batches(
+        lambda b: b.group_by(["o_custkey", "o_orderstatus"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return (
+        pre.groupby(["o_custkey", "o_orderstatus"])
+        .count()
+        .select_columns(["o_custkey", "o_orderstatus"])
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+
+def q_union(sf_dir: str):
+    """SPARQL UNION keeps duplicates (OpUnion/QueryIterConcat) —
+    bag concatenation of two filtered branches."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hi = ds.map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+    )
+    lo = ds.map_batches(
+        lambda b: b.filter(pc.less(b["o_totalprice"], 10000.0)), batch_format="pyarrow"
+    )
+    return hi.union(lo)
+
+
+SQL_UNION = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 10000
+"""
+
+
+def q_except(sf_dir: str):
+    """EXCEPT / MINUS set difference: nations with suppliers but no
+    negative-balance customers."""
+    import ray
+
+    neg = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["c_acctbal"], 0.0)), batch_format="pyarrow"
+        )
+        .unique("c_nationkey")
+    )
+    ref = ray.put(set(neg))
+
+    def diff(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        drop = _ray.get(ref)
+        return b.filter(pa.array([k not in drop for k in b["nationkey"].to_pylist()]))
+
+    sup_nations = (
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(
+            lambda b: b.group_by(["s_nationkey"]).aggregate([]).rename_columns(["nationkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .count()
+        .select_columns(["nationkey"])
+    )
+    return sup_nations.map_batches(diff, batch_format="pyarrow")
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+EXCEPT
+SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar function library (FILTER / BIND analogs)
+# --------------------------------------------------------------------------
+
+
+def q_string_funcs(sf_dir: str):
+    """E_StrUpperCase / E_StrLength / E_StrContains / E_StrSubstring —
+    pyarrow.compute string kernels, filter pushed into the batch."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        mask = pc.match_substring(b["c_name"], "1")
+        t = b.filter(mask)
+        return pa.Table.from_arrays(
+            [
+                t["c_custkey"].combine_chunks(),
+                pc.utf8_upper(t["c_name"]).combine_chunks(),
+                pc.utf8_length(t["c_name"]).cast(pa.int64()).combine_chunks(),
+                pc.utf8_slice_codeunits(t["c_name"], 0, 4).combine_chunks(),
+            ],
+            names=["c_custkey", "uname", "name_len", "prefix4"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+       substring(c_name, 1, 4) AS prefix4
+FROM customer WHERE contains(c_name, '1')
+"""
+
+
+def q_numeric_funcs(sf_dir: str):
+    """E_NumAbs/Ceiling/Floor/Round (expr/E_Num*.java) vectorized."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b["l_orderkey"].combine_chunks(),
+                b["l_linenumber"].combine_chunks(),
+                pc.ceil(pc.multiply(b["l_quantity"], pa.scalar(1.1))).combine_chunks(),
+                pc.floor(pc.multiply(b["l_discount"], pa.scalar(100.0))).combine_chunks(),
+                _round(pc.multiply(b["l_tax"], pa.scalar(100.0)), 1).combine_chunks(),
+                pc.abs(pc.subtract(b["l_quantity"], pa.scalar(25.0))).combine_chunks(),
+            ],
+            names=["l_orderkey", "l_linenumber", "q_ceil", "disc_pct", "tax_pct", "q_dev"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_NUMERIC_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       ceil(l_quantity * 1.1) AS q_ceil,
+       floor(l_discount * 100) AS disc_pct,
+       round(l_tax * 100, 1) AS tax_pct,
+       abs(l_quantity - 25) AS q_dev
+FROM lineitem
+"""
+
+
+def q_hash_funcs(sf_dir: str):
+    """E_MD5 / E_SHA256 (expr/E_MD5.java, E_SHA*.java) — IRI-minting
+    hashes; per-row by nature (hashlib), batched."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        md5 = pa.array([hashlib.md5(x.encode()).hexdigest() for x in names])
+        sha = pa.array([hashlib.sha256(x.encode()).hexdigest() for x in names])
+        return pa.Table.from_arrays(
+            [b["c_custkey"].combine_chunks(), md5, sha],
+            names=["c_custkey", "name_md5", "name_sha256"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_HASH_FUNCS = """
+SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+FROM customer
+"""
+
+
+def q_datetime_funcs(sf_dir: str):
+    """E_DateTimeYear/Month (expr/E_DateTime*.java) + grouped count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.year(b["l_shipdate"]).combine_chunks(),
+             pc.month(b["l_shipdate"]).combine_chunks()],
+            names=["y", "m"],
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["y", "m"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+
+SQL_DATETIME_FUNCS = """
+SELECT year(l_shipdate) AS y, month(l_shipdate) AS m, count(*) AS cnt
+FROM lineitem GROUP BY y, m
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped: tumbling window over the events log (SURVEY §2.10 —
+# no windows in the reference; ordering realized as groupby per window key)
+# --------------------------------------------------------------------------
+
+
+def q_window_tumbling(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.Table.from_arrays(
+            [b["event_type"].combine_chunks(), win.combine_chunks(),
+             b["value"].combine_chunks()],
+            names=["event_type", "win", "value"],
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_val"))
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("sum_val"), "sum_val", _round(b["sum_val"], 4)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT event_type, date_trunc('hour', ts) AS win, count(*) AS cnt,
+       round(sum(value), 4) AS sum_val
+FROM events GROUP BY event_type, win
+"""
+
+
+# --------------------------------------------------------------------------
+# Distributed connected components with a SQL oracle (the sameAs closure
+# algorithm, §7.2.6, validated against a recursive-CTE reachability oracle)
+# --------------------------------------------------------------------------
+
+
+def q_connected_components(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from ..stages.sameas import components_distributed
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(keys % 97 == 0))
+        a = pc.utf8_lpad(pc.cast(t["o_orderkey"], pa.string()), 8, "0")
+        bb = pc.utf8_lpad(
+            pc.cast(pc.add(t["o_custkey"], 1000000), pa.string()), 8, "0"
+        )
+        return pa.Table.from_arrays(
+            [a.combine_chunks(), bb.combine_chunks()], names=["a", "b"]
+        )
+
+    edges = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    comp = components_distributed(edges)
+    return comp.groupby("rep").aggregate(Count(alias_name="size"))
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE
+edges AS (
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS a,
+         lpad(CAST(o_custkey + 1000000 AS VARCHAR), 8, '0') AS b
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+SELECT rep, count(*) AS size FROM comp GROUP BY rep
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
+    "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
+    "median": (q_median, SQL_MEDIAN),
+    "group_concat": (q_group_concat, SQL_GROUP_CONCAT),
+    "minmax_sample": (q_minmax_sample, SQL_MINMAX_SAMPLE),
+    "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
+    "left_join": (q_left_join, SQL_LEFT_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "topk": (q_topk, SQL_TOPK),
+    "distinct": (q_distinct, SQL_DISTINCT),
+    "union_bag": (q_union, SQL_UNION),
+    "except_minus": (q_except, SQL_EXCEPT),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "numeric_funcs": (q_numeric_funcs, SQL_NUMERIC_FUNCS),
+    "hash_funcs": (q_hash_funcs, SQL_HASH_FUNCS),
+    "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
+    "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+}

@@ -1,0 +1,51 @@
+"""Operator-coverage queries vs DuckDB oracle — local mirror of the
+driver's correctness gate (row-count + schema + value equality)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from jena_ray.pipelines.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, ddb):
+    fn, sql = REGISTRY[name]
+    got = _canon(_to_pandas(fn(SF)))
+    want = _canon(ddb.sql(sql).df())
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    assert list(got.columns) == list(want.columns), f"{name}: schema mismatch"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9)
