@@ -79,11 +79,60 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return interleaved_docs(sf_dir).map_batches(span_stats, batch_format="pyarrow")
 
+    def _docs(sf_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def dedup_minhash_lsh(sf_dir: str):
+        from jena_ray.ops.dedup_text import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_docs(sf_dir), threshold=0.7)
+
+    def dedup_simhash(sf_dir: str):
+        from jena_ray.ops.dedup_text import simhash_pairs
+
+        return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+    def text_langid(sf_dir: str):
+        from jena_ray.ops.textstats import LangId
+
+        return _docs(sf_dir).map_batches(
+            LangId, batch_format="pyarrow", concurrency=2
+        )
+
+    def text_fingerprint(sf_dir: str):
+        from jena_ray.ops.textstats import fingerprint_batch
+
+        return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    def ann_lsh(sf_dir: str):
+        import ray.data as rd
+
+        from jena_ray.ops.similarity import lsh_topk, query_vector
+
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return lsh_topk(emb, query_vector(sf_dir, 0), k=5)
+
+    def media_features(sf_dir: str):
+        from jena_ray.ops.multimodal import media_features as mf
+        from jena_ray.sources.docs import interleaved_docs
+
+        return mf(interleaved_docs(sf_dir), concurrency=2)
+
     return {
         "kg_canonical_triples": kg_canonical_triples,
         "kg_extract_raw": kg_extract_raw,
         "kg_serialize_ntriples": kg_serialize_ntriples,
         "docs_corpus": docs_corpus,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "ann_lsh": ann_lsh,
+        "media_features": media_features,
     }
 
 

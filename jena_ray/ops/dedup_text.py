@@ -1,0 +1,294 @@
+"""Document deduplication family.
+
+- exact:        content hash → groupby → keep min doc_id
+- normalized:   exact after lowercasing + stripping non-word chars
+- MinHash+LSH:  word-shingle minhash signatures (numpy-vectorized per doc)
+                → banded bucket explode → groupby(band, bucket) → candidate
+                pairs → exact-Jaccard verification
+- SimHash:      64-bit simhash over token crc32s; near-dup = hamming ≤ r
+                via 4-segment pigeonhole bucketing (any r≤3 match shares
+                one exact 16-bit segment)
+- embedding:    cosine near-dup over the embeddings table (blocked matmul
+                against a broadcast matrix — brute force baseline)
+
+The shuffle shape of every variant is the canonical "explode to
+(bucket_key, id) → groupby(bucket_key) → pairs within group" pattern:
+group sizes are bounded by bucket design, not by corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- exact / normalized -----------------------------------------------------
+
+
+def md5_batch(b: pa.Table, col: str = "text") -> pa.Table:
+    hashes = pa.array(
+        [hashlib.md5(t.encode()).hexdigest() for t in b[col].to_pylist()]
+    )
+    return pa.Table.from_arrays(
+        [hashes, b["doc_id"].combine_chunks()], names=["h", "doc_id"]
+    )
+
+
+def exact_dedup_docs(docs_ds):
+    """One survivor (min doc_id) per distinct content hash + group size."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        docs_ds.map_batches(md5_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keep_doc"), Count(alias_name="n_copies"))
+    )
+
+
+def normalized_md5_batch(b: pa.Table) -> pa.Table:
+    norm = pc.replace_substring_regex(pc.utf8_lower(b["text"]), r"\W", "")
+    hashes = pa.array([hashlib.md5(t.encode()).hexdigest() for t in norm.to_pylist()])
+    return pa.Table.from_arrays(
+        [hashes, b["doc_id"].combine_chunks()], names=["h", "doc_id"]
+    )
+
+
+def normalized_dedup_docs(docs_ds):
+    from ray.data.aggregate import Count, Min
+
+    return (
+        docs_ds.map_batches(normalized_md5_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="keep_doc"), Count(alias_name="n_copies"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(
+        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.int64)
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = _shingles(text)
+    # (n_shingles, 1) * (1, N_PERM) — vectorized universal hashing
+    vals = (sh[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_bands_batch(b: pa.Table) -> pa.Table:
+    """Explode each doc to N_BANDS (band_id, band_hash, doc_id) rows."""
+    doc_ids, band_ids, band_hashes = [], [], []
+    for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+        sig = minhash_signature(text)
+        for band in range(N_BANDS):
+            seg = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+            h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+            doc_ids.append(doc_id)
+            band_ids.append(band)
+            band_hashes.append(h)
+    id_type = b["doc_id"].type
+    return pa.Table.from_arrays(
+        [
+            pa.array(band_ids, pa.int32()),
+            pa.array(band_hashes),
+            pa.array(doc_ids, id_type),
+        ],
+        names=["band_id", "band_hash", "doc_id"],
+    )
+
+
+def _pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+    dtype = g["doc_id"].dtype
+    docs = sorted(set(g["doc_id"]))
+    a, bb = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a.append(docs[i])
+            bb.append(docs[j])
+    return pd.DataFrame(
+        {"a": pd.Series(a, dtype=dtype), "b": pd.Series(bb, dtype=dtype)}
+    )
+
+
+def jaccard(t1: str, t2: str) -> float:
+    s1, s2 = set(_shingles(t1).tolist()), set(_shingles(t2).tolist())
+    if not s1 and not s2:
+        return 1.0
+    return len(s1 & s2) / len(s1 | s2)
+
+
+def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
+    """Candidate pairs from LSH banding, verified by exact Jaccard.
+
+    Verification broadcasts the text of candidate docs only (fetched via a
+    driver-side filter over the candidate id set) — at scale this is the
+    standard 'explode → bucket groupby → verify' MinHash-LSH shape.
+    """
+    import ray
+
+    bands = docs_ds.map_batches(
+        lambda b: minhash_bands_batch(b), batch_format="pyarrow"
+    )
+    cand = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(_pairs_in_group, batch_format="pandas")
+    )
+    # distinct candidate pairs (a<b by construction)
+    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+    pairs = [(r["a"], r["b"]) for r in cand.take_all()]
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+    if not pairs:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    need = {d for p in pairs for d in p}
+    texts = {}
+    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if d in need:
+                texts[d] = t
+    text_ref = ray.put(texts)
+
+    import ray.data as rd
+
+    pair_ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(text_ref)
+        rows_a, rows_b, js = [], [], []
+        for a, b2 in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            j = jaccard(tx[a], tx[b2])
+            if j >= threshold:
+                rows_a.append(a)
+                rows_b.append(b2)
+                js.append(round(j, 6))
+        return pa.table(
+            {"a": pa.array(rows_a, id_type), "b": pa.array(rows_b, id_type),
+             "jaccard": pa.array(js, pa.float64())}
+        )
+
+    return pair_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in set(text.lower().split()):
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        )
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(b: pa.Table) -> pa.Table:
+    hs = [simhash64(t) for t in b["text"].to_pylist()]
+    doc_ids, segs, segvals, full = [], [], [], []
+    for d, h in zip(b["doc_id"].to_pylist(), hs):
+        for seg in range(4):  # pigeonhole: hamming<=3 ⇒ one 16-bit seg equal
+            doc_ids.append(d)
+            segs.append(seg)
+            segvals.append((h >> (seg * 16)) & 0xFFFF)
+            full.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, b["doc_id"].type),
+            "seg": pa.array(segs, pa.int32()),
+            "segval": pa.array(segvals, pa.int64()),
+            "simhash": pa.array(full, pa.uint64()),
+        }
+    )
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g["doc_id"], g["simhash"])))
+        a, b2, dist = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                if d <= max_hamming:
+                    a.append(rows[i][0])
+                    b2.append(rows[j][0])
+                    dist.append(d)
+        return pd.DataFrame({"a": a, "b": b2, "hamming": dist})
+
+    cand = (
+        docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+        .groupby(["seg", "segval"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_near_dup(emb_ds, threshold: float = 0.95):
+    """All-pairs cosine ≥ threshold over the embeddings table: brute-force
+    blocked matmul against a broadcast matrix (the baseline; see
+    similarity.py for the LSH-bucketed scale path)."""
+    import ray
+
+    mats, ids = [], []
+    for b in emb_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids.extend(b["vec_id"].to_pylist())
+        mats.append(np.array(b["embedding"].to_pylist(), dtype=np.float64))
+    full = np.vstack(mats)
+    full = full / np.maximum(np.linalg.norm(full, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((np.array(ids, dtype=np.int64), full))
+
+    def block(b: pa.Table) -> pa.Table:
+        all_ids, mat = ray.get(ref)
+        q = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = q @ mat.T  # (batch, N)
+        rows_a, rows_b, cos = [], [], []
+        qids = b["vec_id"].to_pylist()
+        for r, qid in enumerate(qids):
+            hits = np.where(sims[r] >= threshold)[0]
+            for c in hits:
+                if qid < all_ids[c]:  # each unordered pair once
+                    rows_a.append(qid)
+                    rows_b.append(int(all_ids[c]))
+                    cos.append(round(float(sims[r, c]), 6))
+        return pa.table(
+            {"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64()),
+             "cos": pa.array(cos, pa.float64())}
+        )
+
+    return emb_ds.map_batches(block, batch_format="pyarrow", batch_size=2048)

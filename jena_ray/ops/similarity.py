@@ -1,0 +1,115 @@
+"""Similarity search over the embeddings table (vec_id, embedding, label).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (ray.put once) — the exact baseline
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; probe
+  only matching buckets (multi-probe over nearby codes) — the scale path:
+  the shuffle is a groupby on the bucket code, group sizes bounded by
+  corpus/2^bits.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc_
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = pc_.index(t["vec_id"], vec_id).as_py()
+    return np.array(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def brute_force_topk(emb_ds, query: np.ndarray, k: int = 5):
+    """Exact top-k by cosine: per-batch local top-k heap (map side) then a
+    tiny global merge — no full sort, no all-to-all."""
+    import ray
+
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    q_ref = ray.put(qn)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        mat = _norm_rows(mat)
+        sims = mat @ q
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        take = min(k, len(ids))
+        # partial top-k inside the batch
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[part], pa.int64()),
+                "cos": pa.array(np.round(sims[part], 6), pa.float64()),
+            }
+        )
+
+    local = brute = emb_ds.map_batches(local_topk, batch_format="pyarrow")
+    # global merge: tie-break by vec_id for determinism
+    return brute.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+
+
+N_PLANES = 8
+_rng = np.random.RandomState(7)
+_PLANES_BY_DIM: dict[int, np.ndarray] = {}
+
+
+def _planes(dim: int) -> np.ndarray:
+    if dim not in _PLANES_BY_DIM:
+        _PLANES_BY_DIM[dim] = np.random.RandomState(7).randn(N_PLANES, dim)
+    return _PLANES_BY_DIM[dim]
+
+
+def _code(mat: np.ndarray) -> np.ndarray:
+    proj = mat @ _planes(mat.shape[1]).T  # (n, N_PLANES)
+    bits = (proj > 0).astype(np.int64)
+    return (bits * (1 << np.arange(N_PLANES))).sum(axis=1)
+
+
+def lsh_topk(emb_ds, query: np.ndarray, k: int = 5, probes: int = 4):
+    """Approximate top-k: only buckets whose code is within `probes`-bit
+    flips of the query's code are scanned (multi-probe LSH)."""
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    qcode = int(_code(qn[None, :])[0])
+    # multi-probe: all codes within `probes` bit flips of the query code
+    from itertools import combinations
+
+    probe_codes = {qcode}
+    for r in range(1, probes + 1):
+        for bits in combinations(range(N_PLANES), r):
+            c = qcode
+            for b in bits:
+                c ^= 1 << b
+            probe_codes.add(c)
+    codes_arr = pa.array(sorted(probe_codes), pa.int64())
+
+    def bucket_filter(b: pa.Table) -> pa.Table:
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(mat) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = _norm_rows(mat)
+        codes = _code(mat)
+        mask = np.isin(codes, np.asarray(codes_arr))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sims = mat[mask] @ qn
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)[mask]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cos": pa.array(np.round(sims, 6), pa.float64())}
+        )
+
+    cand = emb_ds.map_batches(bucket_filter, batch_format="pyarrow")
+    return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)

@@ -1,0 +1,116 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All stateless vectorized map_batches kernels over
+the `documents` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it", "for", "on"]
+
+# BPE-ish word/punct tokenizer (compiled once at module import — shipped to
+# workers in the serialized closure, compiled once per process)
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def token_stats_batch(b: pa.Table) -> pa.Table:
+    """Whitespace token count + regex (BPE-ish) token count + char count."""
+    text = b["text"]
+    ws_tokens = pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64())
+    texts = text.to_pylist()
+    re_tokens = pa.array([len(_TOKEN_RE.findall(t)) for t in texts], pa.int64())
+    return pa.Table.from_arrays(
+        [
+            b["doc_id"].combine_chunks(),
+            ws_tokens.combine_chunks(),
+            re_tokens,
+            pc.utf8_length(text).cast(pa.int64()).combine_chunks(),
+        ],
+        names=["doc_id", "n_ws_tokens", "n_re_tokens", "n_chars"],
+    )
+
+
+def quality_batch(b: pa.Table) -> pa.Table:
+    """Quality heuristics: stopword ratio, mean token length, punct count."""
+    toks_list = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+    out_stop, out_meanlen = [], []
+    for toks in toks_list.to_pylist():
+        toks = [t for t in toks if t]
+        n = max(1, len(toks))
+        out_stop.append(round(sum(1 for t in toks if t in _STOPWORDS) / n, 6))
+        out_meanlen.append(round(sum(len(t) for t in toks) / n, 6))
+    return pa.Table.from_arrays(
+        [
+            b["doc_id"].combine_chunks(),
+            pa.array(out_stop, pa.float64()),
+            pa.array(out_meanlen, pa.float64()),
+            pc.count_substring(b["text"], ".").cast(pa.int64()).combine_chunks(),
+        ],
+        names=["doc_id", "stopword_ratio", "mean_token_len", "n_dots"],
+    )
+
+
+# crude character-bigram profiles for a few languages (public-knowledge
+# heuristic, not a trained model): score = matched-bigram fraction
+_LANG_BIGRAMS = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "de": ["er", "en", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"],
+    "es": ["de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "as"],
+}
+
+
+class LangId:
+    """Stateful stage pattern: profile tables built once per actor."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: set(bigrams) for lang, bigrams in _LANG_BIGRAMS.items()
+        }
+
+    def _score(self, text: str) -> str:
+        text = text.lower()
+        bigrams = [text[i : i + 2] for i in range(0, min(len(text), 400) - 1)]
+        if not bigrams:
+            return "und"
+        best_lang, best = "und", -1.0
+        for lang, prof in self.profiles.items():
+            score = sum(1 for bg in bigrams if bg in prof) / len(bigrams)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        langs = pa.array([self._score(t) for t in b["text"].to_pylist()])
+        return pa.Table.from_arrays(
+            [b["doc_id"].combine_chunks(), langs],
+            names=["doc_id", "lang_pred"],
+        )
+
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def fingerprint_batch(b: pa.Table) -> pa.Table:
+    """Rolling polynomial hash over tokens (Rabin-Karp document
+    fingerprint) — order-sensitive, unlike a bag-of-words hash."""
+    import zlib
+
+    fps = []
+    for text in b["text"].to_pylist():
+        h = 0
+        for tok in text.split():
+            # crc32, NOT builtin hash(): workers must agree across processes
+            th = zlib.crc32(tok.encode())
+            h = (h * _FP_BASE + th) % _FP_MOD
+        fps.append(h)
+    return pa.Table.from_arrays(
+        [b["doc_id"].combine_chunks(), pa.array(fps, pa.int64())],
+        names=["doc_id", "fingerprint"],
+    )

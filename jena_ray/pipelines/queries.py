@@ -622,6 +622,112 @@ SELECT rep, count(*) AS size FROM comp GROUP BY rep
 """
 
 
+# --------------------------------------------------------------------------
+# Training-data operations over documents / embeddings (ops/ package)
+# --------------------------------------------------------------------------
+
+
+def q_doc_tokens(sf_dir: str):
+    from ..ops.textstats import token_stats_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_TOKENS = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    from ..ops.textstats import quality_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(t, x -> list_contains(
+           ['the','and','of','a','to','in','is','it','for','on'], x)))
+           / greatest(1, len(t))::double, 6) AS stopword_ratio,
+       round(list_sum(list_transform(t, x -> length(x)))
+           / greatest(1, len(t))::double, 6) AS mean_token_len,
+       length(text) - length(replace(text, '.', '')) AS n_dots
+FROM toks
+"""
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    from ..ops.dedup_text import exact_dedup_docs
+
+    return exact_dedup_docs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT md5(text) AS h, min(doc_id) AS keep_doc, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_normalized_docs(sf_dir: str):
+    from ..ops.dedup_text import normalized_dedup_docs
+
+    return normalized_dedup_docs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_NORMALIZED_DOCS = r"""
+SELECT md5(regexp_replace(lower(text), '\W', '', 'g')) AS h,
+       min(doc_id) AS keep_doc, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from ..ops.dedup_text import embedding_near_dup
+
+    return embedding_near_dup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def q_ann_bruteforce(sf_dir: str):
+    from ..ops.similarity import brute_force_topk, query_vector
+
+    q = query_vector(sf_dir, vec_id=0)
+    return brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5
+    )
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6) AS cos
+FROM embeddings
+ORDER BY cos DESC, vec_id LIMIT 5
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
@@ -642,4 +748,10 @@ REGISTRY: dict[str, tuple] = {
     "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
 }

@@ -88,18 +88,22 @@ def components_driver(edges_ds) -> dict[str, str]:
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
-def components_distributed(edges_ds, max_rounds: int = 20):
+def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int = 8):
     """Label-propagation closure entirely in Dataset algebra.
 
-    Returns a Dataset (node, rep). Each round:
-      1. neighbor-min: every node learns min(label) over itself + neighbors
-         — union(labels, symmetric edges) → groupby(node) → emit candidate
-         (peer, my_label) messages → groupby(node).min
-      2. pointer-jump: label ← label(label), the same union+groupby join
-    Convergence check = count of (node,label) pairs that changed, computed
-    distributed; stops early at fixpoint.
+    Returns a Dataset (node, rep). Per round:
+      1. neighbor-min: candidates = edges ⋈ labels (hash join on node),
+         then groupby(node).min over labels ∪ propagated candidates
+      2. pointer-jump: label ← label(label) via a left-outer self-join,
+         halving the remaining diameter → O(log d) rounds total
+    The (small) label table is materialized each round — without this the
+    lazy lineage would re-execute all prior rounds every iteration.
+    Convergence = per-round blake2 signature of the label table (computed
+    distributed as a Sum aggregate) reaching a fixpoint.
     """
-    import ray.data as rd
+    import hashlib
+
+    from ray.data.aggregate import Sum
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch.column("a").combine_chunks()
@@ -109,9 +113,9 @@ def components_distributed(edges_ds, max_rounds: int = 20):
             names=["node", "peer"],
         )
 
-    edges = edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+    edges = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
-    # initial labels: node → min(node, min(peers)) computed in one groupby
+    # initial labels: node → min(node, min(peers)) in one groupby
     labels = (
         edges.map_batches(
             lambda t: pa.Table.from_arrays(
@@ -126,105 +130,75 @@ def components_distributed(edges_ds, max_rounds: int = 20):
         .map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
+        .materialize()
     )
 
+    def signature(lab_ds) -> int:
+        def sig_batch(t: pa.Table) -> pa.Table:
+            acc = 0
+            for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
+                h = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
+                acc = (acc + int.from_bytes(h, "big")) % (1 << 61)
+            return pa.Table.from_arrays([pa.array([acc], pa.int64())], names=["sig"])
+
+        out = lab_ds.map_batches(sig_batch, batch_format="pyarrow").aggregate(
+            Sum("sig", alias_name="sig")
+        )
+        return out["sig"]
+
+    prev_sig = signature(labels)
     for _ in range(max_rounds):
-        # --- neighbor-min round: join labels with edges on `node` ---------
-        lab_rows = labels.map_batches(
+        # 1. neighbor-min: peer receives the node's current label
+        cand = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(
             lambda t: pa.Table.from_arrays(
-                [t.column("node").combine_chunks(),
-                 pa.nulls(len(t), pa.large_string()),
-                 t.column("label").combine_chunks()],
-                names=["node", "peer", "label"],
+                [t.column("peer").combine_chunks(), t.column("label").combine_chunks()],
+                names=["node", "label"],
             ),
             batch_format="pyarrow",
         )
-        edge_rows = edges.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t.column("node").combine_chunks(),
-                 t.column("peer").combine_chunks(),
-                 pa.nulls(len(t), pa.large_string())],
-                names=["node", "peer", "label"],
-            ),
-            batch_format="pyarrow",
-        )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g["label"].dropna()
-            my = lab.min() if len(lab) else g["node"].iloc[0]
-            peers = g["peer"].dropna()
-            nodes = list(peers) + [g["node"].iloc[0]]
-            return pd.DataFrame({"node": nodes, "label": [my] * len(nodes)})
-
-        candidates = (
-            lab_rows.union(edge_rows)
+        merged = (
+            labels.union(cand)
             .groupby("node")
-            .map_groups(propagate, batch_format="pandas")
-        )
-        new_labels = (
-            candidates.groupby("node")
             .min("label")
             .map_batches(
                 lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
             )
         )
 
-        # --- pointer jump: label ← label(label) --------------------------
-        ask = new_labels.map_batches(
+        # 2. pointer jump: label ← label(label)
+        lab_as_node = labels.map_batches(
             lambda t: pa.Table.from_arrays(
-                [t.column("label").combine_chunks(),
-                 t.column("node").combine_chunks(),
-                 pa.nulls(len(t), pa.large_string())],
-                names=["key", "asker", "label"],
+                [t.column("node").combine_chunks(), t.column("label").combine_chunks()],
+                names=["label", "label2"],
             ),
             batch_format="pyarrow",
         )
-        have = new_labels.map_batches(
+        jumped = merged.join(
+            lab_as_node,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("label",),
+        ).map_batches(
             lambda t: pa.Table.from_arrays(
-                [t.column("node").combine_chunks(),
-                 pa.nulls(len(t), pa.large_string()),
-                 t.column("label").combine_chunks()],
-                names=["key", "asker", "label"],
+                [
+                    t.column("node").combine_chunks(),
+                    pc.coalesce(
+                        t.column("label2").combine_chunks(),
+                        t.column("label").combine_chunks(),
+                    ),
+                ],
+                names=["node", "label"],
             ),
             batch_format="pyarrow",
         )
 
-        def jump(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g["label"].dropna()
-            my = lab.min() if len(lab) else g["key"].iloc[0]
-            askers = g["asker"].dropna()
-            return pd.DataFrame({"node": list(askers), "label": [my] * len(askers)})
-
-        jumped = (
-            ask.union(have).groupby("key").map_groups(jump, batch_format="pandas")
-        )
-        jumped = (
-            jumped.groupby("node")
-            .min("label")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-            )
-        )
-
-        # --- convergence: any label changed? ------------------------------
-        old_tag = labels.map_batches(
-            lambda t: t.append_column("src", pa.array(["o"] * len(t))),
-            batch_format="pyarrow",
-        )
-        new_tag = jumped.map_batches(
-            lambda t: t.append_column("src", pa.array(["n"] * len(t))),
-            batch_format="pyarrow",
-        )
-        changed = (
-            old_tag.union(new_tag)
-            .groupby(["node", "label"])
-            .count()
-            .filter(lambda r: r["count()"] == 1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.materialize()
+        sig = signature(labels)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "rep"]), batch_format="pyarrow"
     )

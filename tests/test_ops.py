@@ -1,0 +1,126 @@
+"""Training-data ops: dedup family, similarity search, text stats,
+multimodal plumbing — including planted-duplicate recall tests for the
+approximate (rows-only) variants."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _planted_docs():
+    """20 base docs + near-duplicates of the first 5 (one word changed)."""
+    import ray.data as rd
+
+    base = [
+        f"doc number {i} " + " ".join(f"word{i * 40 + j}" for j in range(40))
+        for i in range(20)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    for i in range(5):
+        toks = base[i].split()
+        toks[10] = "CHANGED"
+        rows.append({"doc_id": 100 + i, "text": " ".join(toks)})
+    return rd.from_items(rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_planted_dups():
+    from jena_ray.ops.dedup_text import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_planted_docs(), threshold=0.7).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found, f"planted pair {i} not found: {found}"
+    # no false positives among unrelated base docs
+    for a, b in found:
+        assert b == a + 100, f"false positive {a},{b}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_finds_planted_dups():
+    from jena_ray.ops.dedup_text import simhash_pairs
+
+    pairs = simhash_pairs(_planted_docs(), max_hamming=6).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    hits = sum(1 for i in range(5) if (i, 100 + i) in found)
+    assert hits >= 4, f"simhash recall too low: {found}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_vs_bruteforce():
+    import ray.data as rd
+
+    from jena_ray.ops.similarity import brute_force_topk, lsh_topk, query_vector
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = query_vector(SF, 0)
+    brute = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).take_all()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, q, k=10, probes=3).take_all()]
+    assert brute[0] == 0  # the query vector itself is rank 1 (cos=1)
+    assert 0 in approx  # LSH must find the query's own bucket
+    recall = len(set(brute) & set(approx)) / 10
+    # weakly-similar random corpus: multi-probe LSH recall is modest by
+    # design; the contract is "finds the strong matches"
+    assert recall >= 0.3, f"LSH recall@10 {recall}: {approx} vs {brute}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fingerprint_deterministic_and_order_sensitive():
+    import ray.data as rd
+
+    from jena_ray.ops.textstats import fingerprint_batch
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "alpha beta gamma"},
+            {"doc_id": 3, "text": "gamma beta alpha"},
+        ]
+    )
+    rows = {r["doc_id"]: r["fingerprint"]
+            for r in docs.map_batches(fingerprint_batch, batch_format="pyarrow").take_all()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]  # rolling hash is order-sensitive
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_langid_stateful_stage():
+    import ray.data as rd
+
+    from jena_ray.ops.textstats import LangId
+
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": "the quick brown fox jumped over the lazy hen and then ran in"}]
+    )
+    out = docs.map_batches(LangId, batch_format="pyarrow", concurrency=1).take_all()
+    assert out[0]["lang_pred"] in ("en", "de", "fr", "es", "und")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_plumbing():
+    from jena_ray.ops.multimodal import MEDIA_FEATURES_SCHEMA, media_features
+    from jena_ray.sources.docs import interleaved_docs
+
+    out = media_features(interleaved_docs(SF), concurrency=2)
+    rows = out.take(5)
+    assert rows, "corpus should contain media spans"
+    r = rows[0]
+    assert r["media_ref"].startswith("media://")
+    assert len(r["feature"]) == 8
+    assert r["width"] >= 64 and r["n_frames"] >= 1
+    # deterministic: same ref → same features
+    from jena_ray.ops.multimodal import MediaFeatureExtractor
+
+    fx = MediaFeatureExtractor()
+    w1, h1, n1, f1 = fx._fake_decode(r["media_ref"])
+    assert (w1, h1, n1) == (r["width"], r["height"], r["n_frames"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_decode_real_is_stubbed():
+    from jena_ray.ops.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG")
