@@ -56,3 +56,92 @@ def kg_triples(
 def kg_pipeline(sf_dir: str, out_dir: str, reps: int = 1, **kw):
     ds = kg_triples(sf_dir, reps, **kw)
     return materialize(ds, out_dir)
+
+
+# --------------------------------------------------------------------------
+# Resumable two-phase run (north rule: per-partition lineage + resume)
+# --------------------------------------------------------------------------
+
+
+def _canon_triples_for_range(sf_dir: str, id_range, reps: int, linker_concurrency):
+    docs = interleaved_docs(sf_dir, reps, id_range=id_range)
+    text_triples = docs.map_batches(extract_batch, batch_format="pyarrow")
+    link_triples = docs.map_batches(
+        EntityLinker,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=linker_concurrency,
+    )
+    return text_triples.union(link_triples).map_batches(
+        canonicalize_batch, batch_format="pyarrow"
+    )
+
+
+def kg_resumable(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    num_shards: int = 8,
+    reps: int = 1,
+    linker_concurrency=2,
+):
+    """Two-phase resumable run.
+
+    Phase 1 (per-shard, resumable): extract+link+canonicalize each seed
+    doc_id range → `<out>/extract/shard=<i>/` with a lineage manifest;
+    completed shards are skipped on re-run (config-hash verified).
+
+    Phase 2 (global): sameAs closure and exact dedup must see ALL shards
+    (equivalence chains and duplicates cross shard boundaries), so they
+    run over the union of phase-1 outputs → `<out>/triples/`.
+
+    Returns (final Dataset, phase-1 stats dict).
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..state.lineage import config_hash, shard_done, write_shard
+
+    seed_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    lo, hi = min(seed_ids), max(seed_ids) + 1
+    step = max(1, (hi - lo + num_shards - 1) // num_shards)
+    extract_dir = os.path.join(out_dir, "extract")
+    cfg = config_hash(
+        {
+            "stage": "extract+link+canon",
+            "version": 1,
+            "reps": reps,
+            "sf_dir": sf_dir,
+            "run_seed": "jena-ray-run-42",
+        }
+    )
+    stats = {"shards_total": 0, "shards_skipped": 0, "shards_computed": 0}
+    for i, start in enumerate(range(lo, hi, step)):
+        shard = f"{i:04d}"
+        stats["shards_total"] += 1
+        if shard_done(extract_dir, shard, cfg):
+            stats["shards_skipped"] += 1
+            continue
+        ds = _canon_triples_for_range(
+            sf_dir, (start, min(start + step, hi)), reps, linker_concurrency
+        )
+        import ray
+
+        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        write_shard(
+            extract_dir, shard, tbl, cfg,
+            extra={"id_range": [start, min(start + step, hi)]},
+        )
+        stats["shards_computed"] += 1
+
+    canon = rd.read_parquet(extract_dir)
+    canon = canon.drop_columns([c for c in ["shard"] if c in canon.schema().names])
+    rep_map = components_driver(extract_edges(canon))
+    closed = rewrite_with_reps(canon, rep_map)
+    final = exact_dedup(closed)
+    return final, stats

@@ -348,11 +348,28 @@ def synth_spans_batch(batch: pa.Table, reps: int = 1) -> pa.Table:
     )
 
 
-def interleaved_docs(sf_dir: str, reps: int = 1, *, parallelism: int | None = None):
-    """The corpus as a Ray Dataset — input_hint shape (doc_id, spans)."""
+def interleaved_docs(
+    sf_dir: str,
+    reps: int = 1,
+    *,
+    parallelism: int | None = None,
+    id_range: tuple[int, int] | None = None,
+):
+    """The corpus as a Ray Dataset — input_hint shape (doc_id, spans).
+
+    ``id_range=(lo, hi)``: restrict to seed doc_ids in [lo, hi) — the
+    shard predicate for resumable runs (pushed into the parquet read)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    kw = {}
+    if id_range is not None:
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pds
+
+        kw["filter"] = (_pds.field("doc_id") >= id_range[0]) & (
+            _pds.field("doc_id") < id_range[1]
+        )
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"], **kw)
     if parallelism:
         ds = ds.repartition(parallelism)
     return ds.map_batches(

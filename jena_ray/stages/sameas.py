@@ -35,6 +35,9 @@ import pyarrow.compute as pc
 
 from ..model import KIND_IRI, OWL_SAMEAS, TRIPLE_SCHEMA
 
+# per-worker-process broadcast cache (see rewrite_with_reps)
+_REP_CACHE: dict = {}
+
 
 def extract_edges(triples_ds):
     """Distinct sameAs (a, b) edge Dataset from the triple stream."""
@@ -211,44 +214,48 @@ def rewrite_with_reps(triples_ds, rep_map: dict[str, str], run_doc_id: str = "")
 
     rep_ref = ray.put(rep_map)
 
-    class Rewriter:
-        def __init__(self):
-            self.rep = ray.get(rep_ref)  # once per actor
+    # Stateless tasks (not an actor pool — no CPU reservation/starvation):
+    # the broadcast map is fetched from the LOCAL object store and cached
+    # per worker process (module-level cache survives across task calls in
+    # the same worker), so it deserializes once per worker.
+    def rewriter(batch: pa.Table) -> pa.Table:
+        key = rep_ref.hex()
+        rep = _REP_CACHE.get(key)
+        if rep is None:
+            _REP_CACHE.clear()
+            rep = _REP_CACHE[key] = ray.get(rep_ref)
+        # drop original sameAs assertions (replaced below)
+        batch = batch.filter(pc.not_equal(batch.column("p"), OWL_SAMEAS))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rep = self.rep
-            # drop original sameAs assertions (replaced below)
-            batch = batch.filter(pc.not_equal(batch.column("p"), OWL_SAMEAS))
-
-            def remap(col, kind_col):
-                arr = col.combine_chunks().dictionary_encode()
-                vals = arr.dictionary.to_pylist()
-                new = pa.array(
-                    [rep.get(v, v) if v is not None else None for v in vals],
-                    type=pa.large_string(),
-                )
-                mapped = new.take(arr.indices)
-                is_iri = pc.equal(kind_col, pa.scalar(KIND_IRI, pa.int8())).combine_chunks()
-                return pc.if_else(is_iri, mapped, col.combine_chunks())
-
-            s_lex = remap(batch.column("s_lex"), batch.column("s_kind"))
-            o_lex = remap(batch.column("o_lex"), batch.column("o_kind"))
-            return pa.Table.from_arrays(
-                [
-                    batch.column("s_kind").combine_chunks(),
-                    s_lex,
-                    batch.column("p").combine_chunks(),
-                    batch.column("o_kind").combine_chunks(),
-                    o_lex,
-                    batch.column("o_datatype").combine_chunks(),
-                    batch.column("o_lang").combine_chunks(),
-                    batch.column("g").combine_chunks(),
-                    batch.column("doc_id").combine_chunks(),
-                ],
-                schema=batch.schema,
+        def remap(col, kind_col):
+            arr = col.combine_chunks().dictionary_encode()
+            vals = arr.dictionary.to_pylist()
+            new = pa.array(
+                [rep.get(v, v) if v is not None else None for v in vals],
+                type=pa.large_string(),
             )
+            mapped = new.take(arr.indices)
+            is_iri = pc.equal(kind_col, pa.scalar(KIND_IRI, pa.int8())).combine_chunks()
+            return pc.if_else(is_iri, mapped, col.combine_chunks())
 
-    rewritten = triples_ds.map_batches(Rewriter, batch_format="pyarrow", concurrency=4)
+        s_lex = remap(batch.column("s_lex"), batch.column("s_kind"))
+        o_lex = remap(batch.column("o_lex"), batch.column("o_kind"))
+        return pa.Table.from_arrays(
+            [
+                batch.column("s_kind").combine_chunks(),
+                s_lex,
+                batch.column("p").combine_chunks(),
+                batch.column("o_kind").combine_chunks(),
+                o_lex,
+                batch.column("o_datatype").combine_chunks(),
+                batch.column("o_lang").combine_chunks(),
+                batch.column("g").combine_chunks(),
+                batch.column("doc_id").combine_chunks(),
+            ],
+            schema=batch.schema,
+        )
+
+    rewritten = triples_ds.map_batches(rewriter, batch_format="pyarrow")
 
     # (member, owl:sameAs, rep) assertions — small, built driver-side
     members = [(m, r) for m, r in sorted(rep_map.items()) if m != r]
