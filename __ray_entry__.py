@@ -122,8 +122,57 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return mf(interleaved_docs(sf_dir), concurrency=2)
 
+    def kg_skolemized(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from jena_ray.model import KIND_BNODE, KIND_IRI
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.rdf.bnodes import skolemize_iri
+
+        def skolemize(b: pa.Table) -> pa.Table:
+            def conv(kind_col, lex_col):
+                kinds = kind_col.to_pylist()
+                lex = lex_col.to_pylist()
+                new_kind = [KIND_IRI if k == KIND_BNODE else k for k in kinds]
+                new_lex = [
+                    skolemize_iri(l) if k == KIND_BNODE else l
+                    for k, l in zip(kinds, lex)
+                ]
+                return (
+                    pa.array(new_kind, pa.int8()),
+                    pa.array(new_lex, pa.large_string()),
+                )
+
+            s_kind, s_lex = conv(b["s_kind"], b["s_lex"])
+            o_kind, o_lex = conv(b["o_kind"], b["o_lex"])
+            b = b.set_column(0, "s_kind", s_kind).set_column(1, "s_lex", s_lex)
+            return b.set_column(3, "o_kind", o_kind).set_column(4, "o_lex", o_lex)
+
+        return kg_triples(sf_dir, linker_concurrency=2).map_batches(
+            skolemize, batch_format="pyarrow"
+        )
+
+    def kg_rdfs_inference(sf_dir: str):
+        from jena_ray.model import KIND_IRI, RDF_TYPE
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.stages.dedup import exact_dedup
+        from jena_ray.stages.rdfs import RDFS_SUBCLASSOF, rdfs_inference
+
+        # small demo T-box over the corpus's class namespace
+        schema = [
+            (KIND_IRI, f"http://example.org/c/{k}", RDFS_SUBCLASSOF,
+             KIND_IRI, "http://example.org/c/root", "", "", "")
+            for k in range(1, 20)
+        ]
+        return exact_dedup(
+            rdfs_inference(kg_triples(sf_dir, linker_concurrency=2), schema)
+        )
+
     return {
         "kg_canonical_triples": kg_canonical_triples,
+        "kg_skolemized": kg_skolemized,
+        "kg_rdfs_inference": kg_rdfs_inference,
         "kg_extract_raw": kg_extract_raw,
         "kg_serialize_ntriples": kg_serialize_ntriples,
         "docs_corpus": docs_corpus,

@@ -17,10 +17,18 @@ from __future__ import annotations
 from ..sources.docs import interleaved_docs
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.dedup import exact_dedup
-from ..stages.extract import extract_batch
-from ..stages.link import EntityLinker
+from ..stages.extract import extract_batch  # noqa: F401 (public pipeline API)
+from ..stages.link import EntityLinker, ExtractAndLink  # noqa: F401
 from ..stages.materialize import materialize
 from ..stages.sameas import components_driver, extract_edges, rewrite_with_reps
+
+
+def _pool_size(requested) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds: never below 1, cap at the request —
+    lets a 2-CPU test session run the same pipeline a 32-CPU bench does."""
+    if isinstance(requested, tuple):
+        return requested
+    return (1, max(1, int(requested)))
 
 
 def kg_triples(
@@ -32,14 +40,14 @@ def kg_triples(
 ):
     """The canonical triple Dataset for the corpus derived from sf_dir."""
     docs = interleaved_docs(sf_dir, reps)
-    text_triples = docs.map_batches(extract_batch, batch_format="pyarrow")
-    link_triples = docs.map_batches(
-        EntityLinker,
+    # fused single-pass extract+link actor pool (see ExtractAndLink);
+    # autoscaling (1, N) so a small session is never fully reserved
+    triples = docs.map_batches(
+        ExtractAndLink,
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=linker_concurrency,
+        batch_size=64,
+        concurrency=_pool_size(linker_concurrency),
     )
-    triples = text_triples.union(link_triples)
     canon = triples.map_batches(canonicalize_batch, batch_format="pyarrow")
 
     # sameAs closure: the canon stream is consumed twice (edges + rewrite);
@@ -65,16 +73,12 @@ def kg_pipeline(sf_dir: str, out_dir: str, reps: int = 1, **kw):
 
 def _canon_triples_for_range(sf_dir: str, id_range, reps: int, linker_concurrency):
     docs = interleaved_docs(sf_dir, reps, id_range=id_range)
-    text_triples = docs.map_batches(extract_batch, batch_format="pyarrow")
-    link_triples = docs.map_batches(
-        EntityLinker,
+    return docs.map_batches(
+        ExtractAndLink,
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=linker_concurrency,
-    )
-    return text_triples.union(link_triples).map_batches(
-        canonicalize_batch, batch_format="pyarrow"
-    )
+        batch_size=64,
+        concurrency=_pool_size(linker_concurrency),
+    ).map_batches(canonicalize_batch, batch_format="pyarrow")
 
 
 def kg_resumable(

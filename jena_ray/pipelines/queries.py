@@ -728,6 +728,49 @@ ORDER BY cos DESC, vec_id LIMIT 5
 """
 
 
+# --------------------------------------------------------------------------
+# §2.9 property paths — a fixed-length path (P_Seq composition): parts
+# reachable from one customer via orders/lineitem, as broadcast semi-joins
+# --------------------------------------------------------------------------
+
+
+def q_path_2hop(sf_dir: str):
+    import ray
+
+    hop1 = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_custkey"], 1)), batch_format="pyarrow"
+        )
+        .unique("o_orderkey")
+    )
+    ref = ray.put(set(hop1))
+
+    def hop2(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys = _ray.get(ref)
+        t = b.filter(pa.array([k in keys for k in b["l_orderkey"].to_pylist()]))
+        return pa.Table.from_arrays(
+            [t["l_partkey"].combine_chunks()], names=["l_partkey"]
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(hop2, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .count()
+        .select_columns(["l_partkey"])
+    )
+
+
+SQL_PATH_2HOP = """
+SELECT DISTINCT l_partkey
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_custkey = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
@@ -754,4 +797,5 @@ REGISTRY: dict[str, tuple] = {
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+    "path_2hop": (q_path_2hop, SQL_PATH_2HOP),
 }

@@ -370,10 +370,11 @@ def interleaved_docs(
             _pds.field("doc_id") < id_range[1]
         )
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"], **kw)
-    if parallelism:
-        ds = ds.repartition(parallelism)
+    # one parquet file → one read block; spread the synth/extract work
+    # across the cluster (a single block would serialize the pipeline)
+    ds = ds.repartition(parallelism or 64)
     return ds.map_batches(
-        lambda b: synth_spans_batch(b, reps), batch_format="pyarrow", batch_size=256
+        lambda b: synth_spans_batch(b, reps), batch_format="pyarrow", batch_size=64
     )
 
 

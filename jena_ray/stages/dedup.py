@@ -19,6 +19,7 @@ QueryIterDistinct.java:44-94 + DistinctDataBag). Distributed realization
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..model import TRIPLE_COLUMNS
 
@@ -33,6 +34,10 @@ def _prededup(batch: pa.Table) -> pa.Table:
 def exact_dedup(triples_ds):
     from ray.data.aggregate import Min
 
+    # Measured (sf0.1, 1M rows, 32 cpus): multi-key groupby + single Min
+    # ≈ 12s vs ≈ 25s for a concat-key groupby carrying the columns through
+    # 9 Min aggregates — the extra per-group string reductions cost more
+    # than the extra sort keys save.
     deduped = (
         triples_ds.map_batches(_prededup, batch_format="pyarrow")
         .groupby(KEY_COLS)

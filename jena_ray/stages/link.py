@@ -85,3 +85,25 @@ class EntityLinker:
             [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
             schema=TRIPLE_SCHEMA,
         )
+
+
+class ExtractAndLink(EntityLinker):
+    """Fused extraction + linking: ONE pass over the docs stream.
+
+    Running extract and link as two branches over the same source reads
+    and repartitions the corpus twice and (worse) can deadlock tiny
+    clusters — two all-to-all ops plus an actor pool contending for the
+    same CPUs. Fusing them into one actor-pool stage keeps the alias
+    dictionary per-actor AND makes the doc scan single-pass.
+    """
+
+    def __init__(self, threshold: float = LINK_THRESHOLD, on_error: str = "raise"):
+        super().__init__(threshold)
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .extract import extract_batch
+
+        text_triples = extract_batch(batch, on_error=self.on_error)
+        link_triples = EntityLinker.__call__(self, batch)
+        return pa.concat_tables([text_triples, link_triples])
