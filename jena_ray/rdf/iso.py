@@ -1,24 +1,31 @@
-"""Graph isomorphism up to blank-node bijection.
+"""Graph / dataset isomorphism up to blank-node bijection.
 
-The W3C eval tests compare the parsed graph against a golden N-Triples
-graph by bnode-bijection isomorphism; the reference implements this as a
-backtracking matcher (sparql/util/IsoMatcher.java:50-97 →
+The W3C eval tests compare the parsed graph against a golden N-Triples /
+N-Quads file by bnode-bijection isomorphism; the reference implements this
+as a backtracking matcher (sparql/util/IsoMatcher.java:50-97 →
 sparql/util/iso/IsoAlgTuple.java:45-206). Same approach here with
 signature pruning — worst-case exponential, fine at test sizes.
 
-Triples are 7/8-tuples (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang[, g]);
-bnodes are (kind == KIND_BNODE) positions.
+Tuples are (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang[, g]); the graph
+name g is "" for the default graph, "_:label" for a blank-node graph, else
+an IRI. One bijection spans all positions (subject, object, graph name).
 """
 
 from __future__ import annotations
 
-from collections import Counter, defaultdict
+from collections import Counter
 
 from ..model import KIND_BNODE
 
+_G_BNODE = "\x00gb:"  # internal marker for bnode graph labels
+
 
 def _norm(t: tuple) -> tuple:
-    return tuple(t[:7])
+    """(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g_norm)."""
+    g = t[7] if len(t) > 7 else ""
+    if g.startswith("_:"):
+        g = _G_BNODE + g[2:]
+    return (t[0], t[1], t[2], t[3], t[4], t[5], t[6], g)
 
 
 def _bnodes_of(t: tuple):
@@ -26,41 +33,60 @@ def _bnodes_of(t: tuple):
         yield t[1]
     if t[3] == KIND_BNODE:
         yield t[4]
+    if t[7].startswith(_G_BNODE):
+        yield t[7][len(_G_BNODE):]
+
+
+def _has_bnode(t: tuple) -> bool:
+    return (
+        t[0] == KIND_BNODE or t[3] == KIND_BNODE or t[7].startswith(_G_BNODE)
+    )
 
 
 def _signature(triples: list[tuple], label: str) -> Counter:
-    """Structure summary of one bnode: incident predicates/roles/ground terms."""
     sig: Counter = Counter()
     for t in triples:
-        s_b = t[0] == KIND_BNODE and t[1] == label
-        o_b = t[3] == KIND_BNODE and t[4] == label
-        if s_b:
+        if t[0] == KIND_BNODE and t[1] == label:
             other = ("B",) if t[3] == KIND_BNODE else t[3:7]
             sig[("S", t[2], other)] += 1
-        if o_b:
+        if t[3] == KIND_BNODE and t[4] == label:
             other = ("B",) if t[0] == KIND_BNODE else t[:2]
             sig[("O", t[2], other)] += 1
+        if t[7] == _G_BNODE + label:
+            sig[("G", t[2])] += 1
     return sig
 
 
+def _apply(t: tuple, m: dict) -> tuple | None:
+    s_lex, o_lex, g = t[1], t[4], t[7]
+    if t[0] == KIND_BNODE:
+        s_lex = m.get(s_lex)
+        if s_lex is None:
+            return None
+    if t[3] == KIND_BNODE:
+        o_lex = m.get(o_lex)
+        if o_lex is None:
+            return None
+    if g.startswith(_G_BNODE):
+        lab = m.get(g[len(_G_BNODE):])
+        if lab is None:
+            return None
+        g = _G_BNODE + lab
+    return (t[0], s_lex, t[2], t[3], o_lex, t[5], t[6], g)
+
+
 def graph_iso(a: list[tuple], b: list[tuple]) -> bool:
-    a = [_norm(t) for t in a]
-    b = [_norm(t) for t in b]
-    # set semantics (a Graph is a set of triples)
-    a = list(set(a))
-    b = list(set(b))
+    a = list(set(_norm(t) for t in a))
+    b = list(set(_norm(t) for t in b))
     if len(a) != len(b):
         return False
 
-    def has_bnode(t):
-        return t[0] == KIND_BNODE or t[3] == KIND_BNODE
-
-    ground_a = Counter(t for t in a if not has_bnode(t))
-    ground_b = Counter(t for t in b if not has_bnode(t))
+    ground_a = Counter(t for t in a if not _has_bnode(t))
+    ground_b = Counter(t for t in b if not _has_bnode(t))
     if ground_a != ground_b:
         return False
-    rest_a = [t for t in a if has_bnode(t)]
-    rest_b = [t for t in b if has_bnode(t)]
+    rest_a = [t for t in a if _has_bnode(t)]
+    rest_b = [t for t in b if _has_bnode(t)]
     if len(rest_a) != len(rest_b):
         return False
     if not rest_a:
@@ -73,48 +99,27 @@ def graph_iso(a: list[tuple], b: list[tuple]) -> bool:
 
     sig_a = {l: _signature(rest_a, l) for l in bn_a}
     sig_b = {l: _signature(rest_b, l) for l in bn_b}
-    candidates = {
-        la: [lb for lb in bn_b if sig_b[lb] == sig_a[la]] for la in bn_a
-    }
+    candidates = {la: [lb for lb in bn_b if sig_b[lb] == sig_a[la]] for la in bn_a}
     if any(not c for c in candidates.values()):
         return False
 
-    # order most-constrained-first
     order = sorted(bn_a, key=lambda l: len(candidates[l]))
     set_b = set(rest_b)
-    by_shape_b: dict[tuple, set] = defaultdict(set)
-    for t in rest_b:
-        by_shape_b[(t[0], t[2], t[3])].add(t)
-
-    def apply_map(t: tuple, m: dict) -> tuple | None:
-        s_lex, o_lex = t[1], t[4]
-        if t[0] == KIND_BNODE:
-            s_lex = m.get(s_lex)
-            if s_lex is None:
-                return None
-        if t[3] == KIND_BNODE:
-            o_lex = m.get(o_lex)
-            if o_lex is None:
-                return None
-        return (t[0], s_lex, t[2], t[3], o_lex, t[5], t[6])
 
     def backtrack(i: int, m: dict, used: set) -> bool:
         if i == len(order):
-            mapped = Counter(apply_map(t, m) for t in rest_a)
-            return mapped == Counter(rest_b)
+            return Counter(_apply(t, m) for t in rest_a) == Counter(rest_b)
         la = order[i]
         for lb in candidates[la]:
             if lb in used:
                 continue
             m[la] = lb
             used.add(lb)
-            # prune: every fully-mapped triple of a must exist in b
             ok = True
             for t in rest_a:
                 labs = list(_bnodes_of(t))
-                if all(l in m for l in labs):
-                    mt = apply_map(t, m)
-                    if mt not in set_b:
+                if labs and all(l in m for l in labs):
+                    if _apply(t, m) not in set_b:
                         ok = False
                         break
             if ok and backtrack(i + 1, m, used):

@@ -63,7 +63,8 @@ _TOKEN_SPEC = [
     ("PNAME_NS", g.PNAME_NS),
     # bare keywords AFTER pnames so e.g. "a:b" lexes as a pname
     ("KEYWORD", r"(?:true|false|a)(?![A-Za-z0-9_:\-])|(?:[Pp][Rr][Ee][Ff][Ii][Xx]|[Bb][Aa][Ss][Ee])(?![A-Za-z0-9_:\-])"),
-    ("PUNCT", r"[][();,.]"),
+    ("GRAPHKW", r"[Gg][Rr][Aa][Pp][Hh](?![A-Za-z0-9_:\-])"),
+    ("PUNCT", r"[][();,.{}]"),
 ]
 _SCANNER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC), re.S)
 
@@ -197,8 +198,9 @@ class TurtleParser:
         if k == "PUNCT" and v == "[":
             subj = self._bnode_property_list()
             # predicateObjectList is optional after a bnode property list
+            # (terminator is '.' in Turtle, also '}' inside a TriG block)
             k2, v2 = self._peek()
-            if not (k2 == "PUNCT" and v2 == "."):
+            if not (k2 == "PUNCT" and v2 in (".", "}")):
                 self._predicate_object_list(subj)
         elif k == "PUNCT" and v == "(":
             subj = self._collection()
@@ -232,12 +234,12 @@ class TurtleParser:
             k, v = self._peek()
             if k == "PUNCT" and v == ";":
                 self._next()
-                # allow trailing ';' before '.' / ']'
+                # allow trailing ';' before '.' / ']' / '}' (TriG block end)
                 k2, v2 = self._peek()
-                if k2 == "PUNCT" and v2 in (".", "]", ";"):
+                if k2 == "PUNCT" and v2 in (".", "]", ";", "}"):
                     while self._peek() == ("PUNCT", ";"):
                         self._next()
-                    if self._peek()[1] in (".", "]"):
+                    if self._peek()[1] in (".", "]", "}"):
                         return
                 continue
             return
@@ -345,3 +347,109 @@ def parse_turtle(text: str, base: str = "", on_error: str = "raise") -> list[tup
         if on_error == "skip":
             return []
         raise RDFParseError("nesting too deep")
+
+
+class TriGParser(TurtleParser):
+    """TriG 1.1 = Turtle + named-graph blocks (riot/lang/LangTriG.java):
+
+        GRAPH <g> { triples }    |    <g> { triples }    |    { triples }
+
+    plus plain Turtle statements (default graph). The current graph name
+    is positional state, scoped to one block.
+    """
+
+    def __init__(self, base: str = ""):
+        super().__init__(base)
+        self.current_graph = ""
+
+    def parse(self, text: str) -> list[tuple]:
+        self.toks = _tokenize(text)
+        self.i = 0
+        while self._peek()[0] != "EOF":
+            k, v = self._peek()
+            if k == "ATPREFIX":
+                self._next()
+                self._directive_prefix(require_dot=True)
+            elif k == "ATBASE":
+                self._next()
+                self._directive_base(require_dot=True)
+            elif k == "KEYWORD" and v.lower() == "prefix":
+                self._next()
+                self._directive_prefix(require_dot=False)
+            elif k == "KEYWORD" and v.lower() == "base":
+                self._next()
+                self._directive_base(require_dot=False)
+            else:
+                self._block()
+        return self.out
+
+    def _block(self) -> None:
+        k, v = self._peek()
+        # GRAPH <name> { ... }
+        if self._is_graph_keyword():
+            self._next()
+            gname = self._graph_name()
+            self._wrapped_block(gname)
+            return
+        # <name> { ... }  |  _:b { ... }
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS", "BNODE", "ANON"):
+            save = self.i
+            try:
+                gname = self._graph_name()
+            except RDFParseError:
+                self.i = save
+                gname = None
+            if gname is not None and self._peek() == ("PUNCT", "{"):
+                self._wrapped_block(gname)
+                return
+            self.i = save
+        if self._peek() == ("PUNCT", "{"):
+            self._wrapped_block("")
+            return
+        # plain Turtle statement → default graph
+        self.current_graph = ""
+        self._triples()
+        self._expect_punct(".")
+
+    def _is_graph_keyword(self) -> bool:
+        k, v = self._peek()
+        return k == "GRAPHKW"
+
+    def _graph_name(self) -> str:
+        k, v = self._next()
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+            return self._iri_from_token(k, v)
+        if k == "BNODE":
+            return "_:" + v[2:]
+        if k == "ANON":
+            return "_:" + self._fresh_bnode()
+        raise RDFParseError(f"bad graph name: {v!r}")
+
+    def _wrapped_block(self, gname: str) -> None:
+        self._expect_punct("{")
+        self.current_graph = gname
+        while not (self._peek() == ("PUNCT", "}")):
+            if self._peek()[0] == "EOF":
+                raise RDFParseError("unterminated graph block")
+            self._triples()
+            if self._peek() == ("PUNCT", "."):
+                self._next()
+            elif self._peek() != ("PUNCT", "}"):
+                raise RDFParseError(f"expected '.' or '}}', got {self._peek()[1]!r}")
+        self._next()  # '}'
+        self.current_graph = ""
+
+    def _emit(self, subj, p, o) -> None:
+        self.out.append(
+            (subj[0], subj[1], p, o[0], o[1], o[2], o[3], self.current_graph)
+        )
+
+
+def parse_trig(text: str, base: str = "", on_error: str = "raise") -> list[tuple]:
+    """Parse one TriG document → term 8-tuples with graph names."""
+    try:
+        return TriGParser(base=base).parse(text)
+    except (RDFParseError, RecursionError):
+        if on_error == "skip":
+            return []
+        raise

@@ -39,6 +39,10 @@ def _parse_any(test):
     text = _read(test.action)
     if test.action.endswith(".ttl"):
         return parse_turtle(text, base=test.base_iri)
+    if test.action.endswith(".trig"):
+        from jena_ray.rdf.turtle import parse_trig
+
+        return parse_trig(text, base=test.base_iri)
     return parse_ntriples(text, quads=test.action.endswith(".nq"))
 
 
@@ -50,19 +54,22 @@ def _run_one(test):
             _parse_any(test)
     elif test.kind == "eval":
         got = _parse_any(test)
-        golden = parse_ntriples(_read(test.result))
+        golden = parse_ntriples(_read(test.result), quads=test.result.endswith(".nq"))
         assert graph_iso(got, golden), f"{test.name}: graph not isomorphic to golden"
     else:
         pytest.skip(f"unhandled kind {test.kind}")
 
 
 def pytest_generate_tests(metafunc):
-    if "nt_test" in metafunc.fixturenames:
-        tests = _load("rdf-n-triples")
-        metafunc.parametrize("nt_test", tests, ids=[t.name for t in tests])
-    if "ttl_test" in metafunc.fixturenames:
-        tests = _load("rdf-turtle")
-        metafunc.parametrize("ttl_test", tests, ids=[t.name for t in tests])
+    for fixture, suite in [
+        ("nt_test", "rdf-n-triples"),
+        ("ttl_test", "rdf-turtle"),
+        ("nq_test", "rdf-n-quads"),
+        ("trig_test", "rdf-trig"),
+    ]:
+        if fixture in metafunc.fixturenames:
+            tests = _load(suite)
+            metafunc.parametrize(fixture, tests, ids=[t.name for t in tests])
 
 
 def test_ntriples_suite(nt_test):
@@ -71,3 +78,11 @@ def test_ntriples_suite(nt_test):
 
 def test_turtle_suite(ttl_test):
     _run_one(ttl_test)
+
+
+def test_nquads_suite(nq_test):
+    _run_one(nq_test)
+
+
+def test_trig_suite(trig_test):
+    _run_one(trig_test)
