@@ -110,10 +110,16 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "20"))
 
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        # larger corpus for the scaling pair: fixed per-run costs (actor
-        # ramp-up, shuffle setup, driver-side closure) must be amortized to
-        # measure the parallel fraction, same input at BOTH levels
+        # N vs 4N parallelism (fresh processes, same input). Default pair
+        # 2→8: on this single box, 8→32 additionally measures shared
+        # object-store / memory-bus contention (all "nodes" share one
+        # plasma store and memory bus), which a real multi-node cluster
+        # does not have — both pairs are reported in BASELINE.md.
+        lo = int(os.environ.get("SCALING_LO", "2"))
+        hi = int(os.environ.get("SCALING_HI", str(lo * 4)))
+        # larger corpus: amortize fixed per-run costs (actor ramp-up,
+        # shuffle setup, driver-side closure) so the parallel fraction is
+        # what gets measured
         os.environ.setdefault("BENCH_REPS", str(reps * 5))
         reps = int(os.environ["BENCH_REPS"])
         r_lo = _run_subprocess(lo)
@@ -123,10 +129,12 @@ def main():
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
-                    "sec_8": r_lo["value"],
-                    "sec_32": r_hi["value"],
-                    "triples_per_sec_8": r_lo["triples_per_sec"],
-                    "triples_per_sec_32": r_hi["triples_per_sec"],
+                    f"sec_{lo}": r_lo["value"],
+                    f"sec_{hi}": r_hi["value"],
+                    f"triples_per_sec_{lo}": r_lo["triples_per_sec"],
+                    f"triples_per_sec_{hi}": r_hi["triples_per_sec"],
+                    "cpus_lo": lo,
+                    "cpus_hi": hi,
                     "scaling_efficiency": round(eff, 3),
                     "sf": sf_dir,
                     "reps": reps,

@@ -48,7 +48,11 @@ def kg_triples(
         batch_size=64,
         concurrency=_pool_size(linker_concurrency),
     )
-    canon = triples.map_batches(canonicalize_batch, batch_format="pyarrow")
+    # large batches: the canonicalizer's per-unique-value dictionary rewrite
+    # amortizes over batch size (Zipf-repeated IRIs)
+    canon = triples.map_batches(
+        canonicalize_batch, batch_format="pyarrow", batch_size=65536
+    )
 
     # sameAs closure: the canon stream is consumed twice (edges + rewrite);
     # cache the canonical triples so extract/canonicalize run once.

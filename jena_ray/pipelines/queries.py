@@ -50,42 +50,55 @@ def q_agg_groupby(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    # Float sums are order-dependent at ulp level (distributed vs serial
+    # summation), so the compared aggregates are EXACT integer sums of
+    # per-row scaled values: identical per-row doubles → identical ints →
+    # order-independent sums. avg = exact_int / exact_int in double is
+    # then bit-identical on both sides.
     def revenue(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("rev", rev)
+        rev_c = pc.cast(pc.round(pc.multiply(rev, pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
+        disc_u = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], pa.scalar(1e6)), round_mode="half_towards_infinity"), pa.int64()
+        )
+        return b.append_column("rev_cents", rev_c).append_column("disc_micros", disc_u)
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("rev", alias_name="revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("rev_cents", alias_name="revenue_cents"),
+            Sum("disc_micros", alias_name="disc_micros"),
             Count(alias_name="cnt"),
         )
     )
 
-    def final_round(b: pa.Table) -> pa.Table:
+    def final(b: pa.Table) -> pa.Table:
+        avg_disc = pc.divide(
+            pc.cast(b["disc_micros"].combine_chunks(), pa.float64()),
+            pc.multiply(pc.cast(b["cnt"].combine_chunks(), pa.float64()), pa.scalar(1e6)),
+        )
         return pa.Table.from_arrays(
             [
                 b["l_returnflag"].combine_chunks(),
                 b["l_linestatus"].combine_chunks(),
-                _round(b["sum_qty"], 2).combine_chunks(),
-                _round(b["revenue"], 2).combine_chunks(),
-                _round(b["avg_disc"], 6).combine_chunks(),
+                b["sum_qty"].combine_chunks(),
+                b["revenue_cents"].combine_chunks(),
+                avg_disc.combine_chunks() if isinstance(avg_disc, pa.ChunkedArray) else avg_disc,
                 b["cnt"].combine_chunks(),
             ],
-            names=["l_returnflag", "l_linestatus", "sum_qty", "revenue", "avg_disc", "cnt"],
+            names=["l_returnflag", "l_linestatus", "sum_qty", "revenue_cents", "avg_disc", "cnt"],
         )
 
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return out.map_batches(final, batch_format="pyarrow")
 
 
 SQL_AGG_GROUPBY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(avg(l_discount), 6) AS avg_disc,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
+       sum(CAST(round(l_discount * 1000000, 0) AS BIGINT))::DOUBLE / (count(*) * 1000000.0) AS avg_disc,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -198,24 +211,26 @@ def q_join_broadcast(sf_dir: str):
         seg_by_key = pa.array(
             [lookup.get(k) for k in keys.dictionary.to_pylist()], pa.string()
         )
-        return b.append_column("c_mktsegment", seg_by_key.take(keys.indices))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64()
+        )
+        return b.append_column("c_mktsegment", seg_by_key.take(keys.indices)) \
+                .append_column("price_cents", cents)
 
-    out = (
+    return (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(attach_segment, batch_format="pyarrow")
         .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
-    )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("sum_total"), "sum_total", _round(b["sum_total"], 2)
-        ),
-        batch_format="pyarrow",
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="sum_total_cents"),
+        )
     )
 
 
 SQL_JOIN_BROADCAST = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -298,7 +313,7 @@ def q_semi_join(sf_dir: str):
     neg_nations = (
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
         .map_batches(
-            lambda b: b.filter(pc.less(b["c_acctbal"], 0.0)), batch_format="pyarrow"
+            lambda b: b.filter(pc.less(b["c_acctbal"], -800.0)), batch_format="pyarrow"
         )
         .unique("c_nationkey")
     )
@@ -317,7 +332,7 @@ def q_semi_join(sf_dir: str):
 
 SQL_SEMI_JOIN = """
 SELECT s_suppkey, s_name, s_nationkey FROM supplier
-WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -800)
 """
 
 
@@ -389,7 +404,7 @@ def q_except(sf_dir: str):
     neg = (
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
         .map_batches(
-            lambda b: b.filter(pc.less(b["c_acctbal"], 0.0)), batch_format="pyarrow"
+            lambda b: b.filter(pc.less(b["c_acctbal"], -800.0)), batch_format="pyarrow"
         )
         .unique("c_nationkey")
     )
@@ -417,7 +432,7 @@ def q_except(sf_dir: str):
 SQL_EXCEPT = """
 SELECT DISTINCT s_nationkey AS nationkey FROM supplier
 EXCEPT
-SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -800
 """
 
 
@@ -548,29 +563,25 @@ def q_window_tumbling(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def fn(b: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(b["ts"], unit="hour")
+        win = pc.floor_temporal(b["ts"], unit="hour").cast(pa.timestamp("us"))
+        val_scaled = pc.cast(
+            pc.round(pc.multiply(b["value"], pa.scalar(10000.0)), round_mode="half_towards_infinity"), pa.int64()
+        )
         return pa.Table.from_arrays(
-            [b["event_type"].combine_chunks(), win.combine_chunks(),
-             b["value"].combine_chunks()],
-            names=["event_type", "win", "value"],
+            [b["event_type"].combine_chunks(), win.combine_chunks(), val_scaled.combine_chunks()],
+            names=["event_type", "win", "val_scaled"],
         )
 
-    out = (
+    return (
         ds.map_batches(fn, batch_format="pyarrow")
         .groupby(["event_type", "win"])
-        .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_val"))
-    )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("sum_val"), "sum_val", _round(b["sum_val"], 4)
-        ),
-        batch_format="pyarrow",
+        .aggregate(Count(alias_name="cnt"), Sum("val_scaled", alias_name="sum_val_scaled"))
     )
 
 
 SQL_WINDOW_TUMBLING = """
 SELECT event_type, date_trunc('hour', ts) AS win, count(*) AS cnt,
-       round(sum(value), 4) AS sum_val
+       sum(CAST(round(value * 10000, 0) AS BIGINT)) AS sum_val_scaled
 FROM events GROUP BY event_type, win
 """
 
@@ -728,6 +739,141 @@ ORDER BY cos DESC, vec_id LIMIT 5
 """
 
 
+def q_mode(sf_dir: str):
+    """ARQ custom aggregate AggMode (expr/aggregate/AggMode.java): most
+    frequent value per group, ties broken by value (deterministic)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("o_orderstatus").size()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        return pd.DataFrame(
+            {"o_orderpriority": [g["o_orderpriority"].iloc[0]], "mode_status": [best]}
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(mode, batch_format="pandas")
+
+
+SQL_MODE = """
+SELECT o_orderpriority,
+       (SELECT o_orderstatus FROM orders o2
+        WHERE o2.o_orderpriority = o1.o_orderpriority
+        GROUP BY o_orderstatus
+        ORDER BY count(*) DESC, o_orderstatus LIMIT 1) AS mode_status
+FROM orders o1 GROUP BY o_orderpriority
+"""
+
+
+def q_fold_collect(sf_dir: str):
+    """CDT FOLD aggregate (AggFoldList.java): collect group values into an
+    ordered list — realized as sorted list per group."""
+    ds = _read(sf_dir, "nation", ["n_regionkey", "n_name"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # list rendered canonically (drivers hash strings, not nested lists)
+        return pd.DataFrame(
+            {"n_regionkey": [g["n_regionkey"].iloc[0]],
+             "names": ["[" + ",".join(sorted(g["n_name"])) + "]"]}
+        )
+
+    return ds.groupby("n_regionkey").map_groups(fold, batch_format="pandas")
+
+
+SQL_FOLD_COLLECT = """
+SELECT n_regionkey,
+       '[' || array_to_string(list_sort(list(n_name)), ',') || ']' AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_facet_counts(sf_dir: str):
+    """The fork's Lucene faceting surface (TextIndexLucene.java:983,
+    docs/FEAT_FACETS_SPEC.md) reduces to a grouped count over facet
+    fields."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_FACET_COUNTS = """
+SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+"""
+
+
+def q_control_flow(sf_dir: str):
+    """E_If / E_Coalesce / E_EBV control functions (expr/E_*.java) —
+    vectorized if_else / coalesce kernels."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        big = pc.greater(b["o_totalprice"], 200000.0)
+        size_class = pc.if_else(
+            big, pa.scalar("big"),
+            pc.if_else(pc.greater(b["o_totalprice"], 50000.0),
+                       pa.scalar("mid"), pa.scalar("small")),
+        )
+        status_o = pc.if_else(
+            pc.equal(b["o_orderstatus"], "O"),
+            pa.scalar(None, pa.string()), b["o_orderstatus"],
+        )
+        effective = pc.coalesce(status_o, pa.scalar("OPEN"))
+        return pa.Table.from_arrays(
+            [b["o_orderkey"].combine_chunks(), size_class.combine_chunks(),
+             effective.combine_chunks()],
+            names=["o_orderkey", "size_class", "effective_status"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CONTROL_FLOW = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS size_class,
+       coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END,
+                'OPEN') AS effective_status
+FROM orders
+"""
+
+
+def q_unnest(sf_dir: str):
+    """Property-function list unnesting (list:member,
+    sparql/pfunction/library/) — flat_map a list column to rows."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["vec_id"].to_pylist()
+        embs = b["embedding"].to_pylist()
+        out_id, out_pos, out_val = [], [], []
+        for vid, e in zip(ids, embs):
+            if vid % 50 != 0:  # keep output size sane
+                continue
+            for pos, v in enumerate(e):
+                out_id.append(vid)
+                out_pos.append(pos + 1)
+                out_val.append(np.float32(v))
+        return pa.table(
+            {"vec_id": pa.array(out_id, pa.int64()),
+             "pos": pa.array(out_pos, pa.int64()),
+             "val": pa.array(out_val, pa.float32())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_UNNEST = """
+SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.9 property paths — a fixed-length path (P_Seq composition): parts
 # reachable from one customer via orders/lineitem, as broadcast semi-joins
@@ -798,4 +944,9 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "path_2hop": (q_path_2hop, SQL_PATH_2HOP),
+    "mode": (q_mode, SQL_MODE),
+    "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
+    "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "control_flow": (q_control_flow, SQL_CONTROL_FLOW),
+    "unnest": (q_unnest, SQL_UNNEST),
 }

@@ -255,7 +255,9 @@ def rewrite_with_reps(triples_ds, rep_map: dict[str, str], run_doc_id: str = "")
             schema=batch.schema,
         )
 
-    rewritten = triples_ds.map_batches(rewriter, batch_format="pyarrow")
+    rewritten = triples_ds.map_batches(
+        rewriter, batch_format="pyarrow", batch_size=65536
+    )
 
     # (member, owl:sameAs, rep) assertions — small, built driver-side
     members = [(m, r) for m, r in sorted(rep_map.items()) if m != r]
