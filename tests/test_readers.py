@@ -1,0 +1,81 @@
+"""read_rdf facade: distributed parse of RDF files into a triple Dataset,
+plus materialize/serialize sinks."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def rdf_dir(tmp_path):
+    (tmp_path / "a.nt").write_text(
+        '<http://e/s1> <http://e/p> "x" .\n<http://e/s1> <http://e/p> _:b0 .\n'
+    )
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://e/> . ex:s2 ex:p ( 1 2 ) . _:b0 ex:q ex:s2 .\n"
+    )
+    (tmp_path / "c.trig").write_text(
+        "@prefix ex: <http://e/> . GRAPH ex:g { ex:s3 ex:p ex:o . }\n"
+    )
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_rdf_mixed_dir(rdf_dir):
+    from jena_ray.sources.readers import read_rdf
+
+    ds = read_rdf(rdf_dir)
+    rows = ds.take_all()
+    assert len(rows) == 9  # 2 (nt) + 6 (ttl: link + 2 cells*2 + bnode stmt) + 1 (trig)
+    # file-scoped bnode labels: _:b0 in a.nt != _:b0 in b.ttl
+    bnode_rows = [r for r in rows if r["o_kind"] == 1 or r["s_kind"] == 1]
+    labels_a = {r["o_lex"] for r in rows if r["doc_id"].endswith("a.nt") and r["o_kind"] == 1}
+    labels_b = {r["s_lex"] for r in rows if r["doc_id"].endswith("b.ttl") and r["s_kind"] == 1}
+    assert labels_a and labels_b and not (labels_a & labels_b)
+    # named graph from trig
+    graphs = {r["g"] for r in rows}
+    assert "http://e/g" in graphs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_rdf_on_error_skip(tmp_path):
+    from jena_ray.sources.readers import read_rdf
+
+    (tmp_path / "good.nt").write_text("<http://e/s> <http://e/p> <http://e/o> .\n")
+    (tmp_path / "bad.nt").write_text("this is not ntriples\n")
+    ds = read_rdf(str(tmp_path), on_error="skip")
+    assert ds.count() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_materialize_partitioned(tmp_path):
+    import pyarrow.parquet as pq
+
+    from jena_ray.pipelines.kg import kg_triples
+    from jena_ray.stages.materialize import materialize
+
+    out = str(tmp_path / "triples")
+    materialize(kg_triples(SF, linker_concurrency=2), out, num_buckets=4)
+    # partitioned layout: bucket=N directories
+    buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert len(buckets) >= 2
+    total = pq.read_table(out).num_rows
+    assert total == 5144
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_ntriples_sink(tmp_path):
+    import pyarrow.parquet as pq
+
+    from jena_ray.pipelines.kg import kg_triples
+    from jena_ray.rdf.ntriples import parse_ntriples
+    from jena_ray.stages.serialize import write_ntriples
+
+    out = str(tmp_path / "nt")
+    write_ntriples(kg_triples(SF, linker_concurrency=2), out)
+    lines = pq.read_table(out)["line"].to_pylist()
+    assert len(lines) == 5144
+    # every emitted line reparses as exactly one triple
+    assert len(parse_ntriples(lines[0])) == 1
