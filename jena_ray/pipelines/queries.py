@@ -586,6 +586,47 @@ FROM events GROUP BY event_type, win
 """
 
 
+def q_session_windows(sf_dir: str):
+    """Session windowing over the events log (SURVEY §2.10): per user,
+    events are grouped into sessions separated by gaps > 30 min. Ordering
+    assumption: events sorted by ts WITHIN each user's group (done inside
+    map_groups — the shuffle key is user_id, order within group is local).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new_session).agg(
+            session_start=("ts", "min"), n_events=("ts", "size")
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out.reset_index(drop=True)[["user_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSION_WINDOWS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Distributed connected components with a SQL oracle (the sameAs closure
 # algorithm, §7.2.6, validated against a recursive-CTE reachability oracle)
@@ -949,4 +990,5 @@ REGISTRY: dict[str, tuple] = {
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "control_flow": (q_control_flow, SQL_CONTROL_FLOW),
     "unnest": (q_unnest, SQL_UNNEST),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
 }
