@@ -127,12 +127,17 @@ def default_formats() -> FormatRegistry:
     from ..rdf.turtle import parse_turtle
     from ..stages.serialize import format_nt_batch, format_turtle_flat_batch
 
+    from ..rdf.rdfxml import parse_rdfxml
+    from ..rdf.turtle import parse_trig
+
     reg = FormatRegistry()
     reg.register_reader("ntriples", lambda text, **kw: parse_ntriples(text, **kw))
     reg.register_reader(
         "nquads", lambda text, **kw: parse_ntriples(text, quads=True, **kw)
     )
     reg.register_reader("turtle", lambda text, **kw: parse_turtle(text, **kw))
+    reg.register_reader("trig", lambda text, **kw: parse_trig(text, **kw))
+    reg.register_reader("rdfxml", lambda text, **kw: parse_rdfxml(text, **kw))
     reg.register_writer("ntriples", format_nt_batch)
     reg.register_writer("turtle-flat", format_turtle_flat_batch)
     return reg

@@ -29,7 +29,8 @@ NEGATIVE_SYNTAX = {
     RDFT + "TestNQuadsNegativeSyntax",
     RDFT + "TestTrigNegativeSyntax",
 }
-EVAL = {RDFT + "TestTurtleEval", RDFT + "TestTrigEval"}
+EVAL = {RDFT + "TestTurtleEval", RDFT + "TestTrigEval", RDFT + "TestXMLEval"}
+NEGATIVE_SYNTAX.add(RDFT + "TestXMLNegativeSyntax")
 NEGATIVE_EVAL = {RDFT + "TestTurtleNegativeEval", RDFT + "TestTrigNegativeEval"}
 
 
@@ -87,15 +88,26 @@ def read_manifest(manifest_path: str) -> list[W3CTest]:
             kind = "negative-eval"
         else:
             kind = t
-        act_file = action[1].rsplit("/", 1)[-1]
-        res_file = result[1].rsplit("/", 1)[-1] if result else None
-        name = entry[1].rsplit("#", 1)[-1]
+        manifest_dir_iri = base.rsplit("/", 1)[0] + "/"
+
+        def rel_path(iri: str) -> str:
+            # path relative to the manifest file (entries may live in
+            # subdirectories, e.g. the RDF/XML suite) or to the assumed base
+            if iri.startswith(manifest_dir_iri):
+                return iri[len(manifest_dir_iri):]
+            if iri.startswith(test_base_root):
+                return iri[len(test_base_root):]
+            return iri.rsplit("/", 1)[-1]
+
+        act_file = rel_path(action[1])
+        res_file = rel_path(result[1]) if result else None
+        name = entry[1].rsplit("#", 1)[-1] or entry[1].rsplit("/", 1)[-1]
         out.append(
             W3CTest(
                 name=name,
                 kind=kind,
-                action=os.path.join(dir_path, act_file),
-                result=os.path.join(dir_path, res_file) if res_file else None,
+                action=os.path.join(dir_path, *act_file.split("/")),
+                result=os.path.join(dir_path, *res_file.split("/")) if res_file else None,
                 base_iri=test_base_root + act_file,
             )
         )

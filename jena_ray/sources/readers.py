@@ -25,6 +25,8 @@ _EXT_TO_LANG = {
     ".nq": "nquads",
     ".ttl": "turtle",
     ".trig": "trig",
+    ".rdf": "rdfxml",
+    ".owl": "rdfxml",
 }
 
 
@@ -43,6 +45,10 @@ def parse_rdf_text(
         return parse_turtle(text, base=base, on_error=on_error)
     if lang == "trig":
         return parse_trig(text, base=base, on_error=on_error)
+    if lang == "rdfxml":
+        from .. rdf.rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text, base=base, on_error=on_error)
     raise RDFParseError(f"unknown RDF language: {lang!r}")
 
 

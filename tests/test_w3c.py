@@ -35,6 +35,11 @@ def _load(suite):
     return read_manifest(path)
 
 
+# parseType="Literal" exclusive-canonical-XML serialization is not
+# implemented (the XML literal is preserved verbatim, not c14n'd)
+XFAIL = {"xml-canon-test001", "xml-canon-test002"}
+
+
 def _parse_any(test):
     text = _read(test.action)
     if test.action.endswith(".ttl"):
@@ -43,10 +48,16 @@ def _parse_any(test):
         from jena_ray.rdf.turtle import parse_trig
 
         return parse_trig(text, base=test.base_iri)
+    if test.action.endswith(".rdf"):
+        from jena_ray.rdf.rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text, base=test.base_iri)
     return parse_ntriples(text, quads=test.action.endswith(".nq"))
 
 
 def _run_one(test):
+    if test.name in XFAIL:
+        pytest.xfail("exclusive canonical XML (c14n) not implemented")
     if test.kind == "positive":
         _parse_any(test)
     elif test.kind in ("negative", "negative-eval"):
@@ -66,6 +77,7 @@ def pytest_generate_tests(metafunc):
         ("ttl_test", "rdf-turtle"),
         ("nq_test", "rdf-n-quads"),
         ("trig_test", "rdf-trig"),
+        ("xml_test", "rdf-xml"),
     ]:
         if fixture in metafunc.fixturenames:
             tests = _load(suite)
@@ -86,3 +98,7 @@ def test_nquads_suite(nq_test):
 
 def test_trig_suite(trig_test):
     _run_one(trig_test)
+
+
+def test_rdfxml_suite(xml_test):
+    _run_one(xml_test)
