@@ -81,3 +81,18 @@ def write_ntriples(triples_ds, out_dir: str):
         out_dir
     )
     return out_dir
+
+
+def write_results(ds, out_dir: str, fmt: str = "csv"):
+    """Result-set writers (rows, not triples) — the analog of the
+    reference's SPARQL result-set serializers (riot/rowset/rw/,
+    RowSetWriterRegistry.java): any row-shaped Dataset to CSV / JSON."""
+    if fmt == "csv":
+        ds.write_csv(out_dir)
+    elif fmt == "json":
+        ds.write_json(out_dir)
+    elif fmt == "parquet":
+        ds.write_parquet(out_dir)
+    else:
+        raise ValueError(f"unknown result format: {fmt!r}")
+    return out_dir

@@ -79,3 +79,24 @@ def test_write_ntriples_sink(tmp_path):
     assert len(lines) == 5144
     # every emitted line reparses as exactly one triple
     assert len(parse_ntriples(lines[0])) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_results_csv_json(tmp_path):
+    import csv
+    import glob
+    import ray.data as rd
+
+    from jena_ray.stages.serialize import write_results
+
+    ds = rd.from_items([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    out_csv = write_results(ds, str(tmp_path / "csv"), "csv")
+    files = glob.glob(out_csv + "/*")
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows.extend(list(csv.DictReader(fh)))
+    assert sorted(r["b"] for r in rows) == ["x", "y"]
+
+    out_json = write_results(ds, str(tmp_path / "json"), "json")
+    assert glob.glob(out_json + "/*")
