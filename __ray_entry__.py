@@ -169,10 +169,21 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
             rdfs_inference(kg_triples(sf_dir, linker_concurrency=2), schema)
         )
 
+    def kg_text_query(sf_dir: str):
+        from jena_ray.ops.textsearch import text_query
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.sources.docs import PRED
+
+        return text_query(
+            kg_triples(sf_dir, linker_concurrency=2),
+            "Name 42", property_iri=PRED + "name", limit=10,
+        )
+
     return {
         "kg_canonical_triples": kg_canonical_triples,
         "kg_skolemized": kg_skolemized,
         "kg_rdfs_inference": kg_rdfs_inference,
+        "kg_text_query": kg_text_query,
         "kg_extract_raw": kg_extract_raw,
         "kg_serialize_ntriples": kg_serialize_ntriples,
         "docs_corpus": docs_corpus,
