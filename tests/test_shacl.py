@@ -1,0 +1,80 @@
+"""SHACL-core validation stage tests."""
+
+import pyarrow as pa
+import pytest
+
+from jena_ray.model import TRIPLE_SCHEMA
+from jena_ray.stages.shacl import parse_shapes, validate
+
+SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:datatype xsd:string ] ;
+  sh:property [ sh:path ex:age ; sh:datatype xsd:integer ;
+                sh:minInclusive 0 ; sh:maxInclusive 150 ] ;
+  sh:property [ sh:path ex:knows ; sh:nodeKind sh:IRI ] .
+"""
+
+
+def _data(rows):
+    cols = {name: [] for name in TRIPLE_SCHEMA.names}
+    for (s, p, o_kind, o_lex, o_dt) in rows:
+        cols["s_kind"].append(0)
+        cols["s_lex"].append(s)
+        cols["p"].append(p)
+        cols["o_kind"].append(o_kind)
+        cols["o_lex"].append(o_lex)
+        cols["o_datatype"].append(o_dt)
+        cols["o_lang"].append("")
+        cols["g"].append("")
+        cols["doc_id"].append("d")
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+    )
+
+
+E = "http://e/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def test_parse_shapes():
+    shapes = parse_shapes(SHAPES)
+    assert len(shapes) == 1
+    s = shapes[0]
+    assert s.target_classes == [E + "Person"]
+    assert len(s.properties) == 3
+    by_path = {p.path: p for p in s.properties}
+    assert by_path[E + "name"].min_count == 1
+    assert by_path[E + "age"].max_inclusive == 150
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate():
+    import ray.data as rd
+
+    data = _data([
+        # alice: valid
+        (E + "alice", TYPE, 0, E + "Person", ""),
+        (E + "alice", E + "name", 2, "Alice", XSD + "string"),
+        (E + "alice", E + "age", 2, "30", XSD + "integer"),
+        (E + "alice", E + "knows", 0, E + "bob", ""),
+        # bob: missing name, bad age range + literal knows
+        (E + "bob", TYPE, 0, E + "Person", ""),
+        (E + "bob", E + "age", 2, "500", XSD + "integer"),
+        (E + "bob", E + "knows", 2, "carol", XSD + "string"),
+        # carol: not a Person → exempt
+        (E + "carol", E + "age", 2, "-5", XSD + "integer"),
+    ])
+    report = validate(rd.from_arrow(data), SHAPES).take_all()
+    by_focus = {}
+    for r in report:
+        by_focus.setdefault(r["focus"], set()).add(r["constraint"])
+    assert E + "alice" not in by_focus
+    assert by_focus[E + "bob"] == {"minCount", "maxInclusive", "nodeKind"}
+    assert E + "carol" not in by_focus
