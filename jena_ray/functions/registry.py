@@ -138,6 +138,9 @@ def default_formats() -> FormatRegistry:
     reg.register_reader("turtle", lambda text, **kw: parse_turtle(text, **kw))
     reg.register_reader("trig", lambda text, **kw: parse_trig(text, **kw))
     reg.register_reader("rdfxml", lambda text, **kw: parse_rdfxml(text, **kw))
+    from ..rdf.jsonld import parse_jsonld
+
+    reg.register_reader("jsonld", lambda text, **kw: parse_jsonld(text, **kw))
     reg.register_writer("ntriples", format_nt_batch)
     reg.register_writer("turtle-flat", format_turtle_flat_batch)
     return reg

@@ -27,6 +27,8 @@ _EXT_TO_LANG = {
     ".trig": "trig",
     ".rdf": "rdfxml",
     ".owl": "rdfxml",
+    ".jsonld": "jsonld",
+    ".json": "jsonld",
 }
 
 
@@ -49,6 +51,10 @@ def parse_rdf_text(
         from .. rdf.rdfxml import parse_rdfxml
 
         return parse_rdfxml(text, base=base, on_error=on_error)
+    if lang == "jsonld":
+        from ..rdf.jsonld import parse_jsonld
+
+        return parse_jsonld(text, base=base, on_error=on_error)
     raise RDFParseError(f"unknown RDF language: {lang!r}")
 
 

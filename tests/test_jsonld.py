@@ -1,0 +1,111 @@
+"""JSON-LD subset reader tests."""
+
+import pytest
+
+from jena_ray.model import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_FIRST,
+    RDF_LANGSTRING,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_NS,
+    RDFParseError,
+)
+from jena_ray.rdf.jsonld import parse_jsonld
+
+
+def test_basic_node():
+    doc = """{
+      "@context": {"ex": "http://e/", "name": "http://e/name"},
+      "@id": "http://e/alice",
+      "@type": "ex:Person",
+      "name": "Alice",
+      "ex:age": 30
+    }"""
+    out = parse_jsonld(doc)
+    trip = {(t[1], t[2], t[4], t[5]) for t in out}
+    assert ("http://e/alice", RDF_TYPE, "http://e/Person", "") in trip
+    assert ("http://e/alice", "http://e/name", "Alice", XSD_NS + "string") in trip
+    assert ("http://e/alice", "http://e/age", "30", XSD_NS + "integer") in trip
+
+
+def test_vocab_and_language():
+    doc = """{
+      "@context": {"@vocab": "http://v/", "@language": "fr"},
+      "@id": "http://e/x",
+      "label": "chat"
+    }"""
+    (t,) = parse_jsonld(doc)
+    assert t[2] == "http://v/label"
+    assert t[5:7] == (RDF_LANGSTRING, "fr")
+
+
+def test_id_coercion_and_nested():
+    doc = """{
+      "@context": {"knows": {"@id": "http://e/knows", "@type": "@id"}},
+      "@id": "http://e/a",
+      "knows": ["http://e/b", {"@id": "http://e/c", "http://e/name": "C"}]
+    }"""
+    out = parse_jsonld(doc)
+    objs = {t[4] for t in out if t[2] == "http://e/knows"}
+    assert objs == {"http://e/b", "http://e/c"}
+    assert any(t[1] == "http://e/c" and t[4] == "C" for t in out)
+
+
+def test_value_object_and_typed():
+    doc = """{
+      "@id": "http://e/x",
+      "http://e/when": {"@value": "2020-01-01", "@type": "http://www.w3.org/2001/XMLSchema#date"},
+      "http://e/note": {"@value": "hi", "@language": "en"}
+    }"""
+    out = parse_jsonld(doc)
+    dts = {(t[2], t[5]) for t in out}
+    assert ("http://e/when", XSD_NS + "date") in dts
+    assert ("http://e/note", RDF_LANGSTRING) in dts
+
+
+def test_list_container():
+    doc = """{
+      "@context": {"items": {"@id": "http://e/items", "@container": "@list"}},
+      "@id": "http://e/x",
+      "items": [1, 2]
+    }"""
+    out = parse_jsonld(doc)
+    firsts = [t for t in out if t[2] == RDF_FIRST]
+    rests = [t for t in out if t[2] == RDF_REST]
+    assert [t[4] for t in firsts] == ["1", "2"]
+    assert rests[-1][4] == RDF_NIL
+
+
+def test_graph_and_bnodes():
+    doc = """{
+      "@graph": [
+        {"@id": "_:b0", "http://e/p": {"http://e/q": "inner"}},
+        {"@id": "http://e/g", "@graph": [{"@id": "http://e/s", "http://e/p": "x"}]}
+      ]
+    }"""
+    out = parse_jsonld(doc)
+    assert any(t[0] == KIND_BNODE and t[1] == "b0" for t in out)
+    named = [t for t in out if t[7] == "http://e/g"]
+    assert len(named) == 1 and named[0][1] == "http://e/s"
+
+
+def test_base_resolution():
+    out = parse_jsonld('{"@id": "rel", "http://e/p": "v"}', base="http://host/dir/")
+    assert out[0][1] == "http://host/dir/rel"
+
+
+def test_remote_context_rejected():
+    with pytest.raises(RDFParseError):
+        parse_jsonld('{"@context": "http://schema.org/", "@id": "http://e/x"}')
+    assert parse_jsonld(
+        '{"@context": "http://schema.org/"}', on_error="skip"
+    ) == []
+
+
+def test_bad_json():
+    with pytest.raises(RDFParseError):
+        parse_jsonld("{not json")
