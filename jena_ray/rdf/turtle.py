@@ -70,16 +70,23 @@ _SCANNER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC), re.S)
 
 
 def _tokenize(text: str):
-    pos, n = 0, len(text)
+    # single C-level pass; contiguity check catches untokenizable spans
+    # (finditer would silently skip them otherwise)
     out = []
-    while pos < n:
-        m = _SCANNER.match(text, pos)
-        if m is None:
-            raise RDFParseError(f"cannot tokenize at offset {pos}: {text[pos:pos+30]!r}")
+    pos = 0
+    for m in _SCANNER.finditer(text):
+        if m.start() != pos:
+            raise RDFParseError(
+                f"cannot tokenize at offset {pos}: {text[pos:pos+30]!r}"
+            )
+        pos = m.end()
         kind = m.lastgroup
         if kind not in ("WS", "COMMENT"):
             out.append((kind, m.group(0)))
-        pos = m.end()
+    if pos != len(text):
+        raise RDFParseError(
+            f"cannot tokenize at offset {pos}: {text[pos:pos+30]!r}"
+        )
     out.append(("EOF", ""))
     return out
 

@@ -39,6 +39,29 @@ _CANON_DTS = (
     | {XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT, XSD_BOOLEAN, XSD_NS + "date"}
 )
 
+# Custom datatypes (TypeMapper analog): registered at import time so every
+# worker process sees the same table. CDT list/map literals ship by default.
+from ..functions.registry import DatatypeRegistry as _DTReg  # noqa: E402
+
+CUSTOM_DATATYPES = _DTReg()
+from ..rdf import cdt as _cdt  # noqa: E402
+
+_cdt.register(CUSTOM_DATATYPES)
+
+
+def _custom_iris() -> set:
+    return set(CUSTOM_DATATYPES._types)
+
+
+def _canon_one(lex: str, dt: str) -> str:
+    entry = CUSTOM_DATATYPES.get(dt)
+    if entry is not None:
+        try:
+            return entry.canonical(lex)
+        except Exception:
+            return lex
+    return canonical_lexical(lex, dt)
+
 
 def _map_unique(arr: pa.ChunkedArray | pa.Array, fn) -> pa.Array:
     """Apply a python fn once per unique value via dictionary encoding."""
@@ -71,14 +94,15 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     # literals: rewrite only rows whose datatype is in the canonicalizable set
     o_lex = batch.column("o_lex").combine_chunks()
     o_is_lit = pc.equal(o_kind, pa.scalar(KIND_LITERAL, pa.int8())).combine_chunks()
-    dt_needs = pc.is_in(o_dt, value_set=pa.array(sorted(_CANON_DTS), o_dt.type))
+    all_canon_dts = _CANON_DTS | _custom_iris()
+    dt_needs = pc.is_in(o_dt, value_set=pa.array(sorted(all_canon_dts), o_dt.type))
     needs = pc.and_(o_is_lit, dt_needs)
     if pc.any(needs).as_py():
         idxs = [i for i, f in enumerate(needs.to_pylist()) if f]
         lex_py = o_lex.to_pylist()
         dt_py = o_dt.to_pylist()
         for i in idxs:
-            lex_py[i] = canonical_lexical(lex_py[i], dt_py[i])
+            lex_py[i] = _canon_one(lex_py[i], dt_py[i])
         o_lex = pa.array(lex_py, type=o_lex.type)
     o_lex = pc.if_else(o_is_iri, _map_unique(o_lex, _safe_norm), o_lex)
 

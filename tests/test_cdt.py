@@ -80,3 +80,29 @@ def test_registry_integration():
     assert CDT_LIST in reg and CDT_MAP in reg
     e = reg.get(CDT_LIST)
     assert e.value_key("[ 1 ]") == e.value_key("[1]")  # value-space equality
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdt_canonicalized_in_pipeline():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+    from jena_ray.stages.canonicalize import canonicalize_batch
+
+    batch = pa.Table.from_arrays(
+        [pa.array([0], pa.int8()),
+         pa.array(["http://e/s"], pa.large_string()),
+         pa.array(["http://e/p"], pa.large_string()),
+         pa.array([2], pa.int8()),
+         pa.array(["[ 1 ,'a' ]"], pa.large_string()),
+         pa.array([CDT_LIST], pa.large_string()),
+         pa.array([""], pa.large_string()),
+         pa.array([""], pa.large_string()),
+         pa.array(["d"], pa.large_string())],
+        schema=TRIPLE_SCHEMA,
+    )
+    out = rd.from_arrow(batch).map_batches(
+        canonicalize_batch, batch_format="pyarrow"
+    ).take_all()
+    assert out[0]["o_lex"] == '[1, "a"]'
