@@ -179,11 +179,35 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
             "Name 42", property_iri=PRED + "name", limit=10,
         )
 
+    def kg_shacl_report(sf_dir: str):
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.stages.shacl import validate
+
+        shapes = """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        <http://example.org/EntityShape> a sh:NodeShape ;
+          sh:targetClass <http://example.org/c/1> ;
+          sh:property [ sh:path <http://example.org/p/name> ; sh:minCount 1 ] .
+        """
+        return validate(kg_triples(sf_dir, linker_concurrency=2), shapes)
+
+    def kg_apply_patch(sf_dir: str):
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.state.patch import apply_patch
+
+        patch = (
+            'A <http://example.org/patched/s> <http://example.org/p/added> "v" .\n'
+            "D <http://example.org/shared/s0> <http://example.org/p/dup> \"0\" .\n"
+        )
+        return apply_patch(kg_triples(sf_dir, linker_concurrency=2), patch)
+
     return {
         "kg_canonical_triples": kg_canonical_triples,
         "kg_skolemized": kg_skolemized,
         "kg_rdfs_inference": kg_rdfs_inference,
         "kg_text_query": kg_text_query,
+        "kg_shacl_report": kg_shacl_report,
+        "kg_apply_patch": kg_apply_patch,
         "kg_extract_raw": kg_extract_raw,
         "kg_serialize_ntriples": kg_serialize_ntriples,
         "docs_corpus": docs_corpus,
