@@ -201,8 +201,18 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         )
         return apply_patch(kg_triples(sf_dir, linker_concurrency=2), patch)
 
+    def kg_pagerank(sf_dir: str):
+        from jena_ray.ops.graphalgo import entity_edges, pagerank
+        from jena_ray.pipelines.kg import kg_triples
+
+        return pagerank(
+            entity_edges(kg_triples(sf_dir, linker_concurrency=2)),
+            iterations=3, num_partitions=4,
+        )
+
     return {
         "kg_canonical_triples": kg_canonical_triples,
+        "kg_pagerank": kg_pagerank,
         "kg_skolemized": kg_skolemized,
         "kg_rdfs_inference": kg_rdfs_inference,
         "kg_text_query": kg_text_query,

@@ -141,6 +141,9 @@ def default_formats() -> FormatRegistry:
     from ..rdf.jsonld import parse_jsonld
 
     reg.register_reader("jsonld", lambda text, **kw: parse_jsonld(text, **kw))
+    from ..rdf.trix import parse_trix
+
+    reg.register_reader("trix", lambda text, **kw: parse_trix(text, **kw))
     reg.register_writer("ntriples", format_nt_batch)
     reg.register_writer("turtle-flat", format_turtle_flat_batch)
     return reg

@@ -29,6 +29,7 @@ _EXT_TO_LANG = {
     ".owl": "rdfxml",
     ".jsonld": "jsonld",
     ".json": "jsonld",
+    ".trix": "trix",
 }
 
 
@@ -55,6 +56,10 @@ def parse_rdf_text(
         from ..rdf.jsonld import parse_jsonld
 
         return parse_jsonld(text, base=base, on_error=on_error)
+    if lang == "trix":
+        from ..rdf.trix import parse_trix
+
+        return parse_trix(text, base=base, on_error=on_error)
     raise RDFParseError(f"unknown RDF language: {lang!r}")
 
 
