@@ -1,12 +1,20 @@
 """Graph algorithms over the triple table: PageRank.
 
 Beyond-reference operator (the reference has no graph analytics): entity
-importance over the KG's IRI→IRI edges. Iterative Dataset algebra — the
-same join+groupby shape as the sameAs closure:
+importance over the KG's IRI→IRI edges. Per round:
 
-  per round: contributions = ranks ⋈ out-degree edges (hash join on src)
-             → groupby(dst).sum → damped update
-Ranks are materialized per round (small: one row per node).
+    contributions: map over the (distributed) edge table with the rank
+    vector BROADCAST (ray.put once per round) → (dst, rank[src]/deg[src])
+    inflow: groupby(dst).sum — the one shuffle per round
+    update: damped combine on the (node → rank) vector
+
+The rank vector is one float per node — broadcast-size by assumption
+(documented): for graphs whose node set exceeds driver memory, swap the
+broadcast for a hash-partitioned join keyed on src (the sameAs-closure
+join shape). Note: this Ray build's Dataset.join operator emits
+schema-less empty partition blocks that crash chained acero joins
+nondeterministically (see git history), so the broadcast form is also
+the robust one at this scale.
 """
 
 from __future__ import annotations
@@ -15,37 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..model import KIND_IRI
-
-
-
-def _arr(x):
-    return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
-
-
-def _empty_guard(names, types):
-    """Post-join kernels may receive column-less empty partition blocks
-    (Ray hash-join emits them); return a correctly-typed empty table."""
-    import pyarrow as _pa
-
-    return _pa.Table.from_arrays([_pa.array([], t) for t in types], names=names)
-
-
-def _compact(ds):
-    """Materialize and DROP zero-column empty blocks.
-
-    Ray groupby/join operators emit (0 rows, 0 columns) blocks for empty
-    partitions, and map_batches passes them through WITHOUT calling the
-    UDF — so they survive any guard and crash a downstream acero join
-    ("no match for key field on left side"). Re-assembling from the
-    non-empty arrow refs removes them; per-round tables here are small.
-    """
-    import ray
-    import ray.data as rd
-
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
-    if not tables:
-        return ds
-    return rd.from_arrow(tables)
 
 
 def entity_edges(triples_ds):
@@ -69,92 +46,51 @@ def entity_edges(triples_ds):
 def pagerank(edges_ds, *, damping: float = 0.85, iterations: int = 10,
              num_partitions: int = 8):
     """(node, rank) Dataset after `iterations` of damped PageRank."""
-    edges = _compact(edges_ds)
+    import ray
+    import ray.data as rd
 
-    # node universe + out-degrees
-    nodes = (
-        edges.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [pa.concat_arrays([t["src"].combine_chunks(),
-                                   t["dst"].combine_chunks()])],
-                names=["node"],
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .count()
-        .select_columns(["node"])
-    )
-    nodes = _compact(nodes)
-    n_nodes = nodes.count()
-    out_deg = (
-        edges.groupby("src").count()
-        .map_batches(
-            lambda t: t.rename_columns(["node", "out_deg"]), batch_format="pyarrow"
-        )
-    )
-    out_deg = _compact(out_deg)  # small; reused every round
+    edges = edges_ds.materialize()
 
-    init = 1.0 / n_nodes
-    ranks = nodes.map_batches(
-        lambda t: _empty_guard(["node", "rank"], [pa.string(), pa.float64()])
-        if t.num_columns == 0
-        else t.append_column("rank", pa.array([init] * len(t), pa.float64())),
-        batch_format="pyarrow",
-    )
-    ranks = _compact(ranks)
-
+    # node universe and out-degrees, collected once (rank-vector-sized)
+    deg: dict[str, int] = {}
+    nodes: set[str] = set()
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            deg[s] = deg.get(s, 0) + 1
+            nodes.add(s)
+            nodes.add(d)
+    n_nodes = max(1, len(nodes))
     base = (1.0 - damping) / n_nodes
+    ranks = {n: 1.0 / n_nodes for n in sorted(nodes)}
+
     for _ in range(iterations):
-        # rank/out_deg per source
-        with_deg = ranks.join(
-            out_deg, join_type="inner", num_partitions=num_partitions, on=("node",)
-        ).map_batches(
-            lambda t: _empty_guard(["src", "contrib"], [pa.string(), pa.float64()])
-            if t.num_columns == 0 else pa.Table.from_arrays(
-                [_arr(t["node"]),
-                 _arr(pc.divide(t["rank"], pc.cast(t["out_deg"], pa.float64())))],
-                names=["src", "contrib"],
-            ),
-            batch_format="pyarrow",
-        )
-        with_deg = _compact(with_deg)
-        inflow = (
-            edges.join(with_deg, join_type="inner",
-                       num_partitions=num_partitions, on=("src",))
-            .map_batches(
-                lambda t: _empty_guard(["node", "contrib"], [pa.string(), pa.float64()])
-                if t.num_columns == 0 else pa.Table.from_arrays(
-                    [_arr(t["dst"]), _arr(t["contrib"])],
-                    names=["node", "contrib"],
-                ),
-                batch_format="pyarrow",
+        state_ref = ray.put((ranks, deg))
+
+        def contribs(b: pa.Table) -> pa.Table:
+            r, dg = ray.get(state_ref)
+            srcs = b["src"].to_pylist()
+            vals = [r[s] / dg[s] for s in srcs]
+            return pa.table(
+                {"dst": b["dst"].combine_chunks(),
+                 "contrib": pa.array(vals, pa.float64())}
             )
-            .groupby("node")
+
+        inflow_ds = (
+            edges.map_batches(contribs, batch_format="pyarrow", batch_size=65536)
+            .groupby("dst")
             .sum("contrib")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "inflow"]), batch_format="pyarrow"
-            )
         )
-        inflow = _compact(inflow)
-        ranks = (
-            nodes.join(inflow, join_type="left_outer",
-                       num_partitions=num_partitions, on=("node",))
-            .map_batches(
-                lambda t: _empty_guard(["node", "rank"], [pa.string(), pa.float64()])
-                if t.num_columns == 0 else pa.Table.from_arrays(
-                    [_arr(t["node"]),
-                     _arr(pc.add(
-                         pa.scalar(base),
-                         pc.multiply(
-                             pa.scalar(damping),
-                             pc.coalesce(_arr(t["inflow"]), pa.scalar(0.0)),
-                         ),
-                     ))],
-                    names=["node", "rank"],
-                ),
-                batch_format="pyarrow",
+        inflow: dict[str, float] = {}
+        for b in inflow_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            inflow.update(
+                zip(b["dst"].to_pylist(), b["sum(contrib)"].to_pylist())
             )
+        ranks = {n: base + damping * inflow.get(n, 0.0) for n in ranks}
+
+    items = sorted(ranks.items())
+    return rd.from_arrow(
+        pa.table(
+            {"node": pa.array([k for k, _ in items], pa.string()),
+             "rank": pa.array([v for _, v in items], pa.float64())}
         )
-        ranks = _compact(ranks)
-    return ranks
+    )
