@@ -39,6 +39,10 @@ from ..model import KIND_IRI, OWL_SAMEAS, TRIPLE_SCHEMA
 _REP_CACHE: dict = {}
 
 
+def _combine(x):
+    return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+
 def extract_edges(triples_ds):
     """Distinct sameAs (a, b) edge Dataset from the triple stream."""
 
@@ -116,7 +120,11 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
             names=["node", "peer"],
         )
 
-    edges = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    from ..util import compact_blocks
+
+    edges = compact_blocks(
+        edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+    )
 
     # initial labels: node → min(node, min(peers)) in one groupby
     labels = (
@@ -133,8 +141,8 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
         .map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
-        .materialize()
     )
+    labels = compact_blocks(labels)
 
     def signature(lab_ds) -> int:
         def sig_batch(t: pa.Table) -> pa.Table:
@@ -152,15 +160,20 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
     prev_sig = signature(labels)
     for _ in range(max_rounds):
         # 1. neighbor-min: peer receives the node's current label
-        cand = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
-        ).map_batches(
-            lambda t: pa.Table.from_arrays(
+        def _cand_kernel(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.large_string()), pa.array([], pa.large_string())],
+                    names=["node", "label"],
+                )
+            return pa.Table.from_arrays(
                 [t.column("peer").combine_chunks(), t.column("label").combine_chunks()],
                 names=["node", "label"],
-            ),
-            batch_format="pyarrow",
-        )
+            )
+
+        cand = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(_cand_kernel, batch_format="pyarrow")
         merged = (
             labels.union(cand)
             .groupby("node")
@@ -185,19 +198,24 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
             on=("label",),
         ).map_batches(
             lambda t: pa.Table.from_arrays(
+                [pa.array([], pa.large_string()), pa.array([], pa.large_string())],
+                names=["node", "label"],
+            )
+            if t.num_columns == 0
+            else pa.Table.from_arrays(
                 [
                     t.column("node").combine_chunks(),
-                    pc.coalesce(
+                    _combine(pc.coalesce(
                         t.column("label2").combine_chunks(),
                         t.column("label").combine_chunks(),
-                    ),
+                    )),
                 ],
                 names=["node", "label"],
             ),
             batch_format="pyarrow",
         )
 
-        labels = jumped.materialize()
+        labels = compact_blocks(jumped)
         sig = signature(labels)
         if sig == prev_sig:
             break
