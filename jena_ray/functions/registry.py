@@ -146,6 +146,11 @@ def default_formats() -> FormatRegistry:
     reg.register_reader("trix", lambda text, **kw: parse_trix(text, **kw))
     reg.register_writer("ntriples", format_nt_batch)
     reg.register_writer("turtle-flat", format_turtle_flat_batch)
+    from ..stages.writers import jsonld_groups, rdfxml_groups, turtle_pretty_groups
+
+    reg.register_writer("turtle-pretty", turtle_pretty_groups)
+    reg.register_writer("jsonld", jsonld_groups)
+    reg.register_writer("rdfxml", rdfxml_groups)
     return reg
 
 
