@@ -53,10 +53,9 @@ def unescape_string(s: str) -> str:
             raise RDFParseError(f"illegal escape sequence \\{c}")
         return _ECHAR[c]
 
-    out = _ESC_RE.sub(sub, s)
-    if out.endswith("\\") and not s.endswith("\\\\"):  # dangling backslash
-        raise RDFParseError(f"dangling escape in {s!r}")
-    return out
+    # the token regex guarantees escape well-formedness; \u005c (an
+    # escaped backslash) is a legal final character (RDF 1.2 c14n suite)
+    return _ESC_RE.sub(sub, s)
 
 
 def unescape_iri(s: str) -> str:
@@ -84,8 +83,11 @@ _STR_ESC = {
     "\n": "\\n",
     "\r": "\\r",
     "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
 }
-_CTRL_RE = re.compile(r'[\x00-\x1f\x7f"\\]')
+# noncharacters U+FFFE/U+FFFF are \u-escaped too (canonical NT, RDF 1.2 c14n)
+_CTRL_RE = re.compile(r'[\x00-\x1f\x7f"\\￾￿]')
 
 
 def escape_string(s: str) -> str:

@@ -44,8 +44,10 @@ STRING_LITERAL_LONG_SINGLE_QUOTE = (
     r"'''(?:(?:'|'')?(?:[^'\\]|" + _ECHAR + "|" + UCHAR + r"))*'''"
 )
 
-# LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)*
-LANGTAG = r"@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*"
+# LANGTAG ::= '@' [a-zA-Z]{1,8} ('-' [a-zA-Z0-9]{1,8})* ('--'('ltr'|'rtl'))?
+# (RDF 1.2 well-formed BCP47 subtag lengths + base-direction suffix;
+# Node_Literal.java:52-57)
+LANGTAG = r"@[a-zA-Z]{1,8}(?:-[a-zA-Z0-9]{1,8})*(?:--(?:ltr|rtl))?"
 
 # Turtle numeric shorthand
 INTEGER = r"[+-]?[0-9]+"

@@ -16,6 +16,11 @@ from __future__ import annotations
 def format_langtag(tag: str) -> str:
     if not tag:
         return tag
+    # RDF 1.2 base direction suffix ("en--ltr"): normalize dir lowercase,
+    # case-fold the language part per RFC 5646
+    if "--" in tag:
+        lang_part, _, direction = tag.partition("--")
+        return format_langtag(lang_part) + "--" + direction.lower()
     subtags = tag.split("-")
     out: list[str] = []
     after_singleton = False

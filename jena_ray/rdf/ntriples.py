@@ -34,6 +34,8 @@ _WS = r"[ \t]*"
 _OWS = r"[ \t]*"
 _SUBJ = "(?P<s>" + g.IRIREF + "|" + g.BLANK_NODE_LABEL + ")"
 _PRED = "(?P<p>" + g.IRIREF + ")"
+# whitespace between the lexical form and its @lang / ^^datatype
+# annotation is permitted (RDF 1.2 c14n extra_whitespace tests)
 _OBJ = (
     "(?P<o>"
     + g.IRIREF
@@ -41,14 +43,14 @@ _OBJ = (
     + g.BLANK_NODE_LABEL
     + "|"
     + g.STRING_LITERAL_QUOTE
-    + "(?:\\^\\^"
+    + "(?:[ \\t]*\\^\\^[ \\t]*"
     + g.IRIREF
-    + "|"
+    + "|[ \\t]*"
     + g.LANGTAG
     + ")?"
     + ")"
 )
-_GRAPH = "(?:[ \t]+(?P<g>" + g.IRIREF + "|" + g.BLANK_NODE_LABEL + "))?"
+_GRAPH = "(?:[ \t]*(?P<g>" + g.IRIREF + "|" + g.BLANK_NODE_LABEL + "))?"
 
 _TRIPLE_RE = re.compile(
     "^" + _OWS + _SUBJ + _WS + _PRED + _WS + _OBJ + _OWS + r"\." + _OWS + r"(?:#.*)?$"
@@ -60,7 +62,8 @@ _BLANK_RE = re.compile(r"^[ \t]*(?:#.*)?$")
 
 _LIT_SPLIT_RE = re.compile(
     "^(?P<str>" + g.STRING_LITERAL_QUOTE + ")"
-    "(?:\\^\\^(?P<dt>" + g.IRIREF + ")|(?P<lang>" + g.LANGTAG + "))?$"
+    "(?:[ \\t]*\\^\\^[ \\t]*(?P<dt>" + g.IRIREF + ")"
+    "|[ \\t]*(?P<lang>" + g.LANGTAG + "))?$"
 )
 
 
@@ -107,10 +110,93 @@ def _parse_object(tok: str) -> tuple[int, str, str, str]:
     lex = unescape_string(m.group("str")[1:-1])
     _check_no_surrogates(lex, "literal")
     if m.group("dt"):
-        return KIND_LITERAL, lex, _parse_iri(m.group("dt")), ""
+        dt = _parse_iri(m.group("dt"))
+        # rdf:langString / rdf:dirLangString as explicit datatypes are
+        # ill-formed — those datatypes require an actual language tag
+        # (RDF 1.2 ntriples-langdir-bad-3/5)
+        if dt in (RDF_LANGSTRING, RDF_LANGSTRING[: -len("langString")] + "dirLangString"):
+            raise RDFParseError(f"{dt} literal requires a language tag")
+        return KIND_LITERAL, lex, dt, ""
     if m.group("lang"):
         return KIND_LITERAL, lex, RDF_LANGSTRING, m.group("lang")[1:]
     return KIND_LITERAL, lex, XSD_STRING, ""
+
+
+# --- RDF 1.2 slow path: triple terms <<( s p o )>> (nested) ---------------
+
+_WS_RE = re.compile(r"[ \t]*")
+_T_IRI_RE = re.compile(g.IRIREF)
+_T_BNODE_RE = re.compile(g.BLANK_NODE_LABEL)
+_T_LIT_RE = re.compile(
+    g.STRING_LITERAL_QUOTE + r"(?:\^\^" + g.IRIREF + "|" + g.LANGTAG + ")?"
+)
+
+
+def _skip_ws(line: str, pos: int) -> int:
+    return _WS_RE.match(line, pos).end()
+
+
+def _parse_term12(line: str, pos: int, position: str):
+    """Recursive term parser for RDF 1.2 lines. Returns ((kind, lex, dt,
+    lang), new_pos). Triple terms allowed in object position only
+    (LangNTriples 1.2 grammar)."""
+    pos = _skip_ws(line, pos)
+    if line.startswith("<<(", pos):
+        if position != "object":
+            raise RDFParseError("triple term only allowed in object position")
+        pos += 3
+        s, pos = _parse_term12(line, pos, "subject")
+        p, pos = _parse_term12(line, pos, "predicate")
+        o, pos = _parse_term12(line, pos, "object")
+        pos = _skip_ws(line, pos)
+        if not line.startswith(")>>", pos):
+            raise RDFParseError("unterminated triple term")
+        pos += 3
+        if s[0] not in (KIND_IRI, KIND_BNODE):
+            raise RDFParseError("bad triple-term subject")
+        inner = " ".join(
+            [format_term(*s), format_term(KIND_IRI, p[1]), format_term(*o)]
+        )
+        from ..model import KIND_TRIPLE_TERM
+
+        return (KIND_TRIPLE_TERM, inner, "", ""), pos
+    m = _T_IRI_RE.match(line, pos)
+    if m:
+        iri = _parse_iri(m.group(0))
+        if position == "predicate":
+            return (KIND_IRI, iri, "", ""), m.end()
+        return (KIND_IRI, iri, "", ""), m.end()
+    if position == "predicate":
+        raise RDFParseError(f"bad predicate at {line[pos:pos+20]!r}")
+    m = _T_BNODE_RE.match(line, pos)
+    if m:
+        return (KIND_BNODE, m.group(0)[2:], "", ""), m.end()
+    if position == "subject":
+        raise RDFParseError(f"bad subject at {line[pos:pos+20]!r}")
+    m = _T_LIT_RE.match(line, pos)
+    if m:
+        kind, lex, dt, lang = _parse_object(m.group(0))
+        return (kind, lex, dt, lang), m.end()
+    raise RDFParseError(f"bad term at {line[pos:pos+20]!r}")
+
+
+def _parse_line12(line: str, quads: bool) -> tuple:
+    s, pos = _parse_term12(line, 0, "subject")
+    p, pos = _parse_term12(line, pos, "predicate")
+    o, pos = _parse_term12(line, pos, "object")
+    gname = ""
+    if quads:
+        pos2 = _skip_ws(line, pos)
+        if not line.startswith(".", pos2):
+            gterm, pos = _parse_term12(line, pos, "subject")
+            gname = gterm[1] if gterm[0] == KIND_IRI else "_:" + gterm[1]
+    pos = _skip_ws(line, pos)
+    if not line.startswith(".", pos):
+        raise RDFParseError(f"expected '.' at {line[pos:pos+20]!r}")
+    rest = line[pos + 1:].strip()
+    if rest and not rest.startswith("#"):
+        raise RDFParseError(f"trailing content {rest!r}")
+    return (s[0], s[1], p[1], o[0], o[1], o[2], o[3], gname)
 
 
 def parse_ntriples(
@@ -120,13 +206,23 @@ def parse_ntriples(
 
     Returns a list of 8-tuples
     ``(s_kind, s_lex, p, o_kind, o_lex, o_datatype, o_lang, g)``.
-    ``on_error``: "raise" (reference default — parse errors abort) or
-    "skip" (drop bad lines; used for lenient web-corpus extraction).
+    Triple terms (RDF 1.2 ``<<( s p o )>>``) become KIND_TRIPLE_TERM
+    objects whose o_lex is the canonical serialization of the inner
+    triple. ``on_error``: "raise" (reference default — parse errors
+    abort) or "skip" (drop bad lines; lenient web-corpus extraction).
     """
     stmt_re = _QUAD_RE if quads else _TRIPLE_RE
     out: list[tuple] = []
     for lineno, line in enumerate(text.split("\n"), 1):
         if _BLANK_RE.match(line):
+            continue
+        if "<<(" in line:
+            try:
+                out.append(_parse_line12(line, quads))
+            except RDFParseError:
+                if on_error == "skip":
+                    continue
+                raise RDFParseError(f"line {lineno}: cannot parse {line!r}") from None
             continue
         m = stmt_re.match(line)
         if m is None:
@@ -152,7 +248,8 @@ def parse_ntriples(
 # --- serialization (NodeFormatterNT.java:32-97) -----------------------------
 
 
-def format_term(kind: int, lex: str, datatype: str = "", lang: str = "") -> str:
+def format_term(kind: int, lex: str, datatype: str = "", lang: str = "",
+                *, c14n: bool = False) -> str:
     if kind == KIND_IRI:
         return "<" + escape_iri(lex) + ">"
     if kind == KIND_BNODE:
@@ -160,10 +257,13 @@ def format_term(kind: int, lex: str, datatype: str = "", lang: str = "") -> str:
     if kind == KIND_LITERAL:
         body = '"' + escape_string(lex) + '"'
         if lang:
-            return body + "@" + lang
+            # canonical N-Triples (RDF 1.2 c14n) lowercases language tags
+            return body + "@" + (lang.lower() if c14n else lang)
         if datatype and datatype != XSD_STRING:
             return body + "^^<" + escape_iri(datatype) + ">"
         return body
+    if kind == 3:  # KIND_TRIPLE_TERM: o_lex is the serialized inner triple
+        return "<<( " + lex + " )>>"
     raise RDFParseError(f"cannot format term kind {kind}")
 
 
@@ -186,11 +286,12 @@ def _encode_bnode_label(label: str) -> str:
     return "".join(out)
 
 
-def format_triple(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g_name="") -> str:
+def format_triple(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g_name="",
+                  *, c14n: bool = False) -> str:
     parts = [
         format_term(s_kind, s_lex),
         format_term(KIND_IRI, p),
-        format_term(o_kind, o_lex, o_dt, o_lang),
+        format_term(o_kind, o_lex, o_dt, o_lang, c14n=c14n),
     ]
     if g_name:
         if g_name.startswith("_:"):

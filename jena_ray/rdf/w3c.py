@@ -30,6 +30,7 @@ NEGATIVE_SYNTAX = {
     RDFT + "TestTrigNegativeSyntax",
 }
 EVAL = {RDFT + "TestTurtleEval", RDFT + "TestTrigEval", RDFT + "TestXMLEval"}
+C14N = {RDFT + "TestNTriplesPositiveC14N", RDFT + "TestNQuadsPositiveC14N"}
 NEGATIVE_SYNTAX.add(RDFT + "TestXMLNegativeSyntax")
 NEGATIVE_EVAL = {RDFT + "TestTurtleNegativeEval", RDFT + "TestTrigNegativeEval"}
 
@@ -59,8 +60,17 @@ def read_manifest(manifest_path: str) -> list[W3CTest]:
         v = idx.get(node, {}).get(p)
         return v[0] if v else None
 
-    # assumedTestBase: the IRI against which each action file must be parsed
+    # the manifest root may be <> (resolves to the file IRI) or any named
+    # subject typed mf:Manifest (the rdf12 suites use a prefixed name)
     root = (KIND_IRI, base)
+    if MF + "entries" not in idx.get(root, {}):
+        for node, props in idx.items():
+            if any(
+                o_lex == MF + "Manifest"
+                for (_k, o_lex) in props.get(RDF_TYPE, [])
+            ) and MF + "entries" in props:
+                root = node
+                break
     assumed = get1(root, MF + "assumedTestBase")
     test_base_root = assumed[1] if assumed else base.rsplit("/", 1)[0] + "/"
 
@@ -84,6 +94,8 @@ def read_manifest(manifest_path: str) -> list[W3CTest]:
             kind = "negative"
         elif t in EVAL:
             kind = "eval"
+        elif t in C14N:
+            kind = "c14n"
         elif t in NEGATIVE_EVAL:
             kind = "negative-eval"
         else:

@@ -19,6 +19,7 @@ from jena_ray.rdf.turtle import parse_turtle
 from jena_ray.rdf.w3c import read_manifest
 
 SUITE_ROOT = "/root/reference/jena-arq/testing/rdf-tests-cg/rdf/rdf11"
+SUITE_ROOT12 = "/root/reference/jena-arq/testing/rdf-tests-cg/rdf/rdf12"
 
 
 def _read(path):
@@ -28,8 +29,8 @@ def _read(path):
         return f.read()
 
 
-def _load(suite):
-    path = os.path.join(SUITE_ROOT, suite, "manifest.ttl")
+def _load(suite, root=SUITE_ROOT):
+    path = os.path.join(root, suite, "manifest.ttl")
     if not os.path.exists(path):
         pytest.skip(f"suite not present: {path}")
     return read_manifest(path)
@@ -67,20 +68,32 @@ def _run_one(test):
         got = _parse_any(test)
         golden = parse_ntriples(_read(test.result), quads=test.result.endswith(".nq"))
         assert graph_iso(got, golden), f"{test.name}: graph not isomorphic to golden"
+    elif test.kind == "c14n":
+        from jena_ray.rdf.ntriples import format_triple
+
+        triples = _parse_any(test)
+        ours = "".join(
+            format_triple(*t, c14n=True) + "\n" for t in triples
+        )
+        assert ours == _read(test.result), f"{test.name}: c14n mismatch"
     else:
         pytest.skip(f"unhandled kind {test.kind}")
 
 
 def pytest_generate_tests(metafunc):
-    for fixture, suite in [
-        ("nt_test", "rdf-n-triples"),
-        ("ttl_test", "rdf-turtle"),
-        ("nq_test", "rdf-n-quads"),
-        ("trig_test", "rdf-trig"),
-        ("xml_test", "rdf-xml"),
+    for fixture, suite, root in [
+        ("nt_test", "rdf-n-triples", SUITE_ROOT),
+        ("ttl_test", "rdf-turtle", SUITE_ROOT),
+        ("nq_test", "rdf-n-quads", SUITE_ROOT),
+        ("trig_test", "rdf-trig", SUITE_ROOT),
+        ("xml_test", "rdf-xml", SUITE_ROOT),
+        ("nt12_syn_test", "rdf-n-triples/syntax", SUITE_ROOT12),
+        ("nt12_c14n_test", "rdf-n-triples/c14n", SUITE_ROOT12),
+        ("nq12_syn_test", "rdf-n-quads/syntax", SUITE_ROOT12),
+        ("nq12_c14n_test", "rdf-n-quads/c14n", SUITE_ROOT12),
     ]:
         if fixture in metafunc.fixturenames:
-            tests = _load(suite)
+            tests = _load(suite, root)
             metafunc.parametrize(fixture, tests, ids=[t.name for t in tests])
 
 
@@ -102,3 +115,19 @@ def test_trig_suite(trig_test):
 
 def test_rdfxml_suite(xml_test):
     _run_one(xml_test)
+
+
+def test_rdf12_ntriples_syntax(nt12_syn_test):
+    _run_one(nt12_syn_test)
+
+
+def test_rdf12_ntriples_c14n(nt12_c14n_test):
+    _run_one(nt12_c14n_test)
+
+
+def test_rdf12_nquads_syntax(nq12_syn_test):
+    _run_one(nq12_syn_test)
+
+
+def test_rdf12_nquads_c14n(nq12_c14n_test):
+    _run_one(nq12_c14n_test)
