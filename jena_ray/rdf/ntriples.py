@@ -155,7 +155,8 @@ def _parse_term12(line: str, pos: int, position: str):
         if s[0] not in (KIND_IRI, KIND_BNODE):
             raise RDFParseError("bad triple-term subject")
         inner = " ".join(
-            [format_term(*s), format_term(KIND_IRI, p[1]), format_term(*o)]
+            [format_term_raw(*s), format_term_raw(KIND_IRI, p[1]),
+             format_term_raw(*o)]
         )
         from ..model import KIND_TRIPLE_TERM
 
@@ -284,6 +285,15 @@ def _encode_bnode_label(label: str) -> str:
             for b in c.encode("utf-8"):
                 out.append("X%02X" % b)
     return "".join(out)
+
+
+def format_term_raw(kind: int, lex: str, datatype: str = "", lang: str = "") -> str:
+    """Like format_term but bnode labels verbatim (no safety encoding) —
+    used for triple-term inner serialization where label identity must be
+    preserved for isomorphism checks."""
+    if kind == KIND_BNODE:
+        return "_:" + lex
+    return format_term(kind, lex, datatype, lang)
 
 
 def format_triple(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g_name="",

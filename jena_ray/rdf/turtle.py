@@ -27,15 +27,19 @@ from ..model import (
     KIND_BNODE,
     KIND_IRI,
     KIND_LITERAL,
+    KIND_TRIPLE_TERM,
     RDF_FIRST,
     RDF_LANGSTRING,
     RDF_NIL,
+    RDF_NS,
     RDF_REST,
     RDF_TYPE,
     XSD_NS,
     XSD_STRING,
     RDFParseError,
 )
+
+RDF_REIFIES = RDF_NS + "reifies"
 from . import grammar as g
 from .escapes import unescape_iri, unescape_string
 from .iri import resolve
@@ -46,6 +50,15 @@ _TOKEN_SPEC = [
     ("WS", r"[ \t\r\n]+"),
     ("COMMENT", r"#[^\n]*"),
     ("IRIREF", g.IRIREF),
+    # RDF 1.2 terminals (before generic punctuation; IRIREF can never
+    # match "<<" since '<' is excluded inside IRIREF bodies)
+    ("TT_OPEN", r"<<\("),
+    ("TT_CLOSE", r"\)>>"),
+    ("RT_OPEN", r"<<"),
+    ("RT_CLOSE", r">>"),
+    ("ANNOT_OPEN", r"\{\|"),
+    ("ANNOT_CLOSE", r"\|\}"),
+    ("TILDE", r"~"),
     ("STRING_LONG2", g.STRING_LITERAL_LONG_QUOTE),
     ("STRING_LONG1", g.STRING_LITERAL_LONG_SINGLE_QUOTE),
     ("STRING2", g.STRING_LITERAL_QUOTE),
@@ -53,6 +66,7 @@ _TOKEN_SPEC = [
     ("BNODE", g.BLANK_NODE_LABEL),
     ("ATPREFIX", r"@prefix(?![A-Za-z0-9\-])"),
     ("ATBASE", r"@base(?![A-Za-z0-9\-])"),
+    ("ATVERSION", r"@version(?![A-Za-z0-9\-])"),
     ("LANGTAG", g.LANGTAG),
     ("DOUBLE", g.DOUBLE),
     ("DECIMAL", g.DECIMAL),
@@ -62,7 +76,7 @@ _TOKEN_SPEC = [
     ("PNAME_LN", g.PNAME_LN),
     ("PNAME_NS", g.PNAME_NS),
     # bare keywords AFTER pnames so e.g. "a:b" lexes as a pname
-    ("KEYWORD", r"(?:true|false|a)(?![A-Za-z0-9_:\-])|(?:[Pp][Rr][Ee][Ff][Ii][Xx]|[Bb][Aa][Ss][Ee])(?![A-Za-z0-9_:\-])"),
+    ("KEYWORD", r"(?:true|false|a)(?![A-Za-z0-9_:\-])|(?:[Pp][Rr][Ee][Ff][Ii][Xx]|[Bb][Aa][Ss][Ee]|[Vv][Ee][Rr][Ss][Ii][Oo][Nn])(?![A-Za-z0-9_:\-])"),
     ("GRAPHKW", r"[Gg][Rr][Aa][Pp][Hh](?![A-Za-z0-9_:\-])"),
     ("PUNCT", r"[][();,.{}]"),
 ]
@@ -172,10 +186,20 @@ class TurtleParser:
             elif k == "KEYWORD" and v.lower() == "base":
                 self._next()
                 self._directive_base(require_dot=False)
+            elif k == "ATVERSION" or (k == "KEYWORD" and v.lower() == "version"):
+                self._next()
+                self._directive_version(require_dot=(k == "ATVERSION"))
             else:
                 self._triples()
                 self._expect_punct(".")
         return self.out
+
+    def _directive_version(self, require_dot: bool) -> None:
+        k, v = self._next()
+        if k not in ("STRING2", "STRING1"):
+            raise RDFParseError(f"expected version string, got {v!r}")
+        if require_dot:
+            self._expect_punct(".")
 
     def _directive_prefix(self, require_dot: bool) -> None:
         k, v = self._next()
@@ -212,12 +236,23 @@ class TurtleParser:
         elif k == "PUNCT" and v == "(":
             subj = self._collection()
             self._predicate_object_list(subj)
+        elif k == "RT_OPEN":
+            subj = self._subject()
+            # a sole reified triple is a complete statement (its reifies
+            # assertion was already emitted) — turtle12-syntax-basic-04
+            k2, v2 = self._peek()
+            if not (k2 == "PUNCT" and v2 in (".", "}")):
+                self._predicate_object_list(subj)
         else:
             subj = self._subject()
             self._predicate_object_list(subj)
 
     def _subject(self) -> tuple[int, str]:
-        k, v = self._next()
+        k, v = self._peek()
+        if k == "RT_OPEN":
+            self._next()
+            return self._reified_triple()
+        self._next()
         if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
             return (KIND_IRI, self._iri_from_token(k, v))
         if k == "BNODE":
@@ -225,6 +260,104 @@ class TurtleParser:
         if k == "ANON":
             return (KIND_BNODE, self._fresh_bnode())
         raise RDFParseError(f"bad subject: {v!r} (literal subjects are illegal)")
+
+    # --- RDF 1.2: triple terms, reified triples, annotations ---------------
+
+    def _serialize_term(self, t: tuple[int, str, str, str]) -> str:
+        from .ntriples import format_term_raw
+
+        return format_term_raw(t[0], t[1], t[2], t[3])
+
+    def _triple_term(self) -> tuple[int, str, str, str]:
+        """After TT_OPEN: ttSubject verb ttObject ')>>'."""
+        s = self._tt_subject()
+        p = self._predicate()
+        o = self._tt_object()
+        k, v = self._next()
+        if k != "TT_CLOSE":
+            raise RDFParseError(f"expected ')>>', got {v!r}")
+        inner = " ".join(
+            [self._serialize_term((s[0], s[1], "", "")),
+             self._serialize_term((KIND_IRI, p, "", "")),
+             self._serialize_term(o)]
+        )
+        return (KIND_TRIPLE_TERM, inner, "", "")
+
+    def _tt_subject(self) -> tuple[int, str]:
+        k, v = self._next()
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+            return (KIND_IRI, self._iri_from_token(k, v))
+        if k == "BNODE":
+            return (KIND_BNODE, v[2:])
+        if k == "ANON":
+            return (KIND_BNODE, self._fresh_bnode())
+        raise RDFParseError(f"bad triple-term subject: {v!r}")
+
+    def _tt_object(self) -> tuple[int, str, str, str]:
+        k, v = self._peek()
+        if k == "TT_OPEN":
+            self._next()
+            return self._triple_term()
+        if k in ("PUNCT",) and v in ("[", "("):
+            raise RDFParseError("property/collection lists not allowed in triple terms")
+        if k == "RT_OPEN":
+            raise RDFParseError("reified triple not allowed inside a triple term")
+        return self._object()
+
+    def _reified_triple(self) -> tuple[int, str]:
+        """After RT_OPEN: rtSubject verb rtObject reifier? '>>' —
+        emits (reifier, rdf:reifies, tripleTerm), value = reifier."""
+        k, _ = self._peek()
+        if k == "RT_OPEN":
+            self._next()
+            s = self._reified_triple()
+        else:
+            s = self._tt_subject()
+        p = self._predicate()
+        k, v = self._peek()
+        if k == "RT_OPEN":
+            self._next()
+            rt = self._reified_triple()
+            o = (rt[0], rt[1], "", "")
+        elif k == "TT_OPEN":
+            self._next()
+            o = self._triple_term()
+        elif k == "PUNCT" and v in ("[", "("):
+            # collections / bnode property lists are not rtObjects
+            # (turtle12-syntax-bad-06/07); '[]' (ANON) is fine and is a
+            # distinct token
+            raise RDFParseError(f"{v!r} not allowed inside a reified triple")
+        else:
+            o = self._object()
+        reifier = None
+        if self._peek()[0] == "TILDE":
+            self._next()
+            reifier = self._opt_reifier_term()
+        k, v = self._next()
+        if k != "RT_CLOSE":
+            raise RDFParseError(f"expected '>>', got {v!r}")
+        if reifier is None:
+            reifier = (KIND_BNODE, self._fresh_bnode())
+        inner = " ".join(
+            [self._serialize_term((s[0], s[1], "", "")),
+             self._serialize_term((KIND_IRI, p, "", "")),
+             self._serialize_term(o)]
+        )
+        self._emit(reifier, RDF_REIFIES, (KIND_TRIPLE_TERM, inner, "", ""))
+        return reifier
+
+    def _opt_reifier_term(self) -> tuple[int, str] | None:
+        k, v = self._peek()
+        if k in ("IRIREF", "PNAME_LN", "PNAME_NS"):
+            self._next()
+            return (KIND_IRI, self._iri_from_token(k, v))
+        if k == "BNODE":
+            self._next()
+            return (KIND_BNODE, v[2:])
+        if k == "ANON":
+            self._next()
+            return (KIND_BNODE, self._fresh_bnode())
+        return None
 
     def _predicate(self) -> str:
         k, v = self._next()
@@ -241,12 +374,12 @@ class TurtleParser:
             k, v = self._peek()
             if k == "PUNCT" and v == ";":
                 self._next()
-                # allow trailing ';' before '.' / ']' / '}' (TriG block end)
+                # allow trailing ';' before '.' / ']' / '}' / '|}' blocks
                 k2, v2 = self._peek()
-                if k2 == "PUNCT" and v2 in (".", "]", ";", "}"):
+                if (k2 == "PUNCT" and v2 in (".", "]", ";", "}")) or k2 == "ANNOT_CLOSE":
                     while self._peek() == ("PUNCT", ";"):
                         self._next()
-                    if self._peek()[1] in (".", "]", "}"):
+                    if self._peek()[1] in (".", "]", "}", "|}"):
                         return
                 continue
             return
@@ -255,14 +388,62 @@ class TurtleParser:
         while True:
             o = self._object()
             self._emit(subj, p, o)
+            self._annotations(subj, p, o)
             if self._peek() == ("PUNCT", ","):
                 self._next()
                 continue
             return
 
+    def _annotations(self, subj, p, o) -> None:
+        """RDF 1.2 annotation syntax after an asserted object:
+        ('~' reifier? | '{|' predicateObjectList '|}')* — each '~' mints a
+        reifies assertion; each block annotates the pending (or a fresh)
+        reifier (turtle12-eval-annotation-*)."""
+        pending: tuple[int, str] | None = None
+        while True:
+            k, v = self._peek()
+            if k == "TILDE":
+                self._next()
+                r = self._opt_reifier_term()
+                if r is None:
+                    r = (KIND_BNODE, self._fresh_bnode())
+                inner = " ".join(
+                    [self._serialize_term((subj[0], subj[1], "", "")),
+                     self._serialize_term((KIND_IRI, p, "", "")),
+                     self._serialize_term(o)]
+                )
+                self._emit(r, RDF_REIFIES, (KIND_TRIPLE_TERM, inner, "", ""))
+                pending = r
+            elif k == "ANNOT_OPEN":
+                self._next()
+                if pending is None:
+                    r = (KIND_BNODE, self._fresh_bnode())
+                    inner = " ".join(
+                        [self._serialize_term((subj[0], subj[1], "", "")),
+                         self._serialize_term((KIND_IRI, p, "", "")),
+                         self._serialize_term(o)]
+                    )
+                    self._emit(r, RDF_REIFIES, (KIND_TRIPLE_TERM, inner, "", ""))
+                else:
+                    r = pending
+                self._predicate_object_list(r)
+                kk, vv = self._next()
+                if kk != "ANNOT_CLOSE":
+                    raise RDFParseError(f"expected '|}}', got {vv!r}")
+                pending = None
+            else:
+                return
+
     def _object(self) -> tuple[int, str, str, str]:
         """Returns (kind, lex, datatype, lang)."""
         k, v = self._peek()
+        if k == "TT_OPEN":
+            self._next()
+            return self._triple_term()
+        if k == "RT_OPEN":
+            self._next()
+            r = self._reified_triple()
+            return (r[0], r[1], "", "")
         if k == "PUNCT" and v == "[":
             kind, lab = self._bnode_property_list()
             return (kind, lab, "", "")

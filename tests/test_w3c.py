@@ -91,6 +91,10 @@ def pytest_generate_tests(metafunc):
         ("nt12_c14n_test", "rdf-n-triples/c14n", SUITE_ROOT12),
         ("nq12_syn_test", "rdf-n-quads/syntax", SUITE_ROOT12),
         ("nq12_c14n_test", "rdf-n-quads/c14n", SUITE_ROOT12),
+        ("ttl12_syn_test", "rdf-turtle/syntax", SUITE_ROOT12),
+        ("ttl12_eval_test", "rdf-turtle/eval", SUITE_ROOT12),
+        ("trig12_syn_test", "rdf-trig/syntax", SUITE_ROOT12),
+        ("trig12_eval_test", "rdf-trig/eval", SUITE_ROOT12),
     ]:
         if fixture in metafunc.fixturenames:
             tests = _load(suite, root)
@@ -131,3 +135,19 @@ def test_rdf12_nquads_syntax(nq12_syn_test):
 
 def test_rdf12_nquads_c14n(nq12_c14n_test):
     _run_one(nq12_c14n_test)
+
+
+def test_rdf12_turtle_syntax(ttl12_syn_test):
+    _run_one(ttl12_syn_test)
+
+
+def test_rdf12_turtle_eval(ttl12_eval_test):
+    _run_one(ttl12_eval_test)
+
+
+def test_rdf12_trig_syntax(trig12_syn_test):
+    _run_one(trig12_syn_test)
+
+
+def test_rdf12_trig_eval(trig12_eval_test):
+    _run_one(trig12_eval_test)
