@@ -231,14 +231,41 @@ def _t_duplicates(rng: random.Random, scope: BNodeScope, anon):
     return text, expected, [], []
 
 
+def _t_annotation12(rng: random.Random, scope: BNodeScope, anon):
+    """RDF 1.2 annotation syntax: provenance/confidence on an assertion."""
+    from ..model import KIND_TRIPLE_TERM, RDF_NS
+
+    n = rng.randrange(N_ENTITIES)
+    m = rng.randrange(N_ENTITIES)
+    conf = rng.randrange(50, 100)
+    if conf % 10 == 0:
+        conf += 1  # keep "0.NN" its own canonical decimal form
+    s, o = entity_iri(n), entity_iri(m)
+    p = f"{PRED}linkedTo"
+    text = (
+        f'<{s}> <{p}> <{o}> '
+        f'{{| <{PRED}confidence> 0.{conf} |}} .\n'
+    )
+    r = anon()  # the annotation reifier (parser's fresh-bnode order)
+    tt = f"<{s}> <{p}> <{o}>"
+    expected = [
+        (KIND_IRI, s, p, KIND_IRI, o, "", ""),
+        (KIND_BNODE, r, RDF_NS + "reifies", KIND_TRIPLE_TERM, tt, "", ""),
+        (KIND_BNODE, r, PRED + "confidence",
+         KIND_LITERAL, f"0.{conf}", XSD_NS + "decimal", ""),
+    ]
+    return text, expected, [], []
+
+
 _TEXT_TEMPLATES = [
-    (_t_typed_entity, 0.30),
-    (_t_person_card, 0.20),
+    (_t_typed_entity, 0.28),
+    (_t_person_card, 0.19),
     (_t_bnode_props, 0.12),
     (_t_collection, 0.08),
     (_t_sameas, 0.12),
     (_t_messy_iris, 0.08),
-    (_t_duplicates, 0.10),
+    (_t_duplicates, 0.08),
+    (_t_annotation12, 0.05),
 ]
 _T_FNS = [t for t, _ in _TEXT_TEMPLATES]
 _T_W = [w for _, w in _TEXT_TEMPLATES]

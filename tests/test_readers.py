@@ -62,7 +62,7 @@ def test_materialize_partitioned(tmp_path):
     buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
     assert len(buckets) >= 2
     total = pq.read_table(out).num_rows
-    assert total == 5144
+    assert total == 5335
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -76,7 +76,7 @@ def test_write_ntriples_sink(tmp_path):
     out = str(tmp_path / "nt")
     write_ntriples(kg_triples(SF, linker_concurrency=2), out)
     lines = pq.read_table(out)["line"].to_pylist()
-    assert len(lines) == 5144
+    assert len(lines) == 5335
     # every emitted line reparses as exactly one triple
     assert len(parse_ntriples(lines[0])) == 1
 
