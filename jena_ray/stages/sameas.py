@@ -122,6 +122,23 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
 
     from ..util import compact_blocks
 
+    def compact_with_sig(ds):
+        """Materialize, drop empty blocks, and compute the convergence
+        signature from the SAME driver-side table fetch — no extra Ray
+        execution per round."""
+        import ray
+        import ray.data as rd
+
+        tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+        acc = 0
+        for t in tables:
+            for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
+                h = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
+                acc = (acc + int.from_bytes(h, "big")) % (1 << 61)
+        if not tables:
+            return ds, acc
+        return rd.from_arrow(tables), acc
+
     edges = compact_blocks(
         edges_ds.map_batches(symmetrize, batch_format="pyarrow")
     )
@@ -142,22 +159,7 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
     )
-    labels = compact_blocks(labels)
-
-    def signature(lab_ds) -> int:
-        def sig_batch(t: pa.Table) -> pa.Table:
-            acc = 0
-            for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
-                h = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
-                acc = (acc + int.from_bytes(h, "big")) % (1 << 61)
-            return pa.Table.from_arrays([pa.array([acc], pa.int64())], names=["sig"])
-
-        out = lab_ds.map_batches(sig_batch, batch_format="pyarrow").aggregate(
-            Sum("sig", alias_name="sig")
-        )
-        return out["sig"]
-
-    prev_sig = signature(labels)
+    labels, prev_sig = compact_with_sig(labels)
     for _ in range(max_rounds):
         # 1. neighbor-min: peer receives the node's current label
         def _cand_kernel(t: pa.Table) -> pa.Table:
@@ -215,8 +217,7 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
             batch_format="pyarrow",
         )
 
-        labels = compact_blocks(jumped)
-        sig = signature(labels)
+        labels, sig = compact_with_sig(jumped)
         if sig == prev_sig:
             break
         prev_sig = sig
