@@ -40,7 +40,9 @@ from .iri import resolve
 
 RDF_XMLLITERAL = RDF_NS + "XMLLiteral"
 
-_SYNTAX_ATTRS = {"about", "ID", "nodeID", "resource", "datatype", "parseType"}
+_SYNTAX_ATTRS = {"about", "ID", "nodeID", "resource", "datatype", "parseType",
+                 "version", "annotation", "annotationNodeID"}
+ITS_NS = "http://www.w3.org/2005/11/its"
 _BANNED_NODE_ELEMS = {"RDF", "ID", "about", "bagID", "parseType", "resource",
                       "nodeID", "li", "aboutEach", "aboutEachPrefix"}
 _BANNED_PROP_ELEMS = {"RDF", "ID", "about", "bagID", "parseType", "resource",
@@ -72,9 +74,10 @@ def _ncname_ok(v: str) -> bool:
 class _Frame:
     __slots__ = ("mode", "subject", "pred", "base", "lang", "li_counter",
                  "text", "xml_depth", "xml_buf", "collection", "reify",
-                 "datatype", "obj_seen", "empty_prop_attrs")
+                 "datatype", "obj_seen", "empty_prop_attrs", "dir",
+                 "version12", "tt_capture", "tt_ignore", "annotate")
 
-    def __init__(self, mode, base, lang):
+    def __init__(self, mode, base, lang, dir_="", version12=False):
         self.mode = mode  # "top" | "node" | "prop" | "xmllit"
         self.subject = None
         self.pred = None
@@ -89,6 +92,11 @@ class _Frame:
         self.datatype = None
         self.obj_seen = False
         self.empty_prop_attrs = None
+        self.dir = dir_
+        self.version12 = version12
+        self.tt_capture = None
+        self.tt_ignore = False
+        self.annotate = None
 
 
 class _Handler(xml.sax.handler.ContentHandler):
@@ -98,6 +106,29 @@ class _Handler(xml.sax.handler.ContentHandler):
         self.stack: list[_Frame] = [_Frame("top", base, "")]
         self.anon = 0
         self.seen_ids: set[str] = set()
+        self.ns_decls: list[tuple[str | None, str]] = []  # declaration order
+
+    def startPrefixMapping(self, prefix, uri):
+        self.ns_decls.append((prefix, uri))
+
+    def endPrefixMapping(self, prefix):
+        for i in range(len(self.ns_decls) - 1, -1, -1):
+            if self.ns_decls[i][0] == prefix:
+                del self.ns_decls[i]
+                break
+
+    def _qname(self, name, given):
+        """Python's expat never supplies qnames in namespace mode —
+        reconstruct from the in-scope declarations."""
+        if given:
+            return given
+        ns, local = name
+        if ns is None:
+            return local
+        for pfx, uri in reversed(self.ns_decls):
+            if uri == ns:
+                return f"{pfx}:{local}" if pfx else local
+        return local
 
     # --- helpers ----------------------------------------------------------
 
@@ -144,24 +175,31 @@ class _Handler(xml.sax.handler.ContentHandler):
     def _scoped(attrs, frame):
         base = frame.base
         lang = frame.lang
+        dir_ = frame.dir
+        version12 = frame.version12
         for (ns, local), v in attrs.items():
             if ns == "http://www.w3.org/XML/1998/namespace":
                 if local == "base":
                     base = v.split("#", 1)[0]
                 elif local == "lang":
                     lang = v
+            elif ns == ITS_NS and local == "dir":
+                dir_ = v
+            elif ns == RDF_NS and local == "version":
+                version12 = v.startswith("1.2")
             elif ns is None and local == "xml:base":
                 base = v
             elif ns is None and local == "xml:lang":
                 lang = v
-        return base, lang
+        return base, lang, dir_, version12
 
     def _prop_attrs(self, attrs):
         """Non-syntax attributes → (property IRI, literal value) pairs,
         plus rdf:type attr → type triple."""
         out = []
         for (ns, local), v in attrs.items():
-            if ns in (None, "http://www.w3.org/XML/1998/namespace"):
+            if ns in (None, "http://www.w3.org/XML/1998/namespace", ITS_NS,
+                      "http://www.w3.org/2000/xmlns/"):
                 continue
             if ns == RDF_NS:
                 if local in _SYNTAX_ATTRS or local in ("RDF", "Description",
@@ -180,45 +218,63 @@ class _Handler(xml.sax.handler.ContentHandler):
         top = self.stack[-1]
 
         if top.mode == "xmllit":
+            parts = []
+            if top.xml_depth == 0:
+                # top-level literal elements carry the in-scope namespace
+                # declarations, in document declaration order (Jena's
+                # XML-literal canonical form; xml-canon-test001/002)
+                for pfx, uri in self.ns_decls:
+                    if pfx:
+                        parts.append(f'xmlns:{pfx}="{uri}"')
+                    elif uri:
+                        parts.append(f'xmlns="{uri}"')
             top.xml_depth += 1
-            try:
-                pairs = sorted(
-                    (attrs.getQNameByName(k), attrs[k]) for k in attrs.getNames()
-                )
-            except Exception:
-                pairs = []
-            attl = " ".join(f'{q}="{v}"' for q, v in pairs)
-            top.xml_buf.write(f"<{qname}{(' ' + attl) if attl else ''}>")
+            def _attr_qname(k):
+                try:
+                    return attrs.getQNameByName(k)
+                except Exception:
+                    return self._qname(k, None)
+
+            pairs = sorted((_attr_qname(k), attrs[k]) for k in attrs.getNames())
+            parts.extend(f'{q}="{v}"' for q, v in pairs if not q.startswith("xmlns"))
+            attl = " ".join(parts)
+            tag = self._qname(name, qname)
+            top.xml_buf.write(f"<{tag}{(' ' + attl) if attl else ''}>")
             return
 
         adict = {k: attrs[k] for k in attrs.getNames()}
-        base, lang = self._scoped(adict, top)
+        base, lang, dir_, v12 = self._scoped(adict, top)
 
         if top.mode == "top":
             if ns == RDF_NS and local == "RDF":
-                self.stack.append(_Frame("rdfroot", base, lang))
+                self.stack.append(_Frame("rdfroot", base, lang, dir_, v12))
                 return
             # rdf:RDF is optional: a bare node element is allowed
-            self._start_node_element(ns, local, adict, base, lang)
+            self._start_node_element(ns, local, adict, base, lang, dir_, v12)
             return
 
         if top.mode in ("rdfroot",):
-            self._start_node_element(ns, local, adict, base, lang)
+            self._start_node_element(ns, local, adict, base, lang, dir_, v12)
             return
 
         if top.mode == "node":
-            self._start_property_element(ns, local, adict, base, lang)
+            self._start_property_element(ns, local, adict, base, lang, dir_, v12)
             return
 
         if top.mode == "prop":
             # nested node element = the object
+            if top.tt_capture is not None:
+                # parseType="Triple": the child node element is captured,
+                # not linked (its triples become the triple term)
+                self._start_node_element(ns, local, adict, base, lang, dir_, v12)
+                return
             if top.collection is not None:
-                f = self._start_node_element(ns, local, adict, base, lang)
+                f = self._start_node_element(ns, local, adict, base, lang, dir_, v12)
                 top.collection.append((f.subject[0], f.subject[1], "", ""))
             else:
                 if top.obj_seen:
                     raise RDFParseError("multiple node elements inside one property")
-                f = self._start_node_element(ns, local, adict, base, lang)
+                f = self._start_node_element(ns, local, adict, base, lang, dir_, v12)
                 top.obj_seen = True
                 obj = (f.subject[0], f.subject[1], "", "")
                 self._emit_prop(top, obj)
@@ -226,26 +282,35 @@ class _Handler(xml.sax.handler.ContentHandler):
 
         raise RDFParseError(f"unexpected element {local!r}")
 
-    def _start_node_element(self, ns, local, adict, base, lang):
+    @staticmethod
+    def _langtag(lang, dir_, v12):
+        """Effective literal language tag: dir applies only with a lang
+        and under rdf:version 1.2 (rdf12-xml-dir-01/02/06)."""
+        if lang and dir_ and v12:
+            return lang + "--" + dir_
+        return lang
+
+    def _start_node_element(self, ns, local, adict, base, lang, dir_="", v12=False):
         _check_forbidden_attrs(adict)
         if ns == RDF_NS and local in _BANNED_NODE_ELEMS:
             raise RDFParseError(f"rdf:{local} is not a node element")
-        f = _Frame("node", base, lang)
+        f = _Frame("node", base, lang, dir_, v12)
         f.subject = self._node_subject(adict, base)
         if not (ns == RDF_NS and local == "Description"):
             if ns is None:
                 raise RDFParseError(f"unqualified node element {local!r}")
             self._emit(f.subject, RDF_TYPE, (KIND_IRI, ns + local, "", ""))
+        eff = self._langtag(lang, dir_, v12)
         for p, v in self._prop_attrs(adict):
             if p == RDF_TYPE:
                 self._emit(f.subject, RDF_TYPE, (KIND_IRI, self._resolve(base, v), "", ""))
             else:
-                dt = RDF_LANGSTRING if lang else XSD_STRING
-                self._emit(f.subject, p, (KIND_LITERAL, v, dt, lang))
+                dt = RDF_LANGSTRING if eff else XSD_STRING
+                self._emit(f.subject, p, (KIND_LITERAL, v, dt, eff))
         self.stack.append(f)
         return f
 
-    def _start_property_element(self, ns, local, adict, base, lang):
+    def _start_property_element(self, ns, local, adict, base, lang, dir_="", v12=False):
         _check_forbidden_attrs(adict)
         top = self.stack[-1]
         if ns == RDF_NS:
@@ -261,13 +326,23 @@ class _Handler(xml.sax.handler.ContentHandler):
                 raise RDFParseError(f"unqualified property element {local!r}")
             pred = ns + local
 
-        f = _Frame("prop", base, lang)
+        f = _Frame("prop", base, lang, dir_, v12)
         f.subject = top.subject
         f.pred = pred
 
         rid = adict.get((RDF_NS, "ID"))
         if rid is not None:
             f.reify = (KIND_IRI, self._id_iri(base, rid))
+        ann = adict.get((RDF_NS, "annotation"))
+        ann_nid = adict.get((RDF_NS, "annotationNodeID"))
+        if ann is not None and ann_nid is not None:
+            raise RDFParseError("both rdf:annotation and rdf:annotationNodeID")
+        if ann is not None:
+            f.annotate = (KIND_IRI, self._resolve(base, ann))
+        elif ann_nid is not None:
+            if not _ncname_ok(ann_nid):
+                raise RDFParseError(f"bad rdf:annotationNodeID: {ann_nid!r}")
+            f.annotate = (KIND_BNODE, ann_nid)
 
         ptype = adict.get((RDF_NS, "parseType"))
         resource = adict.get((RDF_NS, "resource"))
@@ -278,6 +353,13 @@ class _Handler(xml.sax.handler.ContentHandler):
                                   or dt is not None):
             raise RDFParseError("rdf:parseType conflicts with resource/nodeID/datatype")
 
+        if ptype == "Triple":
+            # RDF 1.2 triple terms — version-gated: without rdf:version
+            # "1.2" in scope the whole property is IGNORED (rdf12-xml-tt-01)
+            f.tt_capture = len(self.out)
+            f.tt_ignore = not v12
+            self.stack.append(f)
+            return
         if ptype == "Resource":
             # the property element ITSELF becomes a node frame whose subject
             # is a fresh bnode; its children are property elements of it
@@ -329,12 +411,13 @@ class _Handler(xml.sax.handler.ContentHandler):
                 self._emit_prop_direct(f, (bn[0], bn[1], "", ""))
                 f.obj_seen = True
                 target = bn
+            eff = self._langtag(lang, dir_, v12)
             for p, v in prop_attrs:
                 if p == RDF_TYPE:
                     self._emit(target, RDF_TYPE, (KIND_IRI, self._resolve(base, v), "", ""))
                 else:
-                    adt = RDF_LANGSTRING if lang else XSD_STRING
-                    self._emit(target, p, (KIND_LITERAL, v, adt, lang))
+                    adt = RDF_LANGSTRING if eff else XSD_STRING
+                    self._emit(target, p, (KIND_LITERAL, v, adt, eff))
         f.datatype = dt
         self.stack.append(f)
 
@@ -347,6 +430,18 @@ class _Handler(xml.sax.handler.ContentHandler):
             self._emit(st, RDF_NS + "predicate", (KIND_IRI, f.pred, "", ""))
             self._emit(st, RDF_NS + "object", obj)
             f.reify = None
+        if f.annotate is not None:
+            from ..model import KIND_TRIPLE_TERM
+            from .ntriples import format_term_raw
+
+            inner = " ".join(
+                [format_term_raw(f.subject[0], f.subject[1]),
+                 format_term_raw(KIND_IRI, f.pred),
+                 format_term_raw(*obj)]
+            )
+            self._emit(f.annotate, RDF_NS + "reifies",
+                       (KIND_TRIPLE_TERM, inner, "", ""))
+            f.annotate = None
 
     _emit_prop_direct = _emit_prop
 
@@ -366,7 +461,7 @@ class _Handler(xml.sax.handler.ContentHandler):
         top = self.stack[-1]
         if top.mode == "xmllit":
             if top.xml_depth > 0:
-                top.xml_buf.write(f"</{qname}>")
+                top.xml_buf.write(f"</{self._qname(name, qname)}>")
                 top.xml_depth -= 1
                 return
             # property element itself closes: emit XML literal
@@ -380,6 +475,25 @@ class _Handler(xml.sax.handler.ContentHandler):
         if top.mode == "node":
             return
         if top.mode == "prop":
+            if top.tt_capture is not None:
+                captured = self.out[top.tt_capture:]
+                del self.out[top.tt_capture:]
+                if top.tt_ignore:
+                    return  # 1.1 mode: parseType=Triple subtree dropped
+                if len(captured) != 1:
+                    raise RDFParseError(
+                        f"parseType='Triple' needs exactly one inner triple, got {len(captured)}"
+                    )
+                from ..model import KIND_TRIPLE_TERM
+                from .ntriples import format_term_raw
+
+                (s_k, s_l, p, o_k, o_l, o_d, o_g, _) = captured[0]
+                inner = " ".join(
+                    [format_term_raw(s_k, s_l), format_term_raw(KIND_IRI, p),
+                     format_term_raw(o_k, o_l, o_d, o_g)]
+                )
+                self._emit_prop(top, (KIND_TRIPLE_TERM, inner, "", ""))
+                return
             if top.collection is not None:
                 # build the rdf list
                 cells = [self._fresh() for _ in top.collection]
@@ -396,10 +510,11 @@ class _Handler(xml.sax.handler.ContentHandler):
                 return
             if not top.obj_seen:
                 text = "".join(top.text)
+                eff = self._langtag(top.lang, top.dir, top.version12)
                 if top.datatype is not None:
                     self._emit_prop(top, (KIND_LITERAL, text, top.datatype, ""))
-                elif top.lang:
-                    self._emit_prop(top, (KIND_LITERAL, text, RDF_LANGSTRING, top.lang))
+                elif eff:
+                    self._emit_prop(top, (KIND_LITERAL, text, RDF_LANGSTRING, eff))
                 else:
                     self._emit_prop(top, (KIND_LITERAL, text, XSD_STRING, ""))
             return
@@ -410,6 +525,10 @@ def parse_rdfxml(text: str, base: str = "", on_error: str = "raise") -> list[tup
     handler = _Handler(base)
     parser = xml.sax.make_parser()
     parser.setFeature(xml.sax.handler.feature_namespaces, True)
+    try:
+        parser.setFeature(xml.sax.handler.feature_namespace_prefixes, True)
+    except Exception:
+        pass  # qnames fall back to None; XML literals lose prefixes
     parser.setContentHandler(handler)
     parser.setErrorHandler(xml.sax.handler.ErrorHandler())
     try:

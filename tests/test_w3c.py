@@ -36,9 +36,7 @@ def _load(suite, root=SUITE_ROOT):
     return read_manifest(path)
 
 
-# parseType="Literal" exclusive-canonical-XML serialization is not
-# implemented (the XML literal is preserved verbatim, not c14n'd)
-XFAIL = {"xml-canon-test001", "xml-canon-test002"}
+XFAIL: set = set()
 
 
 def _parse_any(test):
@@ -95,6 +93,7 @@ def pytest_generate_tests(metafunc):
         ("ttl12_eval_test", "rdf-turtle/eval", SUITE_ROOT12),
         ("trig12_syn_test", "rdf-trig/syntax", SUITE_ROOT12),
         ("trig12_eval_test", "rdf-trig/eval", SUITE_ROOT12),
+        ("xml12_test", "rdf-xml/eval", SUITE_ROOT12),
     ]:
         if fixture in metafunc.fixturenames:
             tests = _load(suite, root)
@@ -151,3 +150,7 @@ def test_rdf12_trig_syntax(trig12_syn_test):
 
 def test_rdf12_trig_eval(trig12_eval_test):
     _run_one(trig12_eval_test)
+
+
+def test_rdf12_rdfxml(xml12_test):
+    _run_one(xml12_test)
