@@ -197,7 +197,10 @@ def value_key(lex: str, datatype: str, lang: str) -> str:
             return f"lex:{datatype}:{lex}"
     if datatype in (XSD_DOUBLE, XSD_FLOAT):
         try:
-            d = Decimal(repr(float(lex)))
+            v = float(np.float32(lex)) if datatype == XSD_FLOAT else float(lex)
+            if v != v or v in (float("inf"), float("-inf")):
+                return f"num:{v}"
+            d = Decimal(repr(v))
             return "num:" + format(d.normalize(), "f")
         except Exception:
             return f"lex:{datatype}:{lex}"

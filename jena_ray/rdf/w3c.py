@@ -38,10 +38,12 @@ NEGATIVE_EVAL = {RDFT + "TestTurtleNegativeEval", RDFT + "TestTrigNegativeEval"}
 @dataclass
 class W3CTest:
     name: str
-    kind: str  # "positive" | "negative" | "eval" | "negative-eval" | other
+    kind: str  # "positive" | "negative" | "eval" | "c14n" | "entail+" | "entail-" | ...
     action: str  # path to input file
-    result: str | None  # path to golden .nt for eval tests
+    result: str | None  # path to golden for eval/entailment tests
     base_iri: str  # base IRI the test must be parsed with
+    regime: str = ""  # entailment regime ("simple" | "RDF" | "RDFS" | ...)
+    recognized: tuple = ()  # recognized datatype IRIs (D-entailment)
 
 
 def read_manifest(manifest_path: str) -> list[W3CTest]:
@@ -96,6 +98,10 @@ def read_manifest(manifest_path: str) -> list[W3CTest]:
             kind = "eval"
         elif t in C14N:
             kind = "c14n"
+        elif t == MF + "PositiveEntailmentTest":
+            kind = "entail+"
+        elif t == MF + "NegativeEntailmentTest":
+            kind = "entail-"
         elif t in NEGATIVE_EVAL:
             kind = "negative-eval"
         else:
@@ -114,6 +120,14 @@ def read_manifest(manifest_path: str) -> list[W3CTest]:
         act_file = rel_path(action[1])
         res_file = rel_path(result[1]) if result else None
         name = entry[1].rsplit("#", 1)[-1] or entry[1].rsplit("/", 1)[-1]
+        regime_v = get1(entry, MF + "entailmentRegime")
+        recognized: list[str] = []
+        node2 = get1(entry, MF + "recognizedDatatypes")
+        while node2 is not None and not (node2[0] == KIND_IRI and node2[1] == RDF_NIL):
+            first = get1(node2, RDF_FIRST)
+            if first is not None:
+                recognized.append(first[1])
+            node2 = get1(node2, RDF_REST)
         out.append(
             W3CTest(
                 name=name,
@@ -121,6 +135,8 @@ def read_manifest(manifest_path: str) -> list[W3CTest]:
                 action=os.path.join(dir_path, *act_file.split("/")),
                 result=os.path.join(dir_path, *res_file.split("/")) if res_file else None,
                 base_iri=test_base_root + act_file,
+                regime=regime_v[1] if regime_v else "",
+                recognized=tuple(recognized),
             )
         )
     return out
