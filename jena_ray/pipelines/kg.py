@@ -37,6 +37,7 @@ def kg_triples(
     *,
     linker_concurrency: int | tuple = 2,
     dedup: bool = True,
+    on_error: str = "raise",
 ):
     """The canonical triple Dataset for the corpus derived from sf_dir."""
     docs = interleaved_docs(sf_dir, reps)
@@ -44,6 +45,7 @@ def kg_triples(
     # autoscaling (1, N) so a small session is never fully reserved
     triples = docs.map_batches(
         ExtractAndLink,
+        fn_constructor_kwargs={"on_error": on_error},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=_pool_size(linker_concurrency),

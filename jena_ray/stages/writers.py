@@ -166,6 +166,46 @@ RDFXML_HEADER = (
 )
 RDFXML_FOOTER = "</rdf:RDF>"
 
+TRIX_HEADER = '<?xml version="1.0"?>\n<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">'
+TRIX_FOOTER = "</TriX>"
+
+
+def _trix_term(kind, lex, dt, lang) -> str:
+    if kind == KIND_IRI:
+        return f"<uri>{xml_escape(lex)}</uri>"
+    if kind == KIND_BNODE:
+        return f"<id>{xml_escape(lex)}</id>"
+    if lang:
+        return f'<plainLiteral xml:lang={quoteattr(lang)}>{xml_escape(lex)}</plainLiteral>'
+    if dt and dt != XSD_STRING:
+        return f"<typedLiteral datatype={quoteattr(dt)}>{xml_escape(lex)}</typedLiteral>"
+    return f"<plainLiteral>{xml_escape(lex)}</plainLiteral>"
+
+
+def trix_groups(triples_ds):
+    """One <graph> fragment per graph name (TriX writer, symmetric to
+    rdf/trix.py; graph name = shuffle key)."""
+
+    def fmt(g: pd.DataFrame) -> pd.DataFrame:
+        gname = g["g"].iloc[0]
+        lines = ["<graph>"]
+        if gname:
+            lines.append(f"  <uri>{xml_escape(gname)}</uri>")
+        g = g.sort_values(["s_lex", "p", "o_lex"], kind="mergesort")
+        for _, r in g.iterrows():
+            lines.append("  <triple>")
+            lines.append("    " + _trix_term(int(r["s_kind"]), r["s_lex"], "", ""))
+            lines.append("    " + _trix_term(KIND_IRI, r["p"], "", ""))
+            lines.append(
+                "    "
+                + _trix_term(int(r["o_kind"]), r["o_lex"], r["o_datatype"], r["o_lang"])
+            )
+            lines.append("  </triple>")
+        lines.append("</graph>")
+        return pd.DataFrame({"fragment": ["\n".join(lines)], "sort_key": [gname]})
+
+    return triples_ds.groupby("g").map_groups(fmt, batch_format="pandas")
+
 
 def assemble(fragments_ds, fmt: str, prefixes: dict | None = None) -> str:
     """Deterministic full-document text (small outputs / tests): sorted
@@ -181,4 +221,6 @@ def assemble(fragments_ds, fmt: str, prefixes: dict | None = None) -> str:
         return "[" + ",\n".join(frags) + "]"
     if fmt == "rdfxml":
         return RDFXML_HEADER + "\n" + "\n".join(frags) + "\n" + RDFXML_FOOTER
+    if fmt == "trix":
+        return TRIX_HEADER + "\n" + "\n".join(frags) + "\n" + TRIX_FOOTER
     raise ValueError(f"unknown format {fmt!r}")

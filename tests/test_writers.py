@@ -80,3 +80,15 @@ def test_rdfxml_roundtrip():
     doc = assemble(rdfxml_groups(rd.from_arrow(_table())), "rdfxml")
     got = parse_rdfxml(doc)
     assert graph_iso(got, _expected())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trix_roundtrip():
+    import ray.data as rd
+
+    from jena_ray.rdf.trix import parse_trix
+    from jena_ray.stages.writers import assemble, trix_groups
+
+    doc = assemble(trix_groups(rd.from_arrow(_table())), "trix")
+    got = parse_trix(doc)
+    assert graph_iso(got, _expected())
