@@ -61,13 +61,20 @@ def q_agg_groupby(sf_dir: str):
         disc_u = pc.cast(
             pc.round(pc.multiply(b["l_discount"], pa.scalar(1e6)), round_mode="half_towards_infinity"), pa.int64()
         )
-        return b.append_column("rev_cents", rev_c).append_column("disc_micros", disc_u)
+        qty_c = pc.cast(
+            pc.round(pc.multiply(b["l_quantity"], pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64()
+        )
+        return (
+            b.append_column("rev_cents", rev_c)
+            .append_column("disc_micros", disc_u)
+            .append_column("qty_centi", qty_c)
+        )
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("qty_centi", alias_name="sum_qty_centi"),
             Sum("rev_cents", alias_name="revenue_cents"),
             Sum("disc_micros", alias_name="disc_micros"),
             Count(alias_name="cnt"),
@@ -83,12 +90,12 @@ def q_agg_groupby(sf_dir: str):
             [
                 b["l_returnflag"].combine_chunks(),
                 b["l_linestatus"].combine_chunks(),
-                b["sum_qty"].combine_chunks(),
+                b["sum_qty_centi"].combine_chunks(),
                 b["revenue_cents"].combine_chunks(),
                 avg_disc.combine_chunks() if isinstance(avg_disc, pa.ChunkedArray) else avg_disc,
                 b["cnt"].combine_chunks(),
             ],
-            names=["l_returnflag", "l_linestatus", "sum_qty", "revenue_cents", "avg_disc", "cnt"],
+            names=["l_returnflag", "l_linestatus", "sum_qty_centi", "revenue_cents", "avg_disc", "cnt"],
         )
 
     return out.map_batches(final, batch_format="pyarrow")
@@ -96,9 +103,9 @@ def q_agg_groupby(sf_dir: str):
 
 SQL_AGG_GROUPBY = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
-       sum(CAST(round(l_discount * 1000000, 0) AS BIGINT))::DOUBLE / (count(*) * 1000000.0) AS avg_disc,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_centi,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(round(l_discount * 1000000, 0) AS BIGINT)) AS BIGINT)::DOUBLE / (count(*) * 1000000.0) AS avg_disc,
        count(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -230,7 +237,7 @@ def q_join_broadcast(sf_dir: str):
 
 SQL_JOIN_BROADCAST = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -581,7 +588,7 @@ def q_window_tumbling(sf_dir: str):
 
 SQL_WINDOW_TUMBLING = """
 SELECT event_type, date_trunc('hour', ts) AS win, count(*) AS cnt,
-       sum(CAST(round(value * 10000, 0) AS BIGINT)) AS sum_val_scaled
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_val_scaled
 FROM events GROUP BY event_type, win
 """
 

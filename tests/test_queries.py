@@ -47,5 +47,14 @@ def test_query_matches_oracle(name, ddb):
     want = _canon(ddb.sql(sql).df())
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     assert list(got.columns) == list(want.columns), f"{name}: schema mismatch"
+    # Driver hashes the VALUE REPRESENTATION, so dtype kind matters: an
+    # int64 engine column vs a DuckDB HUGEINT->float64 oracle column
+    # hash-mismatches even when every value is equal (round-1 lesson).
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert (gk == wk) or {gk, wk} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {got[c].dtype} vs oracle {want[c].dtype} "
+            "(driver value-hash would mismatch)"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-9)
