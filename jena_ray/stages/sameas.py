@@ -95,7 +95,7 @@ def components_driver(edges_ds) -> dict[str, str]:
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
-def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int = 8):
+def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int | None = None):
     """Label-propagation closure entirely in Dataset algebra.
 
     Returns a Dataset (node, rep). Per round:
@@ -105,12 +105,15 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
          halving the remaining diameter → O(log d) rounds total
     The (small) label table is materialized each round — without this the
     lazy lineage would re-execute all prior rounds every iteration.
-    Convergence = per-round blake2 signature of the label table (computed
-    distributed as a Sum aggregate) reaching a fixpoint.
+    Convergence = per-round signature of the label table reaching a
+    fixpoint: a per-block partial sum of deterministic vectorized row
+    hashes (map_batches kernel) combined by a Sum aggregate — an
+    order-independent commutative fold, so it needs no sort and never
+    moves label rows to the driver.
     """
-    import hashlib
+    import numpy as np
 
-    from ray.data.aggregate import Sum
+    _SIG_MOD = (1 << 56) - 5  # partials sum within int64 across many blocks
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch.column("a").combine_chunks()
@@ -122,26 +125,38 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int =
 
     from ..util import compact_blocks
 
-    def compact_with_sig(ds):
-        """Materialize, drop empty blocks, and compute the convergence
-        signature from the SAME driver-side table fetch — no extra Ray
-        execution per round."""
-        import ray
-        import ray.data as rd
+    def _sig_kernel(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            t.column("node").cast(pa.large_string()),
+            t.column("label").cast(pa.large_string()),
+            pa.scalar("\x00", pa.large_string()),
+        )
+        # pd.util.hash_array is siphash with a fixed key — deterministic
+        # across worker processes (builtin hash() is not), vectorized in C.
+        h = pd.util.hash_array(np.asarray(joined.to_pylist(), dtype=object))
+        partial = int(h.astype(object).sum()) % _SIG_MOD
+        return pa.Table.from_arrays([pa.array([partial], pa.int64())], names=["partial"])
 
-        tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
-        acc = 0
-        for t in tables:
-            for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
-                h = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
-                acc = (acc + int.from_bytes(h, "big")) % (1 << 61)
-        if not tables:
-            return ds, acc
-        return rd.from_arrow(tables), acc
+    def compact_with_sig(ds):
+        """Materialize (cutting lineage), drop empty blocks by metadata
+        (labels stay in the object store), and reduce the convergence
+        signature distributed."""
+        compacted = compact_blocks(ds)
+        total = compacted.map_batches(_sig_kernel, batch_format="pyarrow").sum(
+            "partial"
+        )
+        acc = (total or 0) % _SIG_MOD
+        return compacted, acc
 
     edges = compact_blocks(
         edges_ds.map_batches(symmetrize, batch_format="pyarrow")
     )
+    if num_partitions is None:
+        # Per-execution overhead scales with block/partition count, so
+        # size the join fan-out to the data: ~2M edge rows per partition,
+        # floor 1 (tiny graphs run essentially single-block).
+        n_edges = edges.count()
+        num_partitions = max(1, min(64, n_edges // 2_000_000))
 
     # initial labels: node → min(node, min(peers)) in one groupby
     labels = (

@@ -2,22 +2,96 @@
 
 from __future__ import annotations
 
+# ~64 MB coalesced blocks: large enough that per-execution fixed cost
+# (task launch, metadata, scheduling) is amortized, small enough to
+# pipeline through the object store without fragmenting worker heaps.
+_TARGET_BLOCK_BYTES = 64 << 20
 
-def compact_blocks(ds):
-    """Materialize and drop empty blocks.
 
-    Ray groupby/join operators can emit (0-row, 0-column) blocks for
-    empty partitions, and map_batches passes empty blocks through WITHOUT
-    invoking the UDF — so they keep stale/absent schemas and
-    nondeterministically crash downstream acero joins ("No match or
-    multiple matches for key field"). Reassembling from the non-empty
-    arrow refs removes them. Use on SMALL tables that feed Dataset.join
-    (label/rank vectors, dimension tables).
+def compact_blocks(ds, coalesce: bool = True):
+    """Materialize, drop empty blocks, and coalesce tiny ones — WITHOUT
+    fetching block contents to the driver.
+
+    Two Ray Data pathologies this works around:
+
+    - groupby/join operators can emit (0-row, 0-column) blocks for empty
+      partitions, and map_batches passes empty blocks through WITHOUT
+      invoking the UDF — so they keep stale/absent schemas and
+      nondeterministically crash downstream acero joins ("No match or
+      multiple matches for key field").
+    - per-execution overhead scales with block COUNT (measured ~0.3 s/
+      execution at 1 block vs ~3-7 s at a few hundred), so iterative
+      algebra over small state tables (CC labels, rank vectors) drowns
+      in scheduling unless rounds keep block counts low.
+
+    Empty blocks are dropped by BLOCK METADATA only; small neighbors are
+    merged by remote concat tasks. Every surviving block stays in the
+    object store — zero driver data movement — so this is safe on any
+    size table that feeds Dataset.join.
     """
     import ray
     import ray.data as rd
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
-    if not tables:
-        return ds
-    return rd.from_arrow(tables)
+    mat = ds.materialize()
+    pairs = [
+        (ref, meta)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not pairs:
+        return mat
+    if not coalesce or len(pairs) == 1:
+        return rd.from_arrow_refs([ref for ref, _ in pairs])
+
+    # Greedy bin-pack adjacent blocks up to the target size, then merge
+    # each >1-block group in a worker task (driver only handles refs).
+    groups: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for ref, meta in pairs:
+        sz = meta.size_bytes or _TARGET_BLOCK_BYTES
+        if cur and cur_bytes + sz > _TARGET_BLOCK_BYTES:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(ref)
+        cur_bytes += sz
+    groups.append(cur)
+
+    if len(groups) == len(pairs):  # nothing to merge
+        return rd.from_arrow_refs([ref for ref, _ in pairs])
+
+    out_refs = []
+    for g in groups:
+        if len(g) == 1:
+            out_refs.append(g[0])
+        else:
+            out_refs.append(_concat_tables.remote(*g))
+    return rd.from_arrow_refs(out_refs)
+
+
+def _concat_remote():
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def _concat(*tables):
+        import pyarrow as pa
+
+        return pa.concat_tables(tables, promote_options="permissive").combine_chunks()
+
+    return _concat
+
+
+class _LazyRemote:
+    """Defer @ray.remote decoration until first use (library code must
+    not touch Ray at import time)."""
+
+    _fn = None
+
+    def remote(self, *args):
+        if self._fn is None:
+            self._fn = _concat_remote()
+        return self._fn.remote(*args)
+
+
+_concat_tables = _LazyRemote()
