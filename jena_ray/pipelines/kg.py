@@ -9,7 +9,9 @@
     → materialize                        partitioned parquet (optional)
 
 Everything streams; the only driver-side state is the (small) sameAs rep
-map. No stage materializes the corpus.
+map. The one cached intermediate is the canonical triple stream (consumed
+twice); large runs spill it to Parquet shards instead of pinning it in
+the object store (``spill_dir=``).
 """
 
 from __future__ import annotations
@@ -38,8 +40,21 @@ def kg_triples(
     linker_concurrency: int | tuple = 2,
     dedup: bool = True,
     on_error: str = "raise",
+    spill_dir: str | None = None,
 ):
-    """The canonical triple Dataset for the corpus derived from sf_dir."""
+    """The canonical triple Dataset for the corpus derived from sf_dir.
+
+    The canon stream is consumed twice (sameAs edge extraction + rewrite),
+    so phase-1 output must be cached. Two modes:
+
+    - ``spill_dir=None`` (default, small/benchmark runs): pin it in the
+      object store with ``materialize()`` — fastest when the canonical
+      triple set fits cluster memory.
+    - ``spill_dir=<path>`` (large runs): write phase-1 output to Parquet
+      shards (``ds.write_parquet``, distributed) and stream BOTH consumers
+      from the files — the pinned intermediate disappears and peak object
+      store usage is bounded by the streaming working set, not the corpus.
+    """
     docs = interleaved_docs(sf_dir, reps)
     # fused single-pass extract+link actor pool (see ExtractAndLink);
     # autoscaling (1, N) so a small session is never fully reserved
@@ -56,9 +71,19 @@ def kg_triples(
         canonicalize_batch, batch_format="pyarrow", batch_size=65536
     )
 
-    # sameAs closure: the canon stream is consumed twice (edges + rewrite);
-    # cache the canonical triples so extract/canonicalize run once.
-    canon = canon.materialize()
+    if spill_dir is None:
+        canon = canon.materialize()
+    else:
+        import os
+        import shutil
+
+        import ray.data as rd
+
+        canon_dir = os.path.join(spill_dir, "canon")
+        shutil.rmtree(canon_dir, ignore_errors=True)
+        os.makedirs(canon_dir, exist_ok=True)
+        canon.write_parquet(canon_dir)
+        canon = rd.read_parquet(canon_dir)
     rep_map = components_driver(extract_edges(canon))
     closed = rewrite_with_reps(canon, rep_map)
 
@@ -68,6 +93,12 @@ def kg_triples(
 
 
 def kg_pipeline(sf_dir: str, out_dir: str, reps: int = 1, **kw):
+    """Full run with partitioned-parquet output. Writing implies a large
+    run, so phase-1 output spills to Parquet under the output dir rather
+    than pinning the canonical stream in the object store."""
+    import os
+
+    kw.setdefault("spill_dir", os.path.join(out_dir, "_spill"))
     ds = kg_triples(sf_dir, reps, **kw)
     return materialize(ds, out_dir)
 
@@ -109,11 +140,11 @@ def kg_resumable(
     """
     import os
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ..state.lineage import config_hash, shard_done, write_shard
+    from ..state.lineage import config_hash, shard_done, write_shard_dataset
+    from ..util import compact_blocks
 
     seed_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
         "doc_id"
@@ -137,14 +168,13 @@ def kg_resumable(
         if shard_done(extract_dir, shard, cfg):
             stats["shards_skipped"] += 1
             continue
-        ds = _canon_triples_for_range(
-            sf_dir, (start, min(start + step, hi)), reps, linker_concurrency
+        ds = compact_blocks(
+            _canon_triples_for_range(
+                sf_dir, (start, min(start + step, hi)), reps, linker_concurrency
+            )
         )
-        import ray
-
-        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
-        write_shard(
-            extract_dir, shard, tbl, cfg,
+        write_shard_dataset(
+            extract_dir, shard, ds, cfg,
             extra={"id_range": [start, min(start + step, hi)]},
         )
         stats["shards_computed"] += 1

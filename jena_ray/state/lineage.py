@@ -68,6 +68,61 @@ def content_hash_of_table(tbl) -> str:
     return f"{acc:032x}"
 
 
+def content_hash_of_dataset(ds) -> str:
+    """Distributed variant of :func:`content_hash_of_table`: per-block
+    partial sums computed in map_batches (rows never leave the object
+    store), combined on the driver mod 2^128. Produces the SAME value as
+    the table variant for the same rows (order-insensitive)."""
+    import pyarrow as pa
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cols = [t.column(n).to_pylist() for n in sorted(t.schema.names)]
+        acc = 0
+        for row in zip(*cols):
+            h = hashlib.blake2b(repr(row).encode(), digest_size=16).digest()
+            acc = (acc + int.from_bytes(h, "big")) % (1 << 128)
+        return pa.table({"partial": pa.array([f"{acc:032x}"], pa.string())})
+
+    acc = 0
+    # one 32-char row per block — tiny driver-side result
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        acc = (acc + int(row["partial"], 16)) % (1 << 128)
+    return f"{acc:032x}"
+
+
+def write_shard_dataset(
+    out_dir: str, shard: str, ds, cfg_hash: str, extra: dict | None = None
+):
+    """Atomically write one shard from a Dataset — `ds.write_parquet` into
+    the tmp dir (distributed, no driver concat), manifest hashed by the
+    distributed content hash, then a rename commit."""
+    import shutil
+
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    tmp_dir = os.path.join(out_dir, f".tmp-{shard}")
+    final_dir = os.path.join(out_dir, f"shard={shard}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds = ds.materialize()
+    ds.write_parquet(tmp_dir)
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    manifest = {
+        "shard": shard,
+        "rows": ds.count(),
+        "content_hash": content_hash_of_dataset(ds),
+        "config_hash": cfg_hash,
+        "files": sorted(os.listdir(final_dir)),
+        **(extra or {}),
+    }
+    mpath = _manifest_path(out_dir, shard)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
+    return manifest
+
+
 def write_shard(out_dir: str, shard: str, tbl, cfg_hash: str, extra: dict | None = None):
     """Atomically write one shard's output + its manifest."""
     import pyarrow.parquet as pq

@@ -74,3 +74,14 @@ def test_dedup_is_set_semantics():
 
     df = ds.to_pandas()
     assert not df.duplicated(subset=KEY + ["g"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_triples_spill_path_matches_materialize(tmp_path):
+    """spill_dir= streams phase-1 output through Parquet shards instead of
+    pinning it in the object store; the result set must be identical."""
+    from jena_ray.pipelines.kg import kg_triples
+
+    got = _result_set(kg_triples(SF, linker_concurrency=2, spill_dir=str(tmp_path)))
+    want = golden_triples(SF)
+    assert got == want
