@@ -118,14 +118,25 @@ def minhash_bands_batch(b: pa.Table) -> pa.Table:
     )
 
 
+# Above this many docs in one LSH bucket, all-pairs is O(n²) in a single
+# group — degrade to CHAIN pairing (each doc paired with its sorted
+# successor): O(n) pairs that keep the duplicate cluster CONNECTED for
+# union-find-style dedup, at the cost of not scoring every cross pair.
+MAX_BUCKET_ALLPAIRS = 512
+
+
 def _pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
     dtype = g["doc_id"].dtype
     docs = sorted(set(g["doc_id"]))
     a, bb = [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            a.append(docs[i])
-            bb.append(docs[j])
+    if len(docs) > MAX_BUCKET_ALLPAIRS:
+        a = docs[:-1]
+        bb = docs[1:]
+    else:
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a.append(docs[i])
+                bb.append(docs[j])
     return pd.DataFrame(
         {"a": pd.Series(a, dtype=dtype), "b": pd.Series(bb, dtype=dtype)}
     )
@@ -141,11 +152,17 @@ def jaccard(t1: str, t2: str) -> float:
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
     """Candidate pairs from LSH banding, verified by exact Jaccard.
 
-    Verification broadcasts the text of candidate docs only (fetched via a
-    driver-side filter over the candidate id set) — at scale this is the
-    standard 'explode → bucket groupby → verify' MinHash-LSH shape.
+    Fully distributed 'explode → bucket groupby → verify' shape: candidate
+    texts are attached by TWO hash joins (pairs ⋈ docs on a, then on b) and
+    verified inside map_batches — no candidate list or text dict ever
+    lands on the driver, so a duplicate-heavy corpus can't blow driver
+    memory. Hot buckets degrade to chain pairing (MAX_BUCKET_ALLPAIRS).
     """
-    import ray
+    import ray.data as rd
+
+    from ..util import compact_blocks
+
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
 
     bands = docs_ds.map_batches(
         lambda b: minhash_bands_batch(b), batch_format="pyarrow"
@@ -154,35 +171,48 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
         bands.groupby(["band_id", "band_hash"])
         .map_groups(_pairs_in_group, batch_format="pandas")
     )
-    # distinct candidate pairs (a<b by construction)
-    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
-
-    pairs = [(r["a"], r["b"]) for r in cand.take_all()]
-    id_type = docs_ds.schema().base_schema.field("doc_id").type
-    if not pairs:
-        import ray.data as rd
-
+    # distinct candidate pairs (a<b by construction); compact — Ray
+    # groupby emits empty partition blocks that crash downstream joins
+    cand = compact_blocks(cand.groupby(["a", "b"]).count().select_columns(["a", "b"]))
+    n_cand = cand.count()
+    if n_cand == 0:
         return rd.from_arrow(
             pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type),
                       "jaccard": pa.array([], pa.float64())})
         )
-    need = {d for p in pairs for d in p}
-    texts = {}
-    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if d in need:
-                texts[d] = t
-    text_ref = ray.put(texts)
+    n_parts = max(1, min(64, n_cand // 2_000_000))
 
-    import ray.data as rd
+    def _rename(col_from: str, col_to: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [col_to if n == col_from else n for n in t.schema.names]
+            )
 
-    pair_ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+        return fn
+
+    docs = compact_blocks(docs_ds.select_columns(["doc_id", "text"]))
+    docs_a = docs.map_batches(_rename("doc_id", "a"), batch_format="pyarrow").map_batches(
+        _rename("text", "text_a"), batch_format="pyarrow"
+    )
+    docs_b = docs.map_batches(_rename("doc_id", "b"), batch_format="pyarrow").map_batches(
+        _rename("text", "text_b"), batch_format="pyarrow"
+    )
+    with_texts = compact_blocks(
+        cand.join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
+    ).join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(text_ref)
+        if batch.num_columns == 0:
+            return pa.table(
+                {"a": pa.array([], id_type), "b": pa.array([], id_type),
+                 "jaccard": pa.array([], pa.float64())}
+            )
         rows_a, rows_b, js = [], [], []
-        for a, b2 in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            j = jaccard(tx[a], tx[b2])
+        for a, b2, ta, tb in zip(
+            batch["a"].to_pylist(), batch["b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            j = jaccard(ta, tb)
             if j >= threshold:
                 rows_a.append(a)
                 rows_b.append(b2)
@@ -192,7 +222,7 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
              "jaccard": pa.array(js, pa.float64())}
         )
 
-    return pair_ds.map_batches(verify, batch_format="pyarrow")
+    return with_texts.map_batches(verify, batch_format="pyarrow")
 
 
 # --- SimHash ----------------------------------------------------------------

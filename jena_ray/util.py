@@ -33,10 +33,15 @@ def compact_blocks(ds, coalesce: bool = True):
     import ray.data as rd
 
     mat = ds.materialize()
+    metas = [
+        meta for bundle in mat.iter_internal_ref_bundles() for _, meta in bundle.blocks
+    ]
+    # to_arrow_refs converts any pandas blocks to Arrow IN WORKER TASKS
+    # (refs only — nothing is fetched); order matches the bundle metadata
+    refs = mat.to_arrow_refs()
     pairs = [
         (ref, meta)
-        for bundle in mat.iter_internal_ref_bundles()
-        for ref, meta in bundle.blocks
+        for ref, meta in zip(refs, metas)
         if meta.num_rows is None or meta.num_rows > 0
     ]
     if not pairs:
@@ -74,9 +79,14 @@ def _concat_remote():
     import ray
 
     @ray.remote(num_cpus=0.5)
-    def _concat(*tables):
+    def _concat(*blocks):
         import pyarrow as pa
+        from ray.data.block import BlockAccessor
 
+        tables = [
+            b if isinstance(b, pa.Table) else BlockAccessor.for_block(b).to_arrow()
+            for b in blocks
+        ]
         return pa.concat_tables(tables, promote_options="permissive").combine_chunks()
 
     return _concat

@@ -124,3 +124,42 @@ def test_media_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG")
+
+
+def test_pairs_in_group_caps_hot_buckets():
+    """All-pairs in one LSH bucket is O(n²); above MAX_BUCKET_ALLPAIRS the
+    kernel must degrade to O(n) chain pairing that keeps the duplicate
+    cluster connected."""
+    import pandas as pd
+
+    from jena_ray.ops.dedup_text import MAX_BUCKET_ALLPAIRS, _pairs_in_group
+
+    n = MAX_BUCKET_ALLPAIRS + 100
+    g = pd.DataFrame({"doc_id": list(range(n))})
+    out = _pairs_in_group(g)
+    assert len(out) == n - 1  # chain, not n*(n-1)/2
+    # chain connectivity: union of pairs spans all n docs
+    seen = set(out["a"]) | set(out["b"])
+    assert len(seen) == n
+
+    small = pd.DataFrame({"doc_id": [3, 1, 2]})
+    out2 = _pairs_in_group(small)
+    assert len(out2) == 3  # all pairs below the cap
+    assert (out2["a"] < out2["b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_hot_bucket_end_to_end():
+    """A pile of identical docs (one hot bucket in every band) must still
+    come out connected, with pair volume linear in cluster size."""
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import minhash_lsh_pairs
+
+    rows = [{"doc_id": i, "text": "the same exact document text " * 10}
+            for i in range(40)]
+    pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.9).take_all()
+    # connectivity: every doc appears in at least one verified pair
+    seen = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    assert seen == set(range(40))
+    assert all(r["jaccard"] == 1.0 for r in pairs)
