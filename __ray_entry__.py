@@ -106,6 +106,16 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
+    def embedding_near_dup_lsh(sf_dir: str):
+        import ray.data as rd
+
+        from jena_ray.ops.dedup_text import embedding_near_dup_lsh as nd_lsh
+
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return nd_lsh(emb, threshold=0.9)
+
     def ann_lsh(sf_dir: str):
         import ray.data as rd
 
@@ -226,6 +236,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "ann_lsh": ann_lsh,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "media_features": media_features,
     }
 

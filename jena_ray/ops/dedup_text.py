@@ -288,10 +288,140 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 # --- embedding cosine near-dup ---------------------------------------------
 
 
+def embedding_near_dup_blocked(emb_ds, threshold: float = 0.95):
+    """All-pairs cosine ≥ threshold, EXACT and fully distributed.
+
+    The corpus is normalized into object-store-resident chunks once; the
+    C·(C+1)/2 chunk pairs become a Dataset of (i, j) work items, each
+    compared by a matmul task that fetches its two chunks from the object
+    store. The driver holds only the chunk ref list — never a matrix.
+    Compute is inherently O(N²) for exact all-pairs at an arbitrary
+    threshold; at corpus scale combine with the LSH bucketing below to
+    prune chunk pairs first.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..util import compact_blocks
+
+    def normalize(b: pa.Table) -> pa.Table:
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    chunks = compact_blocks(emb_ds.map_batches(normalize, batch_format="pyarrow"))
+    refs = chunks.to_arrow_refs()
+    n_chunks = len(refs)
+    pair_items = [
+        {"i": i, "j": j} for i in range(n_chunks) for j in range(i, n_chunks)
+    ]
+
+    def compare(batch: pa.Table) -> pa.Table:
+        rows_a, rows_b, cos = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ti = ray.get(refs[i])
+            tj = ray.get(refs[j]) if j != i else ti
+            mi = np.array(ti["embedding"].to_pylist(), dtype=np.float64)
+            mj = np.array(tj["embedding"].to_pylist(), dtype=np.float64)
+            ids_i = np.asarray(ti["vec_id"].to_pylist(), dtype=np.int64)
+            ids_j = np.asarray(tj["vec_id"].to_pylist(), dtype=np.int64)
+            sims = mi @ mj.T
+            r_idx, c_idx = np.where(sims >= threshold)
+            for r, c in zip(r_idx, c_idx):
+                va, vb = int(ids_i[r]), int(ids_j[c])
+                if va < vb:  # each unordered pair once (also drops self)
+                    rows_a.append(va)
+                    rows_b.append(vb)
+                    cos.append(round(float(sims[r, c]), 6))
+        return pa.table(
+            {"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64()),
+             "cos": pa.array(cos, pa.float64())}
+        )
+
+    return rd.from_items(pair_items).map_batches(
+        compare, batch_format="pyarrow", batch_size=1
+    )
+
+
+_ND_PLANES_SEED = 11
+
+
+def _nd_planes(dim: int, n_planes: int) -> np.ndarray:
+    return np.random.RandomState(_ND_PLANES_SEED).randn(n_planes, dim)
+
+
+def embedding_near_dup_lsh(emb_ds, threshold: float = 0.9, n_planes: int = 8):
+    """Approximate near-dup pairs via random-hyperplane bucketing — the
+    100 TB scale path. Each vector lands in its code bucket plus every
+    1-bit-flip probe bucket (n_planes+1 rows per vector), so any pair
+    within hamming distance 2 of each other's code meets in ≥1 bucket;
+    within-bucket comparison is an exact cosine matmul. Group sizes are
+    ~N·(n_planes+1)/2^n_planes. Recall depends on the angle at the
+    threshold (hyperplane split prob θ/π per plane) — sized for true
+    NEAR-DUP thresholds (≥0.9); see the planted-dup recall test."""
+    from ray.data.aggregate import Max
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        planes = _nd_planes(mat.shape[1], n_planes)
+        bits = (mat @ planes.T > 0).astype(np.int64)
+        codes = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        out_code, out_id, out_emb = [], [], []
+        embs = list(mat)
+        for idx in range(len(ids)):
+            c = int(codes[idx])
+            for probe in [c] + [c ^ (1 << p) for p in range(n_planes)]:
+                out_code.append(probe)
+                out_id.append(int(ids[idx]))
+                out_emb.append(embs[idx])
+        return pa.table(
+            {
+                "bucket": pa.array(out_code, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": pa.array(out_emb, pa.list_(pa.float64())),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset="vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []}).astype(
+                {"a": np.int64, "b": np.int64, "cos": np.float64}
+            )
+        mat = np.array(list(g["embedding"]), dtype=np.float64)
+        ids = g["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        r_idx, c_idx = np.where(sims >= threshold)
+        keep = r_idx < c_idx
+        return pd.DataFrame(
+            {
+                "a": ids[r_idx[keep]].astype(np.int64),
+                "b": ids[c_idx[keep]].astype(np.int64),
+                "cos": np.round(sims[r_idx[keep], c_idx[keep]], 6),
+            }
+        )
+
+    cand = (
+        emb_ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    # a pair can meet in several buckets — dedup (cos identical everywhere)
+    return cand.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+
+
 def embedding_near_dup(emb_ds, threshold: float = 0.95):
     """All-pairs cosine ≥ threshold over the embeddings table: brute-force
     blocked matmul against a broadcast matrix (the baseline; see
-    similarity.py for the LSH-bucketed scale path)."""
+    embedding_near_dup_blocked for the no-driver-matrix exact variant and
+    embedding_near_dup_lsh for the bucketed scale path)."""
     import ray
 
     mats, ids = [], []

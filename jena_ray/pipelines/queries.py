@@ -769,6 +769,24 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_embedding_near_dup_blocked(sf_dir: str):
+    """Exact all-pairs near-dup with NO driver-side matrix: chunk-vs-chunk
+    matmul tasks over object-store-resident normalized chunks."""
+    from ..ops.dedup_text import embedding_near_dup_blocked
+
+    return embedding_near_dup_blocked(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_BLOCKED = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
 def q_ann_bruteforce(sf_dir: str):
     from ..ops.similarity import brute_force_topk, query_vector
 
@@ -990,6 +1008,10 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "embedding_near_dup_blocked": (
+        q_embedding_near_dup_blocked,
+        SQL_EMBEDDING_NEAR_DUP_BLOCKED,
+    ),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "path_2hop": (q_path_2hop, SQL_PATH_2HOP),
     "mode": (q_mode, SQL_MODE),

@@ -163,3 +163,47 @@ def test_minhash_lsh_hot_bucket_end_to_end():
     seen = {r["a"] for r in pairs} | {r["b"] for r in pairs}
     assert seen == set(range(40))
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_blocked_matches_bruteforce():
+    """The chunked no-driver-matrix exact variant must produce the exact
+    same pair set as the broadcast brute-force baseline."""
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import embedding_near_dup, embedding_near_dup_blocked
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    base = {(r["a"], r["b"], r["cos"])
+            for r in embedding_near_dup(emb, threshold=0.35).take_all()}
+    blocked = {(r["a"], r["b"], r["cos"])
+               for r in embedding_near_dup_blocked(emb, threshold=0.35).take_all()}
+    assert base, "threshold chosen so the truth set is non-empty"
+    assert blocked == base
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_lsh_recall_on_planted_dups():
+    """Hyperplane-LSH near-dup: recall >= 0.95 against brute-force truth on
+    a corpus with PLANTED near-duplicates (cos >= 0.9 — the regime the
+    bucketing is sized for; the sf tables have no true near-dups)."""
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import embedding_near_dup, embedding_near_dup_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(200, 64)
+    rows = [{"vec_id": i, "embedding": list(map(float, v))}
+            for i, v in enumerate(base)]
+    # plant 40 near-duplicates: tiny perturbation of the first 40 vectors
+    for i in range(40):
+        v = base[i] + 0.05 * rng.randn(64)
+        rows.append({"vec_id": 1000 + i, "embedding": list(map(float, v))})
+    ds = rd.from_items(rows)
+
+    truth = {(r["a"], r["b"]) for r in embedding_near_dup(ds, threshold=0.9).take_all()}
+    got = {(r["a"], r["b"]) for r in embedding_near_dup_lsh(ds, threshold=0.9).take_all()}
+    assert len(truth) >= 40
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"
+    assert got <= truth  # within-bucket check is exact cosine: no false positives
