@@ -1,20 +1,27 @@
 """Graph algorithms over the triple table: PageRank.
 
 Beyond-reference operator (the reference has no graph analytics): entity
-importance over the KG's IRI→IRI edges. Per round:
+importance over the KG's IRI→IRI edges.
 
-    contributions: map over the (distributed) edge table with the rank
-    vector BROADCAST (ray.put once per round) → (dst, rank[src]/deg[src])
-    inflow: groupby(dst).sum — the one shuffle per round
-    update: damped combine on the (node → rank) vector
+Two execution strategies, switched by ``strategy=``:
 
-The rank vector is one float per node — broadcast-size by assumption
-(documented): for graphs whose node set exceeds driver memory, swap the
-broadcast for a hash-partitioned join keyed on src (the sameAs-closure
-join shape). Note: this Ray build's Dataset.join operator emits
-schema-less empty partition blocks that crash chained acero joins
-nondeterministically (see git history), so the broadcast form is also
-the robust one at this scale.
+- ``"join"`` (default — scale path): rank state is a DATASET, never a
+  driver dict. Per round:
+
+      contribs: edges_with_deg ⋈ rank (hash join on src)
+                → (dst, rank[src]/deg[src])
+      union with (node, 0.0) zero rows so rankless nodes survive
+      inflow:   groupby(dst).sum — one shuffle
+      update:   vectorized damped combine
+
+  Two shuffles per round; every table stays in the object store.
+  compact_blocks between rounds defuses this Ray build's empty-block
+  join bug (schema-less empty partition blocks crash chained acero
+  joins) and keeps per-execution block counts low.
+
+- ``"broadcast"``: the rank vector is collected to a driver dict and
+  ray.put once per round — faster for graphs whose node set is small
+  (one float per node), the classic small-graph realization.
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..model import KIND_IRI
+from ..util import compact_blocks
 
 
 def entity_edges(triples_ds):
@@ -43,15 +51,167 @@ def entity_edges(triples_ds):
     return triples_ds.map_batches(f, batch_format="pyarrow")
 
 
+def _rename(mapping: dict):
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.rename_columns([mapping.get(n, n) for n in t.schema.names])
+
+    return fn
+
+
 def pagerank(edges_ds, *, damping: float = 0.85, iterations: int = 10,
-             num_partitions: int = 8):
+             num_partitions: int | None = None, strategy: str = "join"):
     """(node, rank) Dataset after `iterations` of damped PageRank."""
+    if strategy == "broadcast":
+        return _pagerank_broadcast(edges_ds, damping=damping, iterations=iterations)
+
+    # normalize key dtype up front: acero joins refuse string vs
+    # large_string key mismatches
+    edges = compact_blocks(
+        edges_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"].combine_chunks().cast(pa.large_string()),
+                    "dst": t["dst"].combine_chunks().cast(pa.large_string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    n_edges = edges.count()
+    if num_partitions is None:
+        num_partitions = max(1, min(64, n_edges // 2_000_000))
+
+    # distinct node universe (srcs ∪ dsts) — stays distributed
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b["src"].combine_chunks().cast(pa.large_string()),
+                        b["dst"].combine_chunks().cast(pa.large_string()),
+                    ]
+                )
+            }
+        ).group_by("node").aggregate([])
+
+    nodes = compact_blocks(
+        edges.map_batches(both_ends, batch_format="pyarrow").groupby("node").count()
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].combine_chunks().cast(pa.large_string())}
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+    n_nodes = max(1, nodes.count())
+    base = (1.0 - damping) / n_nodes
+    init = 1.0 / n_nodes
+
+    # static per-edge state: (src, dst, deg[src]) — built once with one join
+    def _deg_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        # Ray groupby emits `string` keys even from large_string input;
+        # acero join then refuses the mixed key types — re-cast.
+        return pa.table(
+            {
+                "src": t["src"].combine_chunks().cast(pa.large_string()),
+                "deg": t["count()"].combine_chunks(),
+            }
+        )
+
+    deg = compact_blocks(
+        edges.groupby("src").count().map_batches(_deg_kernel, batch_format="pyarrow")
+    )
+    edges_deg = compact_blocks(
+        edges.join(deg, join_type="inner", num_partitions=num_partitions, on=("src",))
+    )
+
+    # zero-contribution rows keep rankless nodes in every round's groupby
+    zeros = compact_blocks(
+        nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": t["node"].combine_chunks(),
+                    "contrib": pa.array([0.0] * t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    rank = compact_blocks(
+        nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["node"].combine_chunks(),
+                    "rank": pa.array([init] * t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    for _ in range(iterations):
+        def contribs(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table(
+                    {"dst": pa.array([], pa.large_string()),
+                     "contrib": pa.array([], pa.float64())}
+                )
+            vals = pc.divide(
+                t["rank"].combine_chunks(),
+                pc.cast(t["deg"].combine_chunks(), pa.float64()),
+            )
+            return pa.table(
+                {"dst": t["dst"].combine_chunks().cast(pa.large_string()),
+                 "contrib": vals}
+            )
+
+        inflow = (
+            edges_deg.join(rank, join_type="inner", num_partitions=num_partitions,
+                           on=("src",))
+            .map_batches(contribs, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("dst")
+            .sum("contrib")
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table(
+                    {"src": pa.array([], pa.large_string()),
+                     "rank": pa.array([], pa.float64())}
+                )
+            new_rank = pc.add(
+                pa.scalar(base),
+                pc.multiply(pa.scalar(damping), t["sum(contrib)"].combine_chunks()),
+            )
+            return pa.table(
+                {"src": t["dst"].combine_chunks().cast(pa.large_string()),
+                 "rank": new_rank}
+            )
+
+        rank = compact_blocks(inflow.map_batches(update, batch_format="pyarrow"))
+
+    return rank.map_batches(
+        _rename({"src": "node"}), batch_format="pyarrow"
+    ).sort("node")
+
+
+def _pagerank_broadcast(edges_ds, *, damping: float = 0.85, iterations: int = 10):
+    """Broadcast realization: rank vector collected to a driver dict and
+    ray.put once per round. Partitioning assumption (documented): the node
+    set fits driver memory — one float per node."""
     import ray
     import ray.data as rd
 
     edges = edges_ds.materialize()
 
-    # node universe and out-degrees, collected once (rank-vector-sized)
     deg: dict[str, int] = {}
     nodes: set[str] = set()
     for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
