@@ -211,6 +211,13 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         )
         return apply_patch(kg_triples(sf_dir, linker_concurrency=2), patch)
 
+    def _hash_variants(sf_dir: str):
+        # rows-only: DuckDB has no sha1/384/512 (digests pinned vs hashlib
+        # in tests/test_queries.py instead)
+        from jena_ray.pipelines.queries import q_hash_variants
+
+        return q_hash_variants(sf_dir)
+
     def kg_pagerank(sf_dir: str):
         from jena_ray.ops.graphalgo import entity_edges, pagerank
         from jena_ray.pipelines.kg import kg_triples
@@ -238,6 +245,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "media_features": media_features,
+        "hash_variants": _hash_variants,
     }
 
 

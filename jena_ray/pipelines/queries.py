@@ -558,6 +558,150 @@ FROM lineitem GROUP BY y, m
 """
 
 
+def q_datetime_tz_funcs(sf_dir: str):
+    """fn:adjust-dateTime-to-timezone / TIMEZONE / TZ
+    (expr/E_AdjustToTimezone.java, E_DateTimeTZ.java,
+    function/library/FN_AdjustDatetimeToTimezone.java): naive timestamps
+    are treated as UTC and shifted to a +05:30 zone; day/hour/minute are
+    extracted AFTER the adjust, and the applied zone is carried as the TZ
+    string (constant here because the adjust target is constant)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    offset_us = (5 * 3600 + 30 * 60) * 1_000_000
+
+    def fn(b: pa.Table) -> pa.Table:
+        adj = pc.add(b["ts"], pa.scalar(offset_us, pa.duration("us")))
+        return pa.Table.from_arrays(
+            [
+                b["event_id"].combine_chunks(),
+                pc.day(adj).cast(pa.int64()).combine_chunks(),
+                pc.hour(adj).cast(pa.int64()).combine_chunks(),
+                pc.minute(adj).cast(pa.int64()).combine_chunks(),
+                pa.array(["+05:30"] * b.num_rows, pa.string()),
+            ],
+            names=["event_id", "adj_day", "adj_hour", "adj_minute", "tz"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DATETIME_TZ_FUNCS = """
+SELECT event_id,
+       CAST(day(ts + INTERVAL '5 hours 30 minutes') AS BIGINT) AS adj_day,
+       CAST(hour(ts + INTERVAL '5 hours 30 minutes') AS BIGINT) AS adj_hour,
+       CAST(minute(ts + INTERVAL '5 hours 30 minutes') AS BIGINT) AS adj_minute,
+       '+05:30' AS tz
+FROM events
+"""
+
+
+def q_duration_funcs(sf_dir: str):
+    """xsd:dayTimeDuration arithmetic (expr/E_OpMinus on dateTimes →
+    duration; NodeValueDuration, function/library/FN_*.java duration
+    accessors): per-user event span max(ts)-min(ts), decomposed into
+    total seconds / whole days / hours-component — the duration accessor
+    surface over a genuinely computed duration."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    spans = ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="t0"), Max("ts", alias_name="t1")
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "span_sec": pa.array([], pa.int64()),
+                 "span_days": pa.array([], pa.int64()),
+                 "span_hours_comp": pa.array([], pa.int64())}
+            )
+        dur = pc.subtract(b["t1"], b["t0"])  # duration[us]
+        sec = pc.divide(pc.cast(dur, pa.int64()), pa.scalar(1_000_000))
+        days = pc.divide(sec, pa.scalar(86400))
+        hours_comp = pc.divide(
+            pc.subtract(sec, pc.multiply(days, pa.scalar(86400))), pa.scalar(3600)
+        )
+        return pa.Table.from_arrays(
+            [
+                b["user_id"].combine_chunks(),
+                sec.combine_chunks() if isinstance(sec, pa.ChunkedArray) else sec,
+                days.combine_chunks() if isinstance(days, pa.ChunkedArray) else days,
+                hours_comp.combine_chunks()
+                if isinstance(hours_comp, pa.ChunkedArray)
+                else hours_comp,
+            ],
+            names=["user_id", "span_sec", "span_days", "span_hours_comp"],
+        )
+
+    return spans.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DURATION_FUNCS = """
+SELECT user_id,
+       CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS span_sec,
+       CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400) AS BIGINT)
+         AS span_days,
+       CAST(floor(fmod(epoch(max(ts)) - epoch(min(ts)), 86400) / 3600) AS BIGINT)
+         AS span_hours_comp
+FROM events GROUP BY user_id
+"""
+
+
+def q_encode_uri_funcs(sf_dir: str):
+    """ENCODE_FOR_URI (expr/E_StrEncodeForURI.java,
+    function/library/FN_EncodeForURI.java): RFC 3986 percent-encoding of
+    everything outside the unreserved set. The customer-name charset only
+    exercises '#' and space, which the SQL oracle mirrors with replace()."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    _unreserved = frozenset(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.~"
+    )
+
+    def encode(s: str) -> str:
+        return "".join(
+            c if c in _unreserved else "".join(f"%{b:02X}" for b in c.encode())
+            for c in s
+        )
+
+    def fn(b: pa.Table) -> pa.Table:
+        enc = pa.array([encode(x) for x in b["c_name"].to_pylist()], pa.string())
+        return pa.Table.from_arrays(
+            [b["c_custkey"].combine_chunks(), enc],
+            names=["c_custkey", "name_uri"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_ENCODE_URI_FUNCS = """
+SELECT c_custkey, replace(replace(c_name, '#', '%23'), ' ', '%20') AS name_uri
+FROM customer
+"""
+
+
+def q_hash_variants(sf_dir: str):
+    """E_SHA1 / E_SHA384 / E_SHA512 (expr/E_SHA1.java, E_SHA384.java,
+    E_SHA512.java). DuckDB has no sha1/384/512, so this query is
+    rows-only for the driver; tests/test_queries.py pins the digests
+    against hashlib on a fixed row."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                b["c_custkey"].combine_chunks(),
+                pa.array([hashlib.sha1(x.encode()).hexdigest() for x in names]),
+                pa.array([hashlib.sha384(x.encode()).hexdigest() for x in names]),
+                pa.array([hashlib.sha512(x.encode()).hexdigest() for x in names]),
+            ],
+            names=["c_custkey", "name_sha1", "name_sha384", "name_sha512"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Streaming-shaped: tumbling window over the events log (SURVEY §2.10 —
 # no windows in the reference; ordering realized as groupby per window key)
@@ -1001,6 +1145,9 @@ REGISTRY: dict[str, tuple] = {
     "numeric_funcs": (q_numeric_funcs, SQL_NUMERIC_FUNCS),
     "hash_funcs": (q_hash_funcs, SQL_HASH_FUNCS),
     "datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
+    "datetime_tz_funcs": (q_datetime_tz_funcs, SQL_DATETIME_TZ_FUNCS),
+    "duration_funcs": (q_duration_funcs, SQL_DURATION_FUNCS),
+    "encode_uri_funcs": (q_encode_uri_funcs, SQL_ENCODE_URI_FUNCS),
     "window_tumbling": (q_window_tumbling, SQL_WINDOW_TUMBLING),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),

@@ -58,3 +58,26 @@ def test_query_matches_oracle(name, ddb):
         )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_variants_pinned_digests():
+    """sha1/384/512 have no DuckDB oracle — pin digests against hashlib."""
+    import hashlib
+
+    from jena_ray.pipelines.queries import q_hash_variants
+
+    rows = q_hash_variants(SF).take(3)
+    import duckdb
+
+    con = duckdb.connect()
+    names = dict(
+        con.execute(
+            f"SELECT c_custkey, c_name FROM read_parquet('{SF}/customer.parquet')"
+        ).fetchall()
+    )
+    for r in rows:
+        name = names[r["c_custkey"]].encode()
+        assert r["name_sha1"] == hashlib.sha1(name).hexdigest()
+        assert r["name_sha384"] == hashlib.sha384(name).hexdigest()
+        assert r["name_sha512"] == hashlib.sha512(name).hexdigest()
