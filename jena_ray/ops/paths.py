@@ -1,0 +1,302 @@
+"""General SPARQL property-path evaluator over the triple table.
+
+Reference semantics: jena-arq sparql/path/eval/PathEval.java,
+PathEngine.java (P_Link, P_Inverse, P_Alt, P_Seq, P_NegPropSet,
+P_ZeroOrMore1, P_OneOrMore1, P_ZeroOrOne) and path/P_*.java AST. The
+reference walks iterator graphs per binding; this rebuild evaluates each
+path operator as Dataset algebra over an (s, p, o) edge table:
+
+    Link       filter on p                  (one map_batches)
+    Inv        swap columns                 (map)
+    Alt        union + distinct             (one shuffle)
+    Seq        hash join end==start         (one shuffle)
+    NegSet     filter p NOT IN set; inverse names swap before filtering
+    Star/Plus  seeded semi-naive BFS: per round the NEW frontier is
+               joined one step forward, accumulated pairs deduped by a
+               min-tag groupby — O(diameter) rounds, each one join + one
+               groupby. Zero-length (Star/Opt) adds (seed, seed) per the
+               spec's zero-length-path rule.
+
+Partitioning assumption (documented per SURVEY custom-operator rule):
+closures are SEEDED — the result is reachability from the seed set, the
+shape SPARQL evaluation actually needs (`?x path* ?y` with ?x bound by
+the rest of the query). An unseeded full transitive closure is O(V²)
+output and should be expressed as connected-components (stages/sameas)
+when the path is symmetric.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import compact_blocks
+
+
+# --- path AST ---------------------------------------------------------------
+
+
+class Path:
+    pass
+
+
+@dataclass(frozen=True)
+class Link(Path):
+    p: str
+
+
+@dataclass(frozen=True)
+class Inv(Path):
+    path: Path
+
+
+@dataclass(frozen=True)
+class Alt(Path):
+    paths: tuple
+
+    def __init__(self, *paths: Path):
+        object.__setattr__(self, "paths", tuple(paths))
+
+
+@dataclass(frozen=True)
+class Seq(Path):
+    paths: tuple
+
+    def __init__(self, *paths: Path):
+        object.__setattr__(self, "paths", tuple(paths))
+
+
+@dataclass(frozen=True)
+class NegSet(Path):
+    """!(p1|p2|^q1|...) — forward predicates to exclude in `fwd`, inverse
+    predicates (the ^-prefixed members) in `inv` (P_NegPropSet)."""
+
+    fwd: tuple = field(default=())
+    inv: tuple = field(default=())
+
+
+@dataclass(frozen=True)
+class Star(Path):
+    path: Path
+
+
+@dataclass(frozen=True)
+class Plus(Path):
+    path: Path
+
+
+@dataclass(frozen=True)
+class Opt(Path):
+    path: Path
+
+
+# --- evaluation -------------------------------------------------------------
+
+
+def _pairs_schema():
+    return pa.schema([("start", pa.large_string()), ("end", pa.large_string())])
+
+
+def _empty_pairs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"start": pa.array([], pa.large_string()),
+             "end": pa.array([], pa.large_string())}
+        )
+    )
+
+
+def _as_pairs(t: pa.Table, a: str, b: str) -> pa.Table:
+    if t.num_columns == 0:
+        return pa.table(
+            {"start": pa.array([], pa.large_string()),
+             "end": pa.array([], pa.large_string())}
+        )
+    return pa.table(
+        {
+            "start": t[a].combine_chunks().cast(pa.large_string()),
+            "end": t[b].combine_chunks().cast(pa.large_string()),
+        }
+    )
+
+
+def _distinct(pairs_ds):
+    out = pairs_ds.groupby(["start", "end"]).count().map_batches(
+        lambda t: _as_pairs(t, "start", "end"), batch_format="pyarrow"
+    )
+    return compact_blocks(out)
+
+
+def _n_parts(ds) -> int:
+    return max(1, min(64, ds.count() // 2_000_000))
+
+
+def _join_seq(left_ds, right_ds):
+    """(start, end) ⋈ (start', end') on end == start' → (start, end')."""
+    mid_l = left_ds.map_batches(
+        lambda t: t.rename_columns(["start", "mid"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    mid_r = right_ds.map_batches(
+        lambda t: t.rename_columns(["mid", "end"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+    left_c = compact_blocks(mid_l)
+    right_c = compact_blocks(mid_r)
+    if left_c.count() == 0 or right_c.count() == 0:
+        return _empty_pairs()
+    joined = left_c.join(
+        right_c, join_type="inner", num_partitions=_n_parts(left_c), on=("mid",)
+    )
+    return _distinct(
+        joined.map_batches(lambda t: _as_pairs(t, "start", "end"),
+                           batch_format="pyarrow")
+    )
+
+
+def _seeds_ds(seeds):
+    import ray.data as rd
+
+    vals = sorted(set(seeds))
+    return rd.from_arrow(
+        pa.table(
+            {"start": pa.array(vals, pa.large_string()),
+             "end": pa.array(vals, pa.large_string())}
+        )
+    )
+
+
+def _restrict_to_starts(pairs_ds, seeds):
+    import ray
+
+    seed_ref = ray.put(frozenset(seeds))
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _as_pairs(t, "start", "end")
+        sset = ray.get(seed_ref)
+        mask = pa.array([s in sset for s in t["start"].to_pylist()])
+        return t.filter(mask)
+
+    return pairs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _closure(edges_ds, step: Path, seeds, include_zero: bool, max_rounds: int = 25):
+    """Seeded semi-naive reachability over one path step."""
+    step_pairs = eval_path(edges_ds, step)  # (start, end) of ONE application
+
+    zero = _seeds_ds(seeds)
+    # first application restricted to the seeds
+    frontier = compact_blocks(_restrict_to_starts(step_pairs, seeds))
+    acc = _distinct(zero.union(frontier)) if include_zero else _distinct(frontier)
+
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        stepped = _join_seq(frontier, step_pairs)
+        if stepped.count() == 0:
+            break
+        # semi-naive: new frontier = stepped pairs not already accumulated
+        tag_old = acc.map_batches(
+            lambda t: t.append_column("tag", pa.array([0] * t.num_rows, pa.int8()))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        tag_new = stepped.map_batches(
+            lambda t: t.append_column("tag", pa.array([1] * t.num_rows, pa.int8()))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        merged = tag_old.union(tag_new).groupby(["start", "end"]).min("tag")
+
+        def only_new(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _as_pairs(t, "start", "end")
+            keep = t.filter(pc.equal(t["min(tag)"], pa.scalar(1, pa.int8())))
+            return _as_pairs(keep, "start", "end")
+
+        frontier = compact_blocks(merged.map_batches(only_new, batch_format="pyarrow"))
+        if frontier.count() == 0:
+            break
+        acc = _distinct(acc.union(frontier))
+    return acc
+
+
+def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int = 25):
+    """Evaluate `path` over an (s, p, o) edge Dataset → distinct
+    (start, end) pairs. `seeds` (iterable of node strings) is REQUIRED
+    for Star/Plus/Opt at the top level and restricts results to paths
+    starting in the seed set."""
+    if isinstance(path, Link):
+        lit = path.p
+
+        def f(t: pa.Table) -> pa.Table:
+            return _as_pairs(t.filter(pc.equal(t["p"], lit)), "s", "o")
+
+        out = compact_blocks(edges_ds.map_batches(f, batch_format="pyarrow"))
+    elif isinstance(path, Inv):
+        inner = eval_path(edges_ds, path.path, max_rounds=max_rounds)
+        out = compact_blocks(
+            inner.map_batches(
+                lambda t: _as_pairs(t, "end", "start"), batch_format="pyarrow"
+            )
+        )
+    elif isinstance(path, Alt):
+        parts = [eval_path(edges_ds, p, max_rounds=max_rounds) for p in path.paths]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        out = _distinct(ds)
+    elif isinstance(path, Seq):
+        parts = [eval_path(edges_ds, p, max_rounds=max_rounds) for p in path.paths]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = _join_seq(ds, p)
+        out = ds
+    elif isinstance(path, NegSet):
+        fwd_excl = frozenset(path.fwd)
+        inv_excl = frozenset(path.inv)
+
+        def f(t: pa.Table) -> pa.Table:
+            ps = t["p"].to_pylist()
+            fwd_mask = pa.array([p not in fwd_excl for p in ps])
+            fwd = _as_pairs(t.filter(fwd_mask), "s", "o")
+            if not inv_excl:
+                return fwd
+            inv_mask = pa.array([p not in inv_excl for p in ps])
+            inv = _as_pairs(t.filter(inv_mask), "o", "s")
+            return pa.concat_tables([fwd, inv])
+
+        # !(...) with only forward members matches forward edges only;
+        # ^-members additionally admit the inverse direction (spec: the
+        # negated set partitions into forward and inverse halves)
+        out = _distinct(edges_ds.map_batches(f, batch_format="pyarrow"))
+    elif isinstance(path, (Star, Plus, Opt)):
+        if seeds is None:
+            raise ValueError(
+                f"{type(path).__name__} requires seeds (seeded closure — "
+                "unseeded transitive closure is O(V²); see module docstring)"
+            )
+        if isinstance(path, Opt):
+            one = compact_blocks(
+                _restrict_to_starts(
+                    eval_path(edges_ds, path.path, max_rounds=max_rounds), seeds
+                )
+            )
+            return _distinct(_seeds_ds(seeds).union(one))
+        return _closure(
+            edges_ds, path.path, seeds,
+            include_zero=isinstance(path, Star), max_rounds=max_rounds,
+        )
+    else:
+        raise TypeError(f"unknown path node {path!r}")
+
+    if seeds is not None:
+        out = compact_blocks(_restrict_to_starts(out, seeds))
+    return out

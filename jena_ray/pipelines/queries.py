@@ -1127,6 +1127,124 @@ WHERE o_custkey = 1
 """
 
 
+# --------------------------------------------------------------------------
+# §2.9 general property paths (sparql/path/eval/PathEval*.java) — the
+# membership graph customer/supplier -in_nation-> nation -in_region-> region
+# --------------------------------------------------------------------------
+
+
+def _membership_edges(sf_dir: str):
+    """(s, p, o) edge Dataset: c:<k> -in_nation-> n:<k> (customers),
+    s:<k> -in_nation-> n:<k> (suppliers), n:<k> -in_region-> r:<k>."""
+
+    def tag(prefix_s, key_s, pred, prefix_o, key_o):
+        def f(t: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                pa.scalar(prefix_s, pa.large_string()),
+                pc.cast(t[key_s], pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            )
+            o = pc.binary_join_element_wise(
+                pa.scalar(prefix_o, pa.large_string()),
+                pc.cast(t[key_o], pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            )
+            return pa.table(
+                {"s": s, "p": pa.array([pred] * t.num_rows, pa.large_string()), "o": o}
+            )
+
+        return f
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        tag("c:", "c_custkey", "in_nation", "n:", "c_nationkey"),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        tag("s:", "s_suppkey", "in_nation", "n:", "s_nationkey"),
+        batch_format="pyarrow",
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+        tag("n:", "n_nationkey", "in_region", "r:", "n_regionkey"),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp).union(nat)
+
+
+def q_path_star_alt(sf_dir: str):
+    """(in_nation|in_region)* from seed customers — P_ZeroOrMore1 over
+    P_Alt (PathEval.java, P_Alt.java): seeded semi-naive closure,
+    zero-length pairs included per the spec."""
+    from ..ops.paths import Alt, Link, Star, eval_path
+
+    seeds = [f"c:{k}" for k in range(20)]
+    return eval_path(
+        _membership_edges(sf_dir),
+        Star(Alt(Link("in_nation"), Link("in_region"))),
+        seeds=seeds,
+    )
+
+
+SQL_PATH_STAR_ALT = """
+WITH RECURSIVE edges AS (
+  SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS o FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+),
+seeds AS (
+  SELECT 'c:' || c_custkey AS v FROM customer WHERE c_custkey < 20
+),
+reach(start, "end") AS (
+  SELECT v, v FROM seeds
+  UNION
+  SELECT r.start, e.o FROM reach r JOIN edges e ON r."end" = e.s
+)
+SELECT DISTINCT start, "end" FROM reach
+"""
+
+
+def q_path_inverse_seq(sf_dir: str):
+    """^in_region/^in_nation from region seeds — P_Seq of two P_Inverse
+    links (PathEval.java evalInverse): region → its nations → their
+    members (customers AND suppliers)."""
+    from ..ops.paths import Inv, Link, Seq, eval_path
+
+    import pyarrow.parquet as pq
+
+    rkeys = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])[
+        "r_regionkey"
+    ].to_pylist()
+    seeds = [f"r:{k}" for k in rkeys]
+    return eval_path(
+        _membership_edges(sf_dir),
+        Seq(Inv(Link("in_region")), Inv(Link("in_nation"))),
+        seeds=seeds,
+    )
+
+
+SQL_PATH_INVERSE_SEQ = """
+SELECT DISTINCT 'r:' || n_regionkey AS start, 'c:' || c_custkey AS "end"
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+UNION
+SELECT DISTINCT 'r:' || n_regionkey, 's:' || s_suppkey
+FROM nation JOIN supplier ON s_nationkey = n_nationkey
+"""
+
+
+def q_path_negset(sf_dir: str):
+    """!(in_nation) — P_NegPropSet (PathEval.java evalNegPropSet,
+    P_NegPropSet.java): any forward edge whose predicate is NOT in the
+    excluded set; only the in_region edges survive."""
+    from ..ops.paths import NegSet, eval_path
+
+    return eval_path(_membership_edges(sf_dir), NegSet(fwd=("in_nation",)))
+
+
+SQL_PATH_NEGSET = """
+SELECT DISTINCT 'n:' || n_nationkey AS start, 'r:' || n_regionkey AS "end"
+FROM nation
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
@@ -1161,6 +1279,9 @@ REGISTRY: dict[str, tuple] = {
     ),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "path_2hop": (q_path_2hop, SQL_PATH_2HOP),
+    "path_star_alt": (q_path_star_alt, SQL_PATH_STAR_ALT),
+    "path_inverse_seq": (q_path_inverse_seq, SQL_PATH_INVERSE_SEQ),
+    "path_negset": (q_path_negset, SQL_PATH_NEGSET),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

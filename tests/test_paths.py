@@ -1,0 +1,108 @@
+"""General property-path evaluator semantics (reference:
+sparql/path/eval/PathEval.java) on a small synthetic graph:
+
+    a -p-> b -p-> c -p-> d        (chain)
+    c -q-> a                      (back edge, makes a p/q cycle)
+    a -r-> x
+"""
+
+import pyarrow as pa
+import pytest
+
+from jena_ray.ops.paths import Alt, Inv, Link, NegSet, Opt, Plus, Seq, Star, eval_path
+
+
+def _graph():
+    import ray.data as rd
+
+    rows = [
+        ("a", "p", "b"),
+        ("b", "p", "c"),
+        ("c", "p", "d"),
+        ("c", "q", "a"),
+        ("a", "r", "x"),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([r[0] for r in rows], pa.large_string()),
+                "p": pa.array([r[1] for r in rows], pa.large_string()),
+                "o": pa.array([r[2] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+def _pairs(ds):
+    return {(r["start"], r["end"]) for r in ds.take_all()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_and_inverse():
+    g = _graph()
+    assert _pairs(eval_path(g, Link("q"))) == {("c", "a")}
+    assert _pairs(eval_path(g, Inv(Link("q")))) == {("a", "c")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alt_and_seq():
+    g = _graph()
+    assert _pairs(eval_path(g, Alt(Link("q"), Link("r")))) == {("c", "a"), ("a", "x")}
+    # p/p : two-hop chain pairs
+    assert _pairs(eval_path(g, Seq(Link("p"), Link("p")))) == {("a", "c"), ("b", "d")}
+    # p/q : b -p-> c -q-> a
+    assert _pairs(eval_path(g, Seq(Link("p"), Link("q")))) == {("b", "a")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_negset_forward_and_inverse_members():
+    g = _graph()
+    # !(p|r) : only the q edge survives, forward direction
+    assert _pairs(eval_path(g, NegSet(fwd=("p", "r")))) == {("c", "a")}
+    # !(p|r|^p|^r) : q forward plus everything-but-p,r inverse → q both ways
+    assert _pairs(eval_path(g, NegSet(fwd=("p", "r"), inv=("p", "r")))) == {
+        ("c", "a"),
+        ("a", "c"),
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_includes_zero_length_and_crosses_cycle():
+    g = _graph()
+    got = _pairs(eval_path(g, Star(Link("p")), seeds=["a"]))
+    assert got == {("a", "a"), ("a", "b"), ("a", "c"), ("a", "d")}
+    # star over Alt(p, q) from d: zero-length only (d has no out-edges)
+    assert _pairs(eval_path(g, Star(Alt(Link("p"), Link("q"))), seeds=["d"])) == {
+        ("d", "d")
+    }
+    # cycle: from b, p|q star loops c -q-> a and still terminates
+    got_b = _pairs(eval_path(g, Star(Alt(Link("p"), Link("q"))), seeds=["b"]))
+    assert got_b == {("b", "b"), ("b", "c"), ("b", "d"), ("b", "a")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_plus_excludes_zero_length():
+    g = _graph()
+    got = _pairs(eval_path(g, Plus(Link("p")), seeds=["a", "d"]))
+    assert got == {("a", "b"), ("a", "c"), ("a", "d")}  # no (a,a), no (d,d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_opt_is_zero_or_one():
+    g = _graph()
+    got = _pairs(eval_path(g, Opt(Link("p")), seeds=["a", "d"]))
+    assert got == {("a", "a"), ("a", "b"), ("d", "d")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_requires_seeds():
+    with pytest.raises(ValueError):
+        eval_path(_graph(), Star(Link("p")))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nested_star_of_seq():
+    # (p/p)* from a: zero + even-length p-chains: a, c (a-p-b-p-c)
+    g = _graph()
+    got = _pairs(eval_path(g, Star(Seq(Link("p"), Link("p"))), seeds=["a"]))
+    assert got == {("a", "a"), ("a", "c")}
