@@ -67,6 +67,27 @@ def _tt_struct(inner: str):
         return ("L", inner)  # unparseable: compare verbatim
 
 
+def remap_triple_term_bnodes(inner: str, mapper) -> str:
+    """Rewrite every ``_:label`` inside a serialized triple term through
+    ``mapper(label) -> new_label``, preserving all other tokens verbatim.
+    Used by readers to keep doc-scoped bnode relabeling consistent between
+    asserted triples and the reified terms that reference the same nodes
+    (reference: riot LabelToNode applies to ALL node positions).
+    Unparseable input is returned unchanged."""
+    st = _tt_struct(inner)
+    if st[0] != "T":
+        return inner
+
+    def ser(t):
+        if t[0] == "T":
+            return "<<( " + " ".join(ser(x) for x in t[1:]) + " )>>"
+        if t[0] == "B":
+            return "_:" + mapper(t[1])
+        return t[1]
+
+    return " ".join(ser(x) for x in st[1:])
+
+
 def _struct_bnodes(st):
     if st[0] == "B":
         yield st[1]

@@ -76,19 +76,28 @@ class _Context:
                 out.terms.pop(key, None)
         return out
 
-    def expand_iri(self, value: str, *, vocab: bool = False) -> str | None:
+    def expand_iri(self, value: str, *, vocab: bool = False, _seen=frozenset()) -> str | None:
         if value.startswith("@"):
             return value
-        if value in self.terms:
+        if value in self.terms and value not in _seen:
             tid = self.terms[value].get("@id")
             if tid is None:
                 return None
-            return self.expand_iri(tid, vocab=True) if not tid.startswith("http") \
-                and ":" not in tid else tid
+            if tid == value:
+                return tid
+            # a term's @id may itself be a CURIE ("name": "foaf:name") —
+            # expand recursively through the context (ADVICE r1 #2); _seen
+            # breaks definition cycles
+            return self.expand_iri(tid, vocab=True, _seen=_seen | {value})
         if ":" in value:
             prefix, _, suffix = value.partition(":")
-            if prefix in self.terms and not suffix.startswith("//"):
+            if prefix in self.terms and not suffix.startswith("//") \
+                    and prefix not in _seen:
                 pid = self.terms[prefix].get("@id", "")
+                if pid and pid != prefix:
+                    pid = self.expand_iri(
+                        pid, vocab=True, _seen=_seen | {prefix}
+                    ) or pid
                 return pid + suffix
             return value  # absolute IRI (or _:bnode handled by caller)
         if vocab and self.vocab:

@@ -15,8 +15,9 @@ import os
 
 import pyarrow as pa
 
-from ..model import KIND_BNODE, TRIPLE_SCHEMA, RDFParseError
+from ..model import KIND_BNODE, KIND_TRIPLE_TERM, TRIPLE_SCHEMA, RDFParseError
 from ..rdf.bnodes import BNodeScope
+from ..rdf.iso import remap_triple_term_bnodes
 from ..rdf.ntriples import parse_ntriples
 from ..rdf.turtle import parse_trig, parse_turtle
 
@@ -82,6 +83,12 @@ def _parse_files_batch(
                 s_lex = scope.get(s_lex)
             if o_kind == KIND_BNODE:
                 o_lex = scope.get(o_lex)
+            elif o_kind == KIND_TRIPLE_TERM:
+                # bnode labels INSIDE the reified term must go through the
+                # same scope as the asserted triples, or the reifier and
+                # its term silently diverge (and two files reusing '_:x'
+                # collide) — ADVICE r1 #1
+                o_lex = remap_triple_term_bnodes(o_lex, scope.get)
             if g.startswith("_:"):
                 g = "_:" + scope.get(g[2:])
             cols["s_kind"].append(s_kind)

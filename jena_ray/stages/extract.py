@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..model import KIND_BNODE, TRIPLE_SCHEMA
+from ..model import KIND_BNODE, KIND_TRIPLE_TERM, TRIPLE_SCHEMA
 from ..rdf.bnodes import BNodeScope
+from ..rdf.iso import remap_triple_term_bnodes
 from ..rdf.turtle import parse_turtle
 from ..sources.docs import RUN_SEED, doc_base
 
@@ -39,6 +40,9 @@ def extract_batch(batch: pa.Table, *, on_error: str = "raise") -> pa.Table:
                 s_lex = scope.get(s_lex)
             if o_kind == KIND_BNODE:
                 o_lex = scope.get(o_lex)
+            elif o_kind == KIND_TRIPLE_TERM:
+                # same scope for labels inside reified terms (see readers)
+                o_lex = remap_triple_term_bnodes(o_lex, scope.get)
             cols["s_kind"].append(s_kind)
             cols["s_lex"].append(s_lex)
             cols["p"].append(p)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..model import KIND_IRI, KIND_LITERAL, XSD_STRING
+from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_TRIPLE_TERM, XSD_STRING
 from ..rdf.escapes import escape_string
 from ..rdf.ntriples import format_triple
 
@@ -56,7 +56,13 @@ def _term_ttl(kind: int, lex: str, dt: str, lang: str, prefixes) -> str:
             short = _abbrev(dt, prefixes)
             return body + "^^" + (short if short else f"<{dt}>")
         return body
-    return "_:" + lex
+    if kind == KIND_TRIPLE_TERM:
+        # o_lex is the canonical NT inner serialization; NT terms are
+        # valid Turtle tokens, so emit it verbatim inside <<( )>>
+        return "<<( " + lex + " )>>"
+    if kind == KIND_BNODE:
+        return "_:" + lex
+    raise ValueError(f"unknown term kind {kind} (lex {lex!r})")
 
 
 def format_turtle_flat_batch(batch: pa.Table, prefixes=None) -> pa.Table:

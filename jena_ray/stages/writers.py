@@ -41,7 +41,10 @@ def _group_sort_key(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def turtle_pretty_groups(triples_ds, prefixes: dict | None = None):
-    """(subject_text,) fragments: one pretty Turtle block per subject."""
+    """One pretty Turtle block per subject. Besides the assembled
+    ``fragment``, each row carries the subject kind/label and the bare
+    property ``body`` so :func:`assemble` can INLINE single-reference
+    bnodes as nested ``[ ... ]`` (TurtleShell.java writeNestedObjects)."""
     prefixes = prefixes or DEFAULT_PREFIXES
 
     def fmt(g: pd.DataFrame) -> pd.DataFrame:
@@ -58,12 +61,66 @@ def turtle_pretty_groups(triples_ds, prefixes: dict | None = None):
                 for _, r in pg.iterrows()
             )
             parts.append(f"{pred} {objs}")
-        block = subj + " " + " ;\n        ".join(parts) + " ."
-        return pd.DataFrame({"fragment": [block], "sort_key": [s_lex]})
+        body = " ;\n        ".join(parts)
+        block = subj + " " + body + " ."
+        return pd.DataFrame(
+            {
+                "fragment": [block],
+                "sort_key": [s_lex],
+                "s_is_bnode": [s_kind == KIND_BNODE],
+                "s_label": [s_lex],
+                "body": [body],
+            }
+        )
 
     return triples_ds.groupby(["s_kind", "s_lex"]).map_groups(
         fmt, batch_format="pandas"
     )
+
+
+def _inline_bnodes(rows: list[dict]) -> list[str]:
+    """Driver-side bnode inlining over the (small) assembled fragment set:
+    a bnode subject referenced EXACTLY ONCE as an object (and not by
+    itself) is substituted into its referencing block as ``[ body ]`` and
+    its own block dropped; iterated to fixpoint so chains nest bottom-up.
+    Cycles and multi-reference bnodes keep their ``_:x`` labels (same rule
+    as the reference's pretty writer)."""
+    import re
+
+    frags = {i: dict(r) for i, r in enumerate(rows)}
+
+    def refs_of(label: str):
+        pat = re.compile(rf"_:{re.escape(label)}(?![0-9A-Za-z_\-])")
+        return [
+            i
+            for i, f in frags.items()
+            for _ in pat.finditer(f["body"])
+        ]
+
+    changed = True
+    while changed:
+        changed = False
+        for i in sorted(frags):
+            f = frags.get(i)
+            if f is None or not f["s_is_bnode"]:
+                continue
+            label = f["s_label"]
+            ref_ids = refs_of(label)
+            if len(ref_ids) != 1 or ref_ids[0] == i:
+                continue
+            j = ref_ids[0]
+            pat = re.compile(rf"_:{re.escape(label)}(?![0-9A-Za-z_\-])")
+            inline = "[ " + f["body"] + " ]"
+            frags[j]["body"] = pat.sub(lambda _m: inline, frags[j]["body"], count=1)
+            del frags[i]
+            changed = True
+
+    out = []
+    for i in sorted(frags, key=lambda k: frags[k]["sort_key"]):
+        f = frags[i]
+        subj = f["fragment"].split(" ", 1)[0] if not f["s_is_bnode"] else "_:" + f["s_label"]
+        out.append(subj + " " + f["body"] + " .")
+    return out
 
 
 def turtle_header(prefixes: dict | None = None) -> str:
@@ -121,7 +178,12 @@ def _rdfxml_prop(p, o_kind, o_lex, o_dt, o_lang) -> str:
             if local.replace("_", "").replace("-", "").isalnum() and not local[0].isdigit():
                 break
     else:
-        ns, local = p, "value"
+        # the reference's RDF/XML writer raises "cannot split URI" rather
+        # than altering data (ADVICE r1 #3: ns+"value" round-trips to a
+        # DIFFERENT predicate — silent corruption)
+        raise ValueError(
+            f"RDF/XML writer: cannot derive an XML qname from predicate IRI {p!r}"
+        )
     tag = f"n:{local}"
     nsdecl = f' xmlns:n="{xml_escape(ns)}"'
     if o_kind == KIND_IRI:
@@ -211,11 +273,11 @@ def assemble(fragments_ds, fmt: str, prefixes: dict | None = None) -> str:
     """Deterministic full-document text (small outputs / tests): sorted
     fragments + header/footer. Large outputs keep the fragments dataset
     and write it partitioned instead."""
-    frags = [
-        r["fragment"]
-        for r in sorted(fragments_ds.take_all(), key=lambda r: r["sort_key"])
-    ]
+    rows = sorted(fragments_ds.take_all(), key=lambda r: r["sort_key"])
+    frags = [r["fragment"] for r in rows]
     if fmt == "turtle":
+        if rows and "s_is_bnode" in rows[0]:
+            frags = _inline_bnodes(rows)
         return turtle_header(prefixes) + "\n\n" + "\n\n".join(frags) + "\n"
     if fmt == "jsonld":
         return "[" + ",\n".join(frags) + "]"

@@ -11,7 +11,8 @@ A patch is a text log, one operation per line:
     TX / TC                  # transaction begin/commit (ignored: a patch
                              # file is applied atomically as a whole)
 
-Application is distributed and set-semantic:
+Ops are replayed in FILE ORDER to effective add/delete sets (last op per
+triple wins — sequential RDFChanges semantics), then applied distributed:
   new = (current ∪ adds) ∖ deletes
 realized as a broadcast of the (small) delete set + union + exact dedup.
 For patch batches large enough to break the broadcast assumption, apply
@@ -27,21 +28,31 @@ from ..rdf.ntriples import parse_ntriples
 from ..stages.dedup import KEY_COLS, exact_dedup
 
 
-def parse_patch(text: str) -> tuple[list[tuple], list[tuple]]:
-    """Patch text → (adds, deletes) as term 8-tuples."""
-    adds: list[tuple] = []
-    deletes: list[tuple] = []
+def parse_patch_ops(text: str) -> list[tuple[str, tuple]]:
+    """Patch text → ordered [(op, term-8-tuple), ...] in file order."""
+    ops: list[tuple[str, tuple]] = []
     for lineno, line in enumerate(text.split("\n"), 1):
         line = line.strip()
         if not line or line.startswith("#") or line in ("TX .", "TC .", "TX", "TC"):
             continue
         op, _, rest = line.partition(" ")
-        if op == "A":
-            adds.extend(parse_ntriples(rest))
-        elif op == "D":
-            deletes.extend(parse_ntriples(rest))
+        if op in ("A", "D"):
+            ops.extend((op, t) for t in parse_ntriples(rest))
         else:
             raise RDFParseError(f"patch line {lineno}: unknown op {op!r}")
+    return ops
+
+
+def parse_patch(text: str) -> tuple[list[tuple], list[tuple]]:
+    """Patch text → EFFECTIVE (adds, deletes): ops are replayed in file
+    order and the LAST op per triple key wins (jena-rdfpatch RDFChanges is
+    sequential — 'D t' then 'A t' must leave t present; ADVICE r1 #5), so
+    the effective sets are disjoint and set algebra applies cleanly."""
+    last: dict[tuple, tuple[str, tuple]] = {}
+    for op, t in parse_patch_ops(text):
+        last[tuple(t[:8])] = (op, t)
+    adds = [t for op, t in last.values() if op == "A"]
+    deletes = [t for op, t in last.values() if op == "D"]
     return adds, deletes
 
 

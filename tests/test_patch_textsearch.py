@@ -65,3 +65,31 @@ def test_text_query_over_kg():
     assert rows[0]["score"] >= rows[-1]["score"]
     num = target.split()[-1]
     assert any(num in r["literal"] for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patch_ops_apply_in_file_order():
+    """'D t' then 'A t' leaves t PRESENT (sequential RDFChanges semantics);
+    'A t' then 'D t' leaves it absent."""
+    import ray.data as rd
+
+    from jena_ray.state.patch import apply_patch, parse_patch
+
+    t = '<http://ex/s> <http://ex/p> "v" .'
+    adds, dels = parse_patch(f"D {t}\nA {t}\n")
+    assert len(adds) == 1 and not dels
+    adds2, dels2 = parse_patch(f"A {t}\nD {t}\n")
+    assert len(dels2) == 1 and not adds2
+
+    from jena_ray.model import TRIPLE_SCHEMA
+    import pyarrow as pa
+
+    empty = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
+    )
+    out = apply_patch(empty, f"D {t}\nA {t}\n")
+    assert out.count() == 1
+    out2 = apply_patch(empty, f"A {t}\nD {t}\n")
+    assert out2.count() == 0

@@ -100,3 +100,35 @@ def test_write_results_csv_json(tmp_path):
 
     out_json = write_results(ds, str(tmp_path / "json"), "json")
     assert glob.glob(out_json + "/*")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_rdf_relabels_bnodes_inside_triple_terms(tmp_path):
+    """ADVICE r1 #1: the reifier bnode and the bnode INSIDE its reified
+    triple term must stay the same node after doc-scoped relabeling, and
+    two files reusing '_:x' must not collide."""
+    from jena_ray.model import KIND_BNODE, KIND_TRIPLE_TERM
+    from jena_ray.sources.readers import read_rdf
+
+    line = '_:x <http://ex/p> "v" .\n_:r <http://ex/reifies> <<( _:x <http://ex/p> "v" )>> .\n'
+    (tmp_path / "a.nt").write_text(line)
+    (tmp_path / "b.nt").write_text(line)
+
+    rows = read_rdf([str(tmp_path / "a.nt"), str(tmp_path / "b.nt")]).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 2
+    inner_by_doc = {}
+    for doc, rs in by_doc.items():
+        asserted = [r for r in rs if r["s_kind"] == KIND_BNODE and r["p"] == "http://ex/p"]
+        reified = [r for r in rs if r["o_kind"] == KIND_TRIPLE_TERM]
+        assert len(asserted) == 1 and len(reified) == 1
+        subj_label = asserted[0]["s_lex"]
+        inner = reified[0]["o_lex"]
+        # the term's inner subject must be the RELABELED node, not '_:x'
+        assert f"_:{subj_label} " in inner, (subj_label, inner)
+        assert "_:x" not in inner
+        inner_by_doc[doc] = inner
+    # different docs → different scopes → different inner terms
+    assert len(set(inner_by_doc.values())) == 2

@@ -92,3 +92,46 @@ def test_trix_roundtrip():
     doc = assemble(trix_groups(rd.from_arrow(_table())), "trix")
     got = parse_trix(doc)
     assert graph_iso(got, _expected())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_turtle_pretty_inlines_single_ref_bnodes():
+    """VERDICT r1 #9: single-reference bnodes print as nested [ ] (no _:x
+    label), chains nest recursively, multi-ref bnodes keep labels; output
+    round-trips to an isomorphic graph."""
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+    from jena_ray.rdf.iso import graph_iso
+    from jena_ray.rdf.turtle import parse_turtle
+    from jena_ray.stages.writers import assemble, turtle_pretty_groups
+
+    src = """
+    @prefix ex: <http://ex/> .
+    ex:a ex:knows [ ex:name "inner" ; ex:addr [ ex:city "X" ] ] .
+    ex:a ex:sees _:m . ex:b ex:sees _:m . _:m ex:name "multi" .
+    """
+    triples = parse_turtle(src)
+    import pyarrow as pa
+
+    cols = {name: [] for name in TRIPLE_SCHEMA.names}
+    for (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g) in triples:
+        for name, v in zip(
+            TRIPLE_SCHEMA.names,
+            [s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, "t"],
+        ):
+            cols[name].append(v)
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+            schema=TRIPLE_SCHEMA,
+        )
+    )
+    text = assemble(turtle_pretty_groups(ds), "turtle")
+    # nested [ ] survives; the single-ref chain has no residual labels
+    assert "[ " in text and " ]" in text
+    inner_labels = [l for l in text.split() if l.startswith("_:")]
+    # only the multi-referenced bnode keeps a label (appears 3x: 2 refs + subject)
+    assert len(set(inner_labels)) == 1, text
+    reparsed = parse_turtle(text)
+    assert graph_iso(triples, reparsed), text
