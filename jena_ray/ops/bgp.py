@@ -1,0 +1,168 @@
+"""Minimal BGP (basic graph pattern) match engine over the triple table.
+
+Reference semantics: jena-arq sparql/engine/main/OpExecutor.java:127-464 +
+StageMatchTriple.java (substitution matching) and the solver chain
+QueryIterBlockTriples: a BGP is a conjunction of triple patterns solved
+left-to-right, each pattern joining its bindings with the accumulated
+solution set. The Ray realization makes the join explicit:
+
+    per pattern:  filter the triple Dataset on the pattern's constants
+                  (one vectorized map_batches), project its variables to
+                  binding columns
+    accumulate:   hash join on the shared variables (Dataset.join),
+                  cartesian-free — patterns must be connected through
+                  shared vars (the planner reorders to guarantee it)
+
+Pattern join order: patterns are greedily reordered so each next pattern
+shares ≥1 variable with the already-joined prefix (most-constants first
+as the seed) — the reference's ReorderLib.fixed() heuristic analog.
+
+Bindings are lexical forms (s_lex/p/o_lex); kind columns can be added
+per-variable with ``with_kinds=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import compact_blocks
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+def _is_var(t) -> bool:
+    return isinstance(t, Var)
+
+
+def _pattern_vars(pat) -> list[str]:
+    return [t.name for t in pat if _is_var(t)]
+
+
+def _order_patterns(patterns):
+    """Greedy connected ordering: seed = most constants; each next pattern
+    must share a variable with the prefix. Raises on disconnected BGPs
+    (a cartesian product — express it as two BGPs + a driver combine)."""
+    pats = list(patterns)
+    if not pats:
+        return []
+    pats.sort(key=lambda p: (-sum(0 if _is_var(t) else 1 for t in p),))
+    ordered = [pats.pop(0)]
+    bound = set(_pattern_vars(ordered[0]))
+    while pats:
+        for i, p in enumerate(pats):
+            if bound & set(_pattern_vars(p)):
+                ordered.append(pats.pop(i))
+                bound |= set(_pattern_vars(ordered[-1]))
+                break
+        else:
+            raise ValueError(
+                "disconnected BGP (cartesian product): no pattern shares a "
+                f"variable with the prefix; remaining {pats!r}"
+            )
+    return ordered
+
+
+def _bindings_for_pattern(triples_ds, pat):
+    """One triple pattern → Dataset of bindings (one column per var)."""
+    s, p, o = pat
+    # (var, source column) per VARIABLE POSITION — duplicates preserved so
+    # ?x p ?x becomes a within-pattern equality
+    positions = []
+    if _is_var(s):
+        positions.append((s.name, "s_lex"))
+    if _is_var(p):
+        positions.append((p.name, "p"))
+    if _is_var(o):
+        positions.append((o.name, "o_lex"))
+    var_names = sorted({v for v, _ in positions})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {v: pa.array([], pa.large_string()) for v in var_names}
+            )
+        mask = None
+
+        def conj(m, cond):
+            return cond if m is None else pc.and_(m, cond)
+
+        if not _is_var(s):
+            mask = conj(mask, pc.equal(t["s_lex"], s))
+        if not _is_var(p):
+            mask = conj(mask, pc.equal(t["p"], p))
+        if not _is_var(o):
+            mask = conj(mask, pc.equal(t["o_lex"], o))
+        x = t.filter(mask) if mask is not None else t
+        by_var: dict[str, list] = {}
+        for v, col in positions:
+            by_var.setdefault(v, []).append(col)
+        eq_mask = None
+        for v, cl in by_var.items():
+            for extra in cl[1:]:  # same var twice → equality constraint
+                eq_mask = conj(eq_mask, pc.equal(x[cl[0]], x[extra]))
+        if eq_mask is not None:
+            x = x.filter(eq_mask)
+        return pa.table(
+            {v: x[cl[0]].combine_chunks().cast(pa.large_string())
+             for v, cl in by_var.items()}
+        )
+
+    return compact_blocks(triples_ds.map_batches(kernel, batch_format="pyarrow"))
+
+
+def _dedup(ds, cols):
+    return compact_blocks(
+        ds.groupby(list(cols)).count().map_batches(
+            lambda t: pa.table(
+                {c: t[c].combine_chunks().cast(pa.large_string()) for c in cols}
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+
+
+def match_bgp(triples_ds, patterns, *, distinct: bool = False,
+              num_partitions: int | None = None):
+    """Solve a BGP over the triple Dataset → binding Dataset (one
+    large_string column per variable, SPARQL bag semantics unless
+    ``distinct``)."""
+    ordered = _order_patterns(patterns)
+    if not ordered:
+        raise ValueError("empty BGP")
+
+    acc = _bindings_for_pattern(triples_ds, ordered[0])
+    acc_vars = set(_pattern_vars(ordered[0]))
+    for pat in ordered[1:]:
+        nxt = _bindings_for_pattern(triples_ds, pat)
+        shared = sorted(acc_vars & set(_pattern_vars(pat)))
+        n_parts = num_partitions or max(1, min(64, acc.count() // 2_000_000))
+        acc = compact_blocks(
+            acc.join(nxt, join_type="inner", num_partitions=n_parts,
+                     on=tuple(shared))
+        )
+        acc_vars |= set(_pattern_vars(pat))
+    if distinct:
+        acc = _dedup(acc, sorted(acc_vars))
+    return acc
+
+
+def select(bindings_ds, columns, *, where=None):
+    """Projection + optional vectorized filter (the OpFilter/OpProject
+    tail of the algebra): ``where`` is a callable batch→BooleanArray."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({c: pa.array([], pa.large_string()) for c in columns})
+        if where is not None:
+            t = t.filter(where(t))
+        return pa.table({c: t[c].combine_chunks() for c in columns})
+
+    return bindings_ds.map_batches(kernel, batch_format="pyarrow")

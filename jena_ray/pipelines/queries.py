@@ -1230,6 +1230,70 @@ FROM nation JOIN supplier ON s_nationkey = n_nationkey
 """
 
 
+def _membership_triples(sf_dir: str):
+    """The membership edge table shaped as triple columns for the BGP
+    engine (s_lex, p, o_lex)."""
+    return _membership_edges(sf_dir).map_batches(
+        lambda t: t.rename_columns(["s_lex", "p", "o_lex"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+
+
+def q_bgp_match(sf_dir: str):
+    """BGP solve (OpExecutor.java:127, StageMatchTriple.java):
+    { ?c in_nation ?n . ?n in_region ?r } with a constant-object filter —
+    two chained hash joins over the triple table + OpFilter tail."""
+    from ..ops.bgp import Var, match_bgp, select
+
+    b = match_bgp(
+        _membership_triples(sf_dir),
+        [
+            (Var("c"), "in_nation", Var("n")),
+            (Var("n"), "in_region", Var("r")),
+        ],
+    )
+    return select(b, ["c", "n", "r"],
+                  where=lambda t: pc.equal(t["r"], "r:0"))
+
+
+SQL_BGP_MATCH = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS c, members.n AS n, 'r:' || n_regionkey AS r
+FROM members JOIN nation ON members.n = 'n:' || n_nationkey
+WHERE n_regionkey = 0
+"""
+
+
+def q_bgp_star_join(sf_dir: str):
+    """Star-join BGP { ?a in_nation ?n . ?b in_nation ?n } + FILTER(?a<?b):
+    self-join on the shared variable (QueryIterBlockTriples chaining),
+    distinct co-national member pairs."""
+    from ..ops.bgp import Var, match_bgp, select
+
+    b = match_bgp(
+        _membership_triples(sf_dir),
+        [
+            (Var("a"), "in_nation", Var("n")),
+            (Var("b"), "in_nation", Var("n")),
+        ],
+    )
+    return select(b, ["a", "b"], where=lambda t: pc.less(t["a"], t["b"]))
+
+
+SQL_BGP_STAR_JOIN = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT x.m AS a, y.m AS b
+FROM members x JOIN members y ON x.n = y.n
+WHERE x.m < y.m
+"""
+
+
 def q_path_negset(sf_dir: str):
     """!(in_nation) — P_NegPropSet (PathEval.java evalNegPropSet,
     P_NegPropSet.java): any forward edge whose predicate is NOT in the
@@ -1282,6 +1346,8 @@ REGISTRY: dict[str, tuple] = {
     "path_star_alt": (q_path_star_alt, SQL_PATH_STAR_ALT),
     "path_inverse_seq": (q_path_inverse_seq, SQL_PATH_INVERSE_SEQ),
     "path_negset": (q_path_negset, SQL_PATH_NEGSET),
+    "bgp_match": (q_bgp_match, SQL_BGP_MATCH),
+    "bgp_star_join": (q_bgp_star_join, SQL_BGP_STAR_JOIN),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
