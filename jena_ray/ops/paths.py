@@ -228,6 +228,49 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool, max_rounds: int = 
     return acc
 
 
+def transitive_pairs(pairs_ds, max_rounds: int = 25):
+    """Unseeded transitive closure of a (start, end) pair Dataset by
+    semi-naive iteration: per round the NEW pairs only are advanced one
+    step against the base relation (frontier ⋈ base), deduped against the
+    accumulator by a min-tag groupby. O(longest chain) rounds. Output is
+    O(V·reach) — callers own the judgment that the closed relation is
+    hierarchy-shaped (partOf/ancestor), not clique-shaped."""
+    base = _distinct(pairs_ds)
+    acc = base
+    frontier = base
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        stepped = _join_seq(frontier, base)
+        if stepped.count() == 0:
+            break
+        tag_old = acc.map_batches(
+            lambda t: t.append_column("tag", pa.array([0] * t.num_rows, pa.int8()))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        tag_new = stepped.map_batches(
+            lambda t: t.append_column("tag", pa.array([1] * t.num_rows, pa.int8()))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        merged = tag_old.union(tag_new).groupby(["start", "end"]).min("tag")
+
+        def only_new(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _as_pairs(t, "start", "end")
+            keep = t.filter(pc.equal(t["min(tag)"], pa.scalar(1, pa.int8())))
+            return _as_pairs(keep, "start", "end")
+
+        frontier = compact_blocks(merged.map_batches(only_new, batch_format="pyarrow"))
+        if frontier.count() == 0:
+            break
+        acc = _distinct(acc.union(frontier))
+    return acc
+
+
 def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int = 25):
     """Evaluate `path` over an (s, p, o) edge Dataset → distinct
     (start, end) pairs. `seeds` (iterable of node strings) is REQUIRED

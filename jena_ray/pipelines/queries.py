@@ -1239,6 +1239,73 @@ def _membership_triples(sf_dir: str):
     )
 
 
+def q_owl_transitive_in(sf_dir: str):
+    """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
+    owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
+    closure adds member-in-region triples. Output: distinct (s, o) of the
+    derived 'in' relation."""
+    from ray.data.aggregate import Count
+
+    from ..model import KIND_IRI, RDF_TYPE, TRIPLE_SCHEMA
+    from ..stages.owl import OWL_TRANSITIVE, owl_inference
+    from ..stages.rdfs import RDFS_SUBPROPERTYOF, rdfs_inference
+
+    def to_schema9(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array([1] * n, pa.int8()),
+                t["s"].combine_chunks().cast(pa.large_string()),
+                t["p"].combine_chunks().cast(pa.large_string()),
+                pa.array([1] * n, pa.int8()),
+                t["o"].combine_chunks().cast(pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array(["m"] * n, pa.large_string()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    triples = _membership_edges(sf_dir).map_batches(to_schema9, batch_format="pyarrow")
+    rdfs_schema = [
+        (KIND_IRI, "in_nation", RDFS_SUBPROPERTYOF, KIND_IRI, "in", "", "", ""),
+        (KIND_IRI, "in_region", RDFS_SUBPROPERTYOF, KIND_IRI, "in", "", "", ""),
+    ]
+    owl_schema = [(KIND_IRI, "in", RDF_TYPE, KIND_IRI, OWL_TRANSITIVE, "", "", "")]
+    closed = owl_inference(rdfs_inference(triples, rdfs_schema), owl_schema)
+
+    def project_in(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.equal(t["p"], "in"))
+        return pa.table(
+            {
+                "s": x["s_lex"].combine_chunks().cast(pa.large_string()),
+                "o": x["o_lex"].combine_chunks().cast(pa.large_string()),
+            }
+        )
+
+    return (
+        closed.map_batches(project_in, batch_format="pyarrow")
+        .groupby(["s", "o"])
+        .aggregate(Count(alias_name="cnt"))
+        .select_columns(["s", "o"])
+    )
+
+
+SQL_OWL_TRANSITIVE_IN = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS s, n AS o FROM members
+UNION
+SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+UNION
+SELECT members.m, 'r:' || n_regionkey
+FROM members JOIN nation ON members.n = 'n:' || n_nationkey
+"""
+
+
 def q_bgp_match(sf_dir: str):
     """BGP solve (OpExecutor.java:127, StageMatchTriple.java):
     { ?c in_nation ?n . ?n in_region ?r } with a constant-object filter —
@@ -1348,6 +1415,7 @@ REGISTRY: dict[str, tuple] = {
     "path_negset": (q_path_negset, SQL_PATH_NEGSET),
     "bgp_match": (q_bgp_match, SQL_BGP_MATCH),
     "bgp_star_join": (q_bgp_star_join, SQL_BGP_STAR_JOIN),
+    "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

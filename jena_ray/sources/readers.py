@@ -31,6 +31,7 @@ _EXT_TO_LANG = {
     ".jsonld": "jsonld",
     ".json": "jsonld",
     ".trix": "trix",
+    ".rj": "rdfjson",
 }
 
 
@@ -61,6 +62,10 @@ def parse_rdf_text(
         from ..rdf.trix import parse_trix
 
         return parse_trix(text, base=base, on_error=on_error)
+    if lang == "rdfjson":
+        from ..rdf.rdfjson import parse_rdfjson
+
+        return parse_rdfjson(text, base=base, on_error=on_error)
     raise RDFParseError(f"unknown RDF language: {lang!r}")
 
 

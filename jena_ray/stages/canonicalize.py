@@ -98,12 +98,22 @@ def canonicalize_batch(batch: pa.Table) -> pa.Table:
     dt_needs = pc.is_in(o_dt, value_set=pa.array(sorted(all_canon_dts), o_dt.type))
     needs = pc.and_(o_is_lit, dt_needs)
     if pc.any(needs).as_py():
-        idxs = [i for i, f in enumerate(needs.to_pylist()) if f]
-        lex_py = o_lex.to_pylist()
-        dt_py = o_dt.to_pylist()
-        for i in idxs:
-            lex_py[i] = _canon_one(lex_py[i], dt_py[i])
-        o_lex = pa.array(lex_py, type=o_lex.type)
+        # dictionary-encode the (datatype, lexical) PAIR so the Python
+        # canonicalizer runs once per unique pair (literals repeat
+        # Zipf-like just as IRIs do); dt leads the key — an IRI can never
+        # contain NUL, so the partition is unambiguous
+        combined = pc.binary_join_element_wise(
+            pc.cast(o_dt, o_lex.type), o_lex, pa.scalar("\x00", o_lex.type)
+        )
+
+        def _canon_pair(v: str) -> str:
+            dt, _, lex = v.partition("\x00")
+            return _canon_one(lex, dt)
+
+        canon_all = _map_unique(combined, _canon_pair)
+        o_lex = pc.if_else(needs, canon_all, o_lex)
+        if isinstance(o_lex, pa.ChunkedArray):
+            o_lex = o_lex.combine_chunks()
     o_lex = pc.if_else(o_is_iri, _map_unique(o_lex, _safe_norm), o_lex)
 
     return pa.Table.from_arrays(

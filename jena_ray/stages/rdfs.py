@@ -141,4 +141,9 @@ def rdfs_inference(triples_ds, schema_triples: list[tuple], include_input=True):
         def __call__(self, batch: pa.Table) -> pa.Table:
             return infer_batch(batch, self.tbox, include_input)
 
-    return triples_ds.map_batches(Inferencer, batch_format="pyarrow", concurrency=2)
+    # autoscaling pool + fractional CPU: two fixed 1-CPU pools stacked in
+    # one pipeline can reserve every CPU of a small session and starve the
+    # task stages between them (deadlock) — see NOTES sharp edges
+    return triples_ds.map_batches(
+        Inferencer, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+    )

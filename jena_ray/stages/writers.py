@@ -168,6 +168,30 @@ def jsonld_groups(triples_ds):
     )
 
 
+def rdfjson_groups(triples_ds):
+    """One RDF/JSON subject entry (as '"S": {...}' text) per subject
+    (RDFJSONWriter.java — resource-centric, one key per subject)."""
+    from ..rdf.rdfjson import _value_obj
+
+    def fmt(g: pd.DataFrame) -> pd.DataFrame:
+        g = _group_sort_key(g)
+        s_kind = int(g["s_kind"].iloc[0])
+        s_lex = g["s_lex"].iloc[0]
+        skey = "_:" + s_lex if s_kind == KIND_BNODE else s_lex
+        props: dict = {}
+        for _, r in g.iterrows():
+            v = _value_obj(int(r["o_kind"]), r["o_lex"], r["o_datatype"], r["o_lang"])
+            vals = props.setdefault(r["p"], [])
+            if v not in vals:
+                vals.append(v)
+        frag = json.dumps(skey) + ": " + json.dumps(props, sort_keys=True)
+        return pd.DataFrame({"fragment": [frag], "sort_key": [skey]})
+
+    return triples_ds.groupby(["s_kind", "s_lex"]).map_groups(
+        fmt, batch_format="pandas"
+    )
+
+
 def _rdfxml_prop(p, o_kind, o_lex, o_dt, o_lang) -> str:
     # property elements use a generated q-name via a per-document ns table;
     # for the flat writer we split at the last # or /
@@ -285,4 +309,6 @@ def assemble(fragments_ds, fmt: str, prefixes: dict | None = None) -> str:
         return RDFXML_HEADER + "\n" + "\n".join(frags) + "\n" + RDFXML_FOOTER
     if fmt == "trix":
         return TRIX_HEADER + "\n" + "\n".join(frags) + "\n" + TRIX_FOOTER
+    if fmt == "rdfjson":
+        return "{" + ",\n".join(frags) + "}"
     raise ValueError(f"unknown format {fmt!r}")

@@ -135,3 +135,74 @@ def test_turtle_pretty_inlines_single_ref_bnodes():
     assert len(set(inner_labels)) == 1, text
     reparsed = parse_turtle(text)
     assert graph_iso(triples, reparsed), text
+
+
+def test_rdfjson_parse_and_format_roundtrip():
+    from jena_ray.rdf.rdfjson import format_rdfjson, parse_rdfjson
+
+    doc = """
+    {"http://ex/a": {"http://ex/p": [
+        {"type": "uri", "value": "http://ex/b"},
+        {"type": "literal", "value": "hi", "lang": "en"},
+        {"type": "literal", "value": "42",
+         "datatype": "http://www.w3.org/2001/XMLSchema#integer"},
+        {"type": "bnode", "value": "_:x"}]},
+     "_:x": {"http://ex/q": [{"type": "literal", "value": "plain"}]}}
+    """
+    triples = parse_rdfjson(doc)
+    assert len(triples) == 5
+    rt = parse_rdfjson(format_rdfjson(triples))
+    assert sorted(rt) == sorted(triples)
+
+
+def test_rdfjson_bad_input():
+    import pytest as _pytest
+
+    from jena_ray.model import RDFParseError
+    from jena_ray.rdf.rdfjson import parse_rdfjson
+
+    with _pytest.raises(RDFParseError):
+        parse_rdfjson("[1,2]")
+    with _pytest.raises(RDFParseError):
+        parse_rdfjson('{"s": {"p": [{"type": "alien", "value": "v"}]}}')
+    assert parse_rdfjson("not json", on_error="skip") == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rdfjson_writer_distributed_roundtrip():
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+    from jena_ray.rdf.rdfjson import parse_rdfjson
+    from jena_ray.stages.writers import assemble, rdfjson_groups
+
+    rows = [
+        (0, "http://ex/a", "http://ex/p", 0, "http://ex/b", "", "", "", "t"),
+        (0, "http://ex/a", "http://ex/p", 2, "v", "http://www.w3.org/2001/XMLSchema#string", "", "", "t"),
+        (1, "b1", "http://ex/q", 2, "x", "http://www.w3.org/2001/XMLSchema#string", "", "", "t"),
+    ]
+    import pyarrow as pa
+
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([r[i] for r in rows], f.type)
+             for i, f in enumerate(TRIPLE_SCHEMA)],
+            schema=TRIPLE_SCHEMA,
+        )
+    )
+    text = assemble(rdfjson_groups(ds), "rdfjson")
+    triples = parse_rdfjson(text)
+    assert len(triples) == 3
+    assert (1, "b1", "http://ex/q", 2, "x",
+            "http://www.w3.org/2001/XMLSchema#string", "", "") in triples
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_rdf_rdfjson_file(tmp_path):
+    from jena_ray.sources.readers import read_rdf
+
+    (tmp_path / "d.rj").write_text(
+        '{"http://ex/a": {"http://ex/p": [{"type": "uri", "value": "http://ex/b"}]}}'
+    )
+    rows = read_rdf(str(tmp_path / "d.rj")).take_all()
+    assert len(rows) == 1 and rows[0]["s_lex"] == "http://ex/a"
