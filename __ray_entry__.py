@@ -201,6 +201,22 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         """
         return validate(kg_triples(sf_dir, linker_concurrency=2), shapes)
 
+    def kg_shex_report(sf_dir: str):
+        from jena_ray.pipelines.kg import kg_triples
+        from jena_ray.stages.shex import validate_shex
+
+        schema = """
+        PREFIX ex: <http://example.org/p/>
+        <http://example.org/EntityShape> {
+          a IRI + ;
+          ex:name LITERAL
+        }
+        """
+        shape_map = "{FOCUS a <http://example.org/c/1>}@<http://example.org/EntityShape>"
+        return validate_shex(
+            kg_triples(sf_dir, linker_concurrency=2), schema, shape_map
+        )
+
     def kg_apply_patch(sf_dir: str):
         from jena_ray.pipelines.kg import kg_triples
         from jena_ray.state.patch import apply_patch
@@ -234,6 +250,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_rdfs_inference": kg_rdfs_inference,
         "kg_text_query": kg_text_query,
         "kg_shacl_report": kg_shacl_report,
+        "kg_shex_report": kg_shex_report,
         "kg_apply_patch": kg_apply_patch,
         "kg_extract_raw": kg_extract_raw,
         "kg_serialize_ntriples": kg_serialize_ntriples,

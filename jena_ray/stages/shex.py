@@ -1,0 +1,289 @@
+"""ShEx validation — core subset as a distributed per-focus-node stage.
+
+Parity: jena-shex (Shex.java schema parse, ShexValidator.java validate
+with a shape map, ShexReport.java statuses; ShExC grammar
+parser/ShExC.jj). Implemented subset — the triple-constraint core that
+covers schema-shaped KG QA:
+
+- shape declarations  <Label> { p1 VE card ; p2 VE card ; ... }  (EachOf)
+- value expressions:  ``.`` (wildcard), datatype IRI, node kinds
+  IRI / BNODE / LITERAL / NONLITERAL, value sets ``[ <v1> "v2" ... ]``
+- cardinalities:      ``?`` (0..1), ``+`` (1..*), ``*`` (0..*),
+  ``{m}`` / ``{m,n}`` / ``{m,*}``, default exactly 1
+- CLOSED shapes:      predicates outside the declared set are violations
+- shape map:          ``<node>@<Shape>`` fixed entries and
+  ``{FOCUS a <Class>}@<Shape>`` class selectors
+
+NOT in subset (documented): shape references ``@<Other>`` (cross-node —
+needs a join of the object's own triples), AND/OR/NOT shape expressions,
+semantic actions, IMPORTs.
+
+Execution shape (same as stages/shacl.py): the small schema + shape map
+broadcast; data hash-grouped by subject so every focus node's triples
+are co-located; groups validate vectorized-per-group. Report rows:
+(focus, shape, status, reason) — ShexStatus.conformant/nonconformant.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL, RDF_TYPE, RDFParseError
+
+_UNBOUNDED = -1
+
+
+@dataclass
+class TripleConstraint:
+    predicate: str
+    value_expr: tuple  # ("any",) | ("datatype", iri) | ("kind", k) | ("values", {..})
+    min_card: int = 1
+    max_card: int = 1  # _UNBOUNDED = *
+
+
+@dataclass
+class Shape:
+    label: str
+    constraints: list[TripleConstraint] = field(default_factory=list)
+    closed: bool = False
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<comment>\#[^\n]*) |
+        (?P<iri><[^>\s]*>) |
+        (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|[A-Za-z_][\w\-]*:) |
+        (?P<kw>PREFIX|CLOSED|IRI|BNODE|LITERAL|NONLITERAL|a) |
+        (?P<string>"(?:[^"\\]|\\.)*") |
+        (?P<card>[?*+]|\{\d+(?:,(?:\d+|\*))?\}) |
+        (?P<punct>[{}\[\];@.])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str):
+    pos = 0
+    out = []
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise RDFParseError(f"ShExC: cannot tokenize at {text[pos:pos+24]!r}")
+        pos = m.end()
+        if m.lastgroup == "comment":
+            continue
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+    return out
+
+
+class ShexSchema:
+    def __init__(self, shapes: dict[str, Shape], prefixes: dict[str, str]):
+        self.shapes = shapes
+        self.prefixes = prefixes
+
+
+def parse_shexc(text: str) -> ShexSchema:
+    toks = _tokenize(text)
+    prefixes: dict[str, str] = {}
+    shapes: dict[str, Shape] = {}
+    i = 0
+
+    def expand(kind: str, val: str) -> str:
+        if kind == "iri":
+            return val[1:-1]
+        if kind == "pname":
+            pfx, _, local = val.partition(":")
+            if pfx not in prefixes:
+                raise RDFParseError(f"ShExC: unknown prefix {pfx!r}")
+            return prefixes[pfx] + local
+        raise RDFParseError(f"ShExC: expected IRI, got {val!r}")
+
+    def parse_value_expr():
+        nonlocal i
+        kind, val = toks[i]
+        if kind == "punct" and val == ".":
+            i += 1
+            return ("any",)
+        if kind == "kw" and val in ("IRI", "BNODE", "LITERAL", "NONLITERAL"):
+            i += 1
+            return ("kind", val)
+        if kind == "punct" and val == "[":
+            i += 1
+            vals = set()
+            while not (toks[i][0] == "punct" and toks[i][1] == "]"):
+                k2, v2 = toks[i]
+                if k2 == "string":
+                    vals.add(("lit", v2[1:-1]))
+                else:
+                    vals.add(("iri", expand(k2, v2)))
+                i += 1
+            i += 1
+            return ("values", frozenset(vals))
+        if kind in ("iri", "pname"):
+            i += 1
+            return ("datatype", expand(kind, val))
+        raise RDFParseError(f"ShExC: bad value expression at {val!r}")
+
+    def parse_card():
+        nonlocal i
+        if i < len(toks) and toks[i][0] == "card":
+            c = toks[i][1]
+            i += 1
+            if c == "?":
+                return 0, 1
+            if c == "+":
+                return 1, _UNBOUNDED
+            if c == "*":
+                return 0, _UNBOUNDED
+            body = c[1:-1]
+            if "," in body:
+                lo, hi = body.split(",")
+                return int(lo), (_UNBOUNDED if hi == "*" else int(hi))
+            return int(body), int(body)
+        return 1, 1
+
+    while i < len(toks):
+        kind, val = toks[i]
+        if kind == "kw" and val == "PREFIX":
+            pfx = toks[i + 1][1]
+            if not pfx.endswith(":"):
+                pfx = pfx.partition(":")[0] + ":"
+            prefixes[pfx[:-1]] = toks[i + 2][1][1:-1]
+            i += 3
+            continue
+        # shape declaration: <Label> [CLOSED] { ... }
+        label = expand(kind, val)
+        i += 1
+        closed = False
+        if toks[i] == ("kw", "CLOSED"):
+            closed = True
+            i += 1
+        if toks[i] != ("punct", "{"):
+            raise RDFParseError(f"ShExC: expected '{{' after shape {label!r}")
+        i += 1
+        shape = Shape(label=label, closed=closed)
+        while toks[i] != ("punct", "}"):
+            pkind, pval = toks[i]
+            pred = RDF_TYPE if (pkind == "kw" and pval == "a") else expand(pkind, pval)
+            i += 1
+            ve = parse_value_expr()
+            lo, hi = parse_card()
+            shape.constraints.append(TripleConstraint(pred, ve, lo, hi))
+            if toks[i] == ("punct", ";"):
+                i += 1
+        i += 1
+        shapes[shape.label] = shape
+    return ShexSchema(shapes, prefixes)
+
+
+@dataclass
+class ShapeMapEntry:
+    shape: str
+    node: str | None = None       # fixed focus node
+    target_class: str | None = None  # {FOCUS a <C>}@shape
+
+
+def parse_shape_map(text: str, schema: ShexSchema) -> list[ShapeMapEntry]:
+    """``<node>@<Shape>`` per line, or ``{FOCUS a <Class>}@<Shape>``."""
+    entries = []
+    for line in text.splitlines():
+        line = line.strip().rstrip(",")
+        if not line or line.startswith("#"):
+            continue
+        m = re.match(r"\{\s*FOCUS\s+a\s+<([^>]*)>\s*\}\s*@\s*<([^>]*)>", line)
+        if m:
+            entries.append(ShapeMapEntry(shape=m.group(2), target_class=m.group(1)))
+            continue
+        m = re.match(r"<([^>]*)>\s*@\s*<([^>]*)>", line)
+        if m:
+            entries.append(ShapeMapEntry(shape=m.group(2), node=m.group(1)))
+            continue
+        raise RDFParseError(f"shape map: cannot parse {line!r}")
+    for e in entries:
+        if e.shape not in schema.shapes:
+            raise RDFParseError(f"shape map references unknown shape {e.shape!r}")
+    return entries
+
+
+def _matches_value(ve: tuple, o_kind: int, o_lex: str, o_dt: str) -> bool:
+    tag = ve[0]
+    if tag == "any":
+        return True
+    if tag == "kind":
+        k = ve[1]
+        return (
+            (k == "IRI" and o_kind == KIND_IRI)
+            or (k == "BNODE" and o_kind == KIND_BNODE)
+            or (k == "LITERAL" and o_kind == KIND_LITERAL)
+            or (k == "NONLITERAL" and o_kind != KIND_LITERAL)
+        )
+    if tag == "datatype":
+        return o_kind == KIND_LITERAL and o_dt == ve[1]
+    if tag == "values":
+        probe = ("lit", o_lex) if o_kind == KIND_LITERAL else ("iri", o_lex)
+        return probe in ve[1]
+    return False
+
+
+def _validate_group(g: pd.DataFrame, shape: Shape) -> list[str]:
+    """Violation reasons for one focus node (empty = conformant)."""
+    reasons = []
+    declared = {c.predicate for c in shape.constraints}
+    for c in shape.constraints:
+        rows = g[g["p"] == c.predicate]
+        ok = rows.apply(
+            lambda r: _matches_value(
+                c.value_expr, int(r["o_kind"]), r["o_lex"], r["o_datatype"]
+            ),
+            axis=1,
+        ) if len(rows) else pd.Series([], dtype=bool)
+        n_ok = int(ok.sum())
+        if n_ok != len(rows):
+            reasons.append(f"{c.predicate}: value violates {c.value_expr[0]}")
+        if n_ok < c.min_card:
+            reasons.append(f"{c.predicate}: cardinality {n_ok} < min {c.min_card}")
+        if c.max_card != _UNBOUNDED and n_ok > c.max_card:
+            reasons.append(f"{c.predicate}: cardinality {n_ok} > max {c.max_card}")
+    if shape.closed:
+        extra = sorted(set(g["p"]) - declared)
+        for p in extra:
+            reasons.append(f"CLOSED shape: undeclared predicate {p}")
+    return reasons
+
+
+def validate_shex(triples_ds, schema_text: str, shape_map_text: str):
+    """ShEx validation report Dataset: (focus, shape, status, reason)."""
+    import ray
+
+    schema = parse_shexc(schema_text)
+    entries = parse_shape_map(shape_map_text, schema)
+    state_ref = ray.put((schema, entries))
+
+    def validate(g: pd.DataFrame) -> pd.DataFrame:
+        schema_, entries_ = ray.get(state_ref)
+        focus = g["s_lex"].iloc[0]
+        if int(g["s_kind"].iloc[0]) != KIND_IRI:
+            return pd.DataFrame(
+                {"focus": [], "shape": [], "status": [], "reason": []}
+            ).astype(str)
+        types = set(g.loc[g["p"] == RDF_TYPE, "o_lex"])
+        out = {"focus": [], "shape": [], "status": [], "reason": []}
+        for e in entries_:
+            applies = (e.node == focus) if e.node else (e.target_class in types)
+            if not applies:
+                continue
+            reasons = _validate_group(g, schema_.shapes[e.shape])
+            out["focus"].append(focus)
+            out["shape"].append(e.shape)
+            out["status"].append("nonconformant" if reasons else "conformant")
+            out["reason"].append("; ".join(reasons))
+        return pd.DataFrame(out)
+
+    return triples_ds.groupby(["s_kind", "s_lex"]).map_groups(
+        validate, batch_format="pandas"
+    )

@@ -1,0 +1,104 @@
+"""ShEx core subset: ShExC parse, shape maps, per-focus validation."""
+
+import pytest
+
+from jena_ray.model import RDFParseError
+from jena_ray.stages.shex import parse_shape_map, parse_shexc, validate_shex
+
+SCHEMA = """
+PREFIX ex: <http://ex/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+<http://ex/PersonShape> {
+  a [ <http://ex/Person> ] ;
+  ex:name xsd:string ;
+  ex:age xsd:integer ? ;
+  ex:knows IRI *
+}
+
+<http://ex/StrictShape> CLOSED {
+  ex:name LITERAL {1,2}
+}
+"""
+
+
+def test_parse_shexc():
+    s = parse_shexc(SCHEMA)
+    ps = s.shapes["http://ex/PersonShape"]
+    assert [c.predicate for c in ps.constraints] == [
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://ex/name",
+        "http://ex/age",
+        "http://ex/knows",
+    ]
+    name = ps.constraints[1]
+    assert name.value_expr == ("datatype", "http://www.w3.org/2001/XMLSchema#string")
+    assert (name.min_card, name.max_card) == (1, 1)
+    age = ps.constraints[2]
+    assert (age.min_card, age.max_card) == (0, 1)
+    knows = ps.constraints[3]
+    assert knows.value_expr == ("kind", "IRI")
+    assert (knows.min_card, knows.max_card) == (0, -1)
+    strict = s.shapes["http://ex/StrictShape"]
+    assert strict.closed
+    assert (strict.constraints[0].min_card, strict.constraints[0].max_card) == (1, 2)
+
+
+def test_parse_shape_map():
+    s = parse_shexc(SCHEMA)
+    entries = parse_shape_map(
+        "{FOCUS a <http://ex/Person>}@<http://ex/PersonShape>\n"
+        "<http://ex/bob>@<http://ex/StrictShape>\n",
+        s,
+    )
+    assert entries[0].target_class == "http://ex/Person"
+    assert entries[1].node == "http://ex/bob"
+    with pytest.raises(RDFParseError):
+        parse_shape_map("<http://ex/x>@<http://ex/Nope>", s)
+
+
+def _data():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # alice: conformant Person
+        (0, "http://ex/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         0, "http://ex/Person", "", ""),
+        (0, "http://ex/alice", "http://ex/name", 2, "Alice", XSD + "string", ""),
+        (0, "http://ex/alice", "http://ex/knows", 0, "http://ex/bob", "", ""),
+        # bob: Person missing name; StrictShape target with an extra pred
+        (0, "http://ex/bob", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         0, "http://ex/Person", "", ""),
+        (0, "http://ex/bob", "http://ex/age", 2, "7", XSD + "integer", ""),
+    ]
+    full = [list(r) + ["", "t"] for r in rows]
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([fr[i] for fr in full], f.type)
+             for i, f in enumerate(TRIPLE_SCHEMA)],
+            schema=TRIPLE_SCHEMA,
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_shex():
+    report = validate_shex(
+        _data(),
+        SCHEMA,
+        "{FOCUS a <http://ex/Person>}@<http://ex/PersonShape>\n"
+        "<http://ex/bob>@<http://ex/StrictShape>\n",
+    ).take_all()
+    by = {(r["focus"], r["shape"]): r for r in report}
+    alice = by[("http://ex/alice", "http://ex/PersonShape")]
+    assert alice["status"] == "conformant"
+    bob_person = by[("http://ex/bob", "http://ex/PersonShape")]
+    assert bob_person["status"] == "nonconformant"
+    assert "http://ex/name" in bob_person["reason"]
+    bob_strict = by[("http://ex/bob", "http://ex/StrictShape")]
+    assert bob_strict["status"] == "nonconformant"
+    assert "CLOSED" in bob_strict["reason"]
