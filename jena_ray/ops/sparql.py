@@ -9,6 +9,10 @@ onto the already-oracled Dataset operators:
     SELECT [DISTINCT] ?v ... | *        → ops/bgp.select / dedup
     WHERE { triple patterns . ... }     → ops/bgp.match_bgp (chained
                                           hash joins, greedy planner)
+    OPTIONAL { ... }                    → left-outer hash join on the
+                                          shared variables (OpLeftJoin)
+    { ... } UNION { ... }               → column-aligned Dataset.union
+                                          (OpUnion, bag semantics)
     FILTER(expr)                        → vectorized pyarrow.compute
     ORDER BY [ASC|DESC](?v) ...         → Dataset.sort
     LIMIT / OFFSET                      → Dataset.limit (+offset skip)
@@ -16,14 +20,16 @@ onto the already-oracled Dataset operators:
 
 Expression subset: comparisons (= != < <= > >=; numeric when both sides
 parse as numbers, else lexical), && || !, REGEX(?v, "pat"),
-STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v). Bindings are lexical
-forms (the BGP engine's contract) — term-typed comparison semantics
-(value spaces, language tags) are documented out of subset.
+STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v), BOUND(?v). Bindings are
+lexical forms (the BGP engine's contract) — term-typed comparison
+semantics (value spaces, language tags) are documented out of subset.
+Unmatched OPTIONAL variables surface as nulls, exactly like the algebra.
 
-Out of subset: OPTIONAL/UNION/MINUS (the algebra exists as Dataset ops —
-★left_join/★union_bag/★except_minus — but is not wired to the grammar),
-GROUP BY/aggregates, property paths in patterns, subqueries, CONSTRUCT/
-ASK/DESCRIBE.
+Out of subset: MINUS (the algebra exists as ★except_minus), GROUP BY/
+aggregates, property paths in patterns, subqueries, CONSTRUCT/ASK/
+DESCRIBE. OPTIONAL and each UNION arm must share ≥1 variable with the
+rest of their group (no cartesian products — same rule as the BGP
+planner).
 """
 
 from __future__ import annotations
@@ -39,7 +45,7 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -123,18 +129,7 @@ class _Parser:
             if not proj:
                 raise RDFParseError("SPARQL: empty projection")
         self.expect("kw", "WHERE")
-        self.expect("op", "{")
-        patterns, filters = [], []
-        while self.peek() != ("op", "}"):
-            if self.kw("FILTER"):
-                self.expect("op", "(")
-                filters.append(self.parse_or())
-                self.expect("op", ")")
-            else:
-                patterns.append(self.parse_pattern())
-            while self.peek() == ("op", "."):
-                self.next()
-        self.next()  # }
+        group = self.parse_group()
         order = []
         if self.kw("ORDER"):
             self.expect("kw", "BY")
@@ -161,9 +156,41 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return {
-            "distinct": distinct, "project": proj, "patterns": patterns,
-            "filters": filters, "order": order, "limit": limit, "offset": offset,
+            "distinct": distinct, "project": proj, "group": group,
+            "order": order, "limit": limit, "offset": offset,
         }
+
+    def parse_group(self) -> dict:
+        """GroupGraphPattern: '{' (pattern | FILTER | OPTIONAL group |
+        group UNION group)* '}' → {"elements": [...], "filters": [...]}."""
+        self.expect("op", "{")
+        elements: list = []
+        filters: list = []
+        while self.peek() != ("op", "}"):
+            if self.kw("FILTER"):
+                self.expect("op", "(")
+                filters.append(self.parse_or())
+                self.expect("op", ")")
+            elif self.kw("OPTIONAL"):
+                elements.append(("optional", self.parse_group()))
+            elif self.peek() == ("op", "{"):
+                left = self.parse_group()
+                self.expect("kw", "UNION")
+                right = self.parse_group()
+                arms = [left, right]
+                while self.kw("UNION"):
+                    arms.append(self.parse_group())
+                elements.append(("union", arms))
+            else:
+                pat = self.parse_pattern()
+                if elements and elements[-1][0] == "bgp":
+                    elements[-1][1].append(pat)
+                else:
+                    elements.append(("bgp", [pat]))
+            while self.peek() == ("op", "."):
+                self.next()
+        self.next()  # }
+        return {"elements": elements, "filters": filters}
 
     def parse_term(self, position: str):
         k, v = self.next()
@@ -225,12 +252,13 @@ class _Parser:
             arg = self.expect("string")[1:-1]
             self.expect("op", ")")
             return (fn.lower(), var, arg)
-        if k == "kw" and v.upper() == "STRLEN":
+        if k == "kw" and v.upper() in ("STRLEN", "BOUND"):
+            fn = v.lower()
             self.next()
             self.expect("op", "(")
             var = self.expect("var")[1:]
             self.expect("op", ")")
-            return ("strlen", var)
+            return (fn, var)
         if k == "var":
             self.next()
             return ("var", v[1:])
@@ -279,6 +307,8 @@ def _eval_bool(node, t: pa.Table):
         return pc.or_(_eval_bool(node[1], t), _eval_bool(node[2], t))
     if tag == "not":
         return pc.invert(_eval_bool(node[1], t))
+    if tag == "bound":
+        return pc.is_valid(t[node[1]].combine_chunks())
     if tag == "regex":
         return pc.match_substring_regex(t[node[1]].combine_chunks(), node[2])
     if tag == "strstarts":
@@ -307,34 +337,117 @@ def _eval_bool(node, t: pa.Table):
     raise RDFParseError(f"SPARQL: not a boolean expression: {node!r}")
 
 
+def _group_vars(group: dict) -> set:
+    out: set = set()
+    for el in group["elements"]:
+        if el[0] == "bgp":
+            out |= {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
+        elif el[0] == "optional":
+            out |= _group_vars(el[1])
+        elif el[0] == "union":
+            for arm in el[1]:
+                out |= _group_vars(arm)
+    return out
+
+
+def _align_columns(ds, have: list, want: list):
+    """Add null columns for vars an arm doesn't bind, order columns."""
+    missing = [v for v in want if v not in have]
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({v: pa.array([], pa.large_string()) for v in want})
+        cols = {v: t[v].combine_chunks() for v in have}
+        for v in missing:
+            cols[v] = pa.nulls(t.num_rows, pa.large_string())
+        return pa.table({v: cols[v] for v in want})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _join_bindings(left, left_vars, right, right_vars, how: str):
+    from ..util import compact_blocks
+
+    shared = sorted(set(left_vars) & set(right_vars))
+    if not shared:
+        raise RDFParseError(
+            "SPARQL: group element shares no variable with the rest "
+            "(cartesian product — not supported)"
+        )
+    lc = compact_blocks(left)
+    rc = compact_blocks(right)
+    n_parts = max(1, min(64, lc.count() // 2_000_000))
+    joined = lc.join(rc, join_type=how, num_partitions=n_parts,
+                     on=tuple(shared))
+    out_vars = sorted(set(left_vars) | set(right_vars))
+    return _align_columns(
+        compact_blocks(joined), out_vars, out_vars
+    ), out_vars
+
+
+def _compile_group(triples_ds, group: dict):
+    """→ (bindings Dataset, sorted var list) for one GroupGraphPattern."""
+    import ray.data as rd
+
+    acc = None
+    acc_vars: list = []
+    for el in group["elements"]:
+        if el[0] == "bgp":
+            rel = match_bgp(triples_ds, el[1], distinct=False)
+            rel_vars = sorted(
+                {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
+            )
+            how = "inner"
+        elif el[0] == "optional":
+            rel, rel_vars = _compile_group(triples_ds, el[1])
+            how = "left_outer"
+        elif el[0] == "union":
+            arms = [_compile_group(triples_ds, a) for a in el[1]]
+            rel_vars = sorted(set().union(*(set(v) for _, v in arms)))
+            rel = _align_columns(arms[0][0], arms[0][1], rel_vars)
+            for a_ds, a_vars in arms[1:]:
+                rel = rel.union(_align_columns(a_ds, a_vars, rel_vars))
+            how = "inner"
+        else:  # pragma: no cover
+            raise RDFParseError(f"SPARQL: unknown group element {el[0]!r}")
+        if acc is None:
+            acc, acc_vars = _align_columns(rel, rel_vars, rel_vars), rel_vars
+        else:
+            acc, acc_vars = _join_bindings(acc, acc_vars, rel, rel_vars, how)
+    if acc is None:
+        raise RDFParseError("SPARQL: empty WHERE block")
+    if group["filters"]:
+        filters = group["filters"]
+
+        def kernel(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table(
+                    {v: pa.array([], pa.large_string()) for v in acc_vars}
+                )
+            mask = None
+            for f in filters:
+                m = _eval_bool(f, t)
+                # SPARQL: an error/null in a FILTER is effective false
+                m = pc.fill_null(m, False)
+                mask = m if mask is None else pc.and_(mask, m)
+            return t.filter(mask)
+
+        acc = acc.map_batches(kernel, batch_format="pyarrow")
+    return acc, acc_vars
+
+
 def sparql_select(triples_ds, query_text: str):
     """Parse + compile + execute a SELECT query over the triple Dataset.
     Returns a binding Dataset (one large_string column per projected var)."""
     q = _Parser(query_text).parse()
-    if not q["patterns"]:
-        raise RDFParseError("SPARQL: empty WHERE block")
-    bindings = match_bgp(triples_ds, q["patterns"], distinct=False)
-    all_vars = sorted(
-        {x.name for pat in q["patterns"] for x in pat if isinstance(x, Var)}
-    )
+    bindings, all_vars = _compile_group(triples_ds, q["group"])
     proj = q["project"] or all_vars
     unknown = [v for v in proj] + [v for v, _ in q["order"]]
     for v in unknown:
         if v not in all_vars:
             raise RDFParseError(f"SPARQL: unbound variable ?{v}")
 
-    where = None
-    if q["filters"]:
-        filters = q["filters"]
-
-        def where(t, _filters=filters):  # noqa: F811
-            mask = None
-            for f in _filters:
-                m = _eval_bool(f, t)
-                mask = m if mask is None else pc.and_(mask, m)
-            return mask
-
-    out = select(bindings, proj, where=where)
+    out = select(bindings, proj)
     if q["distinct"]:
         from .bgp import _dedup
 

@@ -99,3 +99,61 @@ def test_errors():
         sparql_select(G(ROWS), "SELECT ?nope WHERE { ?x <http://ex/age> ?n }")
     with pytest.raises(RDFParseError, match="empty WHERE"):
         sparql_select(G(ROWS), "SELECT ?x WHERE { }")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_optional_left_join_with_bound():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?y WHERE {
+      ?x ex:age ?n .
+      OPTIONAL { ?x ex:knows ?y }
+    } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    got = [(r["x"], r["y"]) for r in rows]
+    assert got == [
+        ("http://ex/a", "http://ex/b"),
+        ("http://ex/b", "http://ex/c"),
+        ("http://ex/c", None),
+    ]
+    # FILTER(!BOUND(?y)) keeps only the unmatched row
+    q2 = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x WHERE {
+      ?x ex:age ?n .
+      OPTIONAL { ?x ex:knows ?y }
+      FILTER(!BOUND(?y))
+    }
+    """
+    rows2 = sparql_select(G(ROWS), q2).take_all()
+    assert [r["x"] for r in rows2] == ["http://ex/c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_union_aligns_columns():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?y ?n WHERE {
+      ?x ex:age ?m .
+      { ?x ex:knows ?y } UNION { ?x ex:age ?n }
+    } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    by_x = {}
+    for r in rows:
+        by_x.setdefault(r["x"], []).append((r["y"], r["n"]))
+    # each arm contributes: knows-rows bind ?y (null ?n), age-rows bind ?n
+    assert (None, "42") in by_x["http://ex/a"]
+    assert ("http://ex/b", None) in by_x["http://ex/a"]
+    assert by_x["http://ex/c"] == [(None, "19")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_optional_cartesian_rejected():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x WHERE { ?x ex:age ?n . OPTIONAL { ?u ex:knows ?v } }
+    """
+    with pytest.raises(RDFParseError, match="cartesian"):
+        sparql_select(G(ROWS), q)
