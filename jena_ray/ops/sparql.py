@@ -13,6 +13,12 @@ onto the already-oracled Dataset operators:
                                           shared variables (OpLeftJoin)
     { ... } UNION { ... }               → column-aligned Dataset.union
                                           (OpUnion, bag semantics)
+    MINUS { ... }                       → marker left-join anti-semantics
+                                          (OpMinus: drop bindings that
+                                          join a right-side row)
+    GROUP BY ?v ... + aggregates        → Dataset.groupby().aggregate
+                                          (COUNT/SUM/MIN/MAX/AVG(?v),
+                                          numeric coercion for SUM/AVG)
     FILTER(expr)                        → vectorized pyarrow.compute
     ORDER BY [ASC|DESC](?v) ...         → Dataset.sort
     LIMIT / OFFSET                      → Dataset.limit (+offset skip)
@@ -45,7 +51,7 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -118,18 +124,47 @@ class _Parser:
             self.prefixes[pfx] = self.expect("iri")[1:-1]
         self.expect("kw", "SELECT")
         distinct = self.kw("DISTINCT")
-        proj: list[str] | None
+        proj: list | None
         if self.peek() == ("op", "*"):
             self.next()
             proj = None
         else:
             proj = []
-            while self.peek()[0] == "var":
-                proj.append(self.next()[1][1:])
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    proj.append(("var", self.next()[1][1:]))
+                elif k == "op" and v == "(":
+                    self.next()
+                    fn = self.next()[1].upper()
+                    if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                        raise RDFParseError(f"SPARQL: unknown aggregate {fn!r}")
+                    self.expect("op", "(")
+                    if self.peek() == ("op", "*"):
+                        self.next()
+                        var = None
+                        if fn != "COUNT":
+                            raise RDFParseError("SPARQL: only COUNT(*) allowed")
+                    else:
+                        var = self.expect("var")[1:]
+                    self.expect("op", ")")
+                    self.expect("kw", "AS")
+                    alias = self.expect("var")[1:]
+                    self.expect("op", ")")
+                    proj.append(("agg", fn, var, alias))
+                else:
+                    break
             if not proj:
                 raise RDFParseError("SPARQL: empty projection")
         self.expect("kw", "WHERE")
         group = self.parse_group()
+        group_by: list[str] = []
+        if self.kw("GROUP"):
+            self.expect("kw", "BY")
+            while self.peek()[0] == "var":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise RDFParseError("SPARQL: empty GROUP BY")
         order = []
         if self.kw("ORDER"):
             self.expect("kw", "BY")
@@ -157,7 +192,8 @@ class _Parser:
             raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return {
             "distinct": distinct, "project": proj, "group": group,
-            "order": order, "limit": limit, "offset": offset,
+            "group_by": group_by, "order": order, "limit": limit,
+            "offset": offset,
         }
 
     def parse_group(self) -> dict:
@@ -173,6 +209,8 @@ class _Parser:
                 self.expect("op", ")")
             elif self.kw("OPTIONAL"):
                 elements.append(("optional", self.parse_group()))
+            elif self.kw("MINUS"):
+                elements.append(("minus", self.parse_group()))
             elif self.peek() == ("op", "{"):
                 left = self.parse_group()
                 self.expect("kw", "UNION")
@@ -385,6 +423,64 @@ def _join_bindings(left, left_vars, right, right_vars, how: str):
     ), out_vars
 
 
+def _minus_bindings(left, left_vars, right, right_vars):
+    """OpMinus: drop left bindings compatible with ANY right binding on
+    the shared variables — realized as a marker left join + null filter."""
+    from ..util import compact_blocks
+
+    shared = sorted(set(left_vars) & set(right_vars))
+    if not shared:
+        # SPARQL: MINUS with disjoint domains removes nothing
+        return left, left_vars
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {**{v: pa.array([], pa.large_string()) for v in shared},
+                 "__minus": pa.array([], pa.int8())}
+            )
+        out = {v: t[v].combine_chunks() for v in shared}
+        out["__minus"] = pa.array([1] * t.num_rows, pa.int8())
+        return pa.table(out)
+
+    # distinct shared-key rows with a marker
+    rkeys = compact_blocks(
+        right.map_batches(mark, batch_format="pyarrow")
+        .groupby(shared)
+        .min("__minus")
+        .map_batches(
+            lambda t: t.rename_columns(shared + ["__minus"])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {**{v: t[v].combine_chunks().cast(pa.large_string())
+                    for v in shared},
+                 "__minus": t["__minus"].combine_chunks()}
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+    lc = compact_blocks(left)
+    n_parts = max(1, min(64, lc.count() // 2_000_000))
+    joined = lc.join(rkeys, join_type="left_outer", num_partitions=n_parts,
+                     on=tuple(shared))
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({v: pa.array([], pa.large_string()) for v in left_vars})
+        x = t.filter(pc.is_null(t["__minus"]))
+        return pa.table({v: x[v].combine_chunks() for v in left_vars})
+
+    return compact_blocks(
+        joined.map_batches(keep_unmatched, batch_format="pyarrow")
+    ), left_vars
+
+
 def _compile_group(triples_ds, group: dict):
     """→ (bindings Dataset, sorted var list) for one GroupGraphPattern."""
     import ray.data as rd
@@ -401,6 +497,12 @@ def _compile_group(triples_ds, group: dict):
         elif el[0] == "optional":
             rel, rel_vars = _compile_group(triples_ds, el[1])
             how = "left_outer"
+        elif el[0] == "minus":
+            if acc is None:
+                raise RDFParseError("SPARQL: MINUS cannot open a group")
+            rel, rel_vars = _compile_group(triples_ds, el[1])
+            acc, acc_vars = _minus_bindings(acc, acc_vars, rel, rel_vars)
+            continue
         elif el[0] == "union":
             arms = [_compile_group(triples_ds, a) for a in el[1]]
             rel_vars = sorted(set().union(*(set(v) for _, v in arms)))
@@ -441,13 +543,72 @@ def sparql_select(triples_ds, query_text: str):
     Returns a binding Dataset (one large_string column per projected var)."""
     q = _Parser(query_text).parse()
     bindings, all_vars = _compile_group(triples_ds, q["group"])
-    proj = q["project"] or all_vars
-    unknown = [v for v in proj] + [v for v, _ in q["order"]]
-    for v in unknown:
+    proj_items = q["project"] or [("var", v) for v in all_vars]
+    agg_items = [p for p in proj_items if p[0] == "agg"]
+    var_items = [p[1] for p in proj_items if p[0] == "var"]
+    aliases = [p[3] for p in agg_items]
+    known = set(all_vars) | set(aliases)
+    for v in var_items + q["group_by"]:
         if v not in all_vars:
             raise RDFParseError(f"SPARQL: unbound variable ?{v}")
+    for v, _ in q["order"]:
+        if v not in known:
+            raise RDFParseError(f"SPARQL: unbound variable ?{v}")
 
-    out = select(bindings, proj)
+    proj = [p[1] if p[0] == "var" else p[3] for p in proj_items]
+    if agg_items or q["group_by"]:
+        keys = q["group_by"]
+        for v in var_items:
+            if v not in keys:
+                raise RDFParseError(
+                    f"SPARQL: projected ?{v} is neither aggregated nor a "
+                    "GROUP BY key"
+                )
+        from ray.data.aggregate import Max, Mean, Min, Sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                cols = {k: pa.array([], pa.large_string()) for k in keys}
+                for i, (_, fn, _var, _al) in enumerate(agg_items):
+                    cols[f"__a{i}"] = pa.array(
+                        [], pa.int64() if fn == "COUNT" else pa.float64()
+                    )
+                return pa.table(cols)
+            cols = {k: t[k].combine_chunks() for k in keys}
+            for i, (_, fn, var, _al) in enumerate(agg_items):
+                if fn == "COUNT":
+                    col = (
+                        pa.array([1] * t.num_rows, pa.int64())
+                        if var is None
+                        else pc.cast(pc.is_valid(t[var].combine_chunks()), pa.int64())
+                    )
+                else:
+                    # SPARQL numeric aggregate: coerce the lexical form
+                    col = pc.cast(t[var].combine_chunks(), pa.float64())
+                cols[f"__a{i}"] = col
+            return pa.table(cols)
+
+        prepped = bindings.map_batches(prep, batch_format="pyarrow")
+        agg_cls = {"COUNT": Sum, "SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}
+        aggs = [
+            agg_cls[fn](f"__a{i}", alias_name=alias)
+            for i, (_, fn, _var, alias) in enumerate(agg_items)
+        ]
+        if keys:
+            grouped = prepped.groupby(keys).aggregate(*aggs)
+            out = grouped.map_batches(
+                lambda t: pa.table({n: t[n].combine_chunks() for n in proj})
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+        else:
+            import ray.data as rd
+
+            row = prepped.aggregate(*aggs)
+            out = rd.from_items([{n: row[n] for n in proj}])
+    else:
+        out = select(bindings, proj)
     if q["distinct"]:
         from .bgp import _dedup
 

@@ -1269,6 +1269,30 @@ WHERE n_regionkey <> 0
 """
 
 
+def q_sparql_aggregate(sf_dir: str):
+    """SPARQL GROUP BY + COUNT through the text front-end (the aggregate
+    algebra OpGroup/AggCount compiled to Dataset.groupby().aggregate)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?n (COUNT(?c) AS ?members) WHERE {
+          ?c <in_nation> ?n .
+        } GROUP BY ?n
+        """,
+    )
+
+
+SQL_SPARQL_AGGREGATE = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT n, CAST(count(*) AS BIGINT) AS members FROM members GROUP BY n
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -1447,6 +1471,7 @@ REGISTRY: dict[str, tuple] = {
     "bgp_star_join": (q_bgp_star_join, SQL_BGP_STAR_JOIN),
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
+    "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

@@ -157,3 +157,52 @@ def test_optional_cartesian_rejected():
     """
     with pytest.raises(RDFParseError, match="cartesian"):
         sparql_select(G(ROWS), q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minus_removes_compatible_bindings():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x WHERE { ?x ex:age ?n . MINUS { ?x ex:knows ?y } } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["x"] for r in rows] == ["http://ex/c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_by_aggregates():
+    rows_in = ROWS + [("http://ex/a", "http://ex/knows", "http://ex/c")]
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x ex:knows ?y }
+    GROUP BY ?x ORDER BY ?x
+    """
+    rows = sparql_select(G(rows_in), q).take_all()
+    assert [(r["x"], r["n"]) for r in rows] == [
+        ("http://ex/a", 2), ("http://ex/b", 1),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_aggregates_sum_avg_minmax():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT (COUNT(*) AS ?c) (SUM(?n) AS ?s) (AVG(?n) AS ?avg)
+           (MIN(?n) AS ?lo) (MAX(?n) AS ?hi)
+    WHERE { ?p ex:age ?n }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["c"] == 3 and r["s"] == 68.0 and r["lo"] == 7.0 and r["hi"] == 42.0
+    assert abs(r["avg"] - 68 / 3) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_projected_var_must_be_group_key():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?y (COUNT(?y) AS ?n) WHERE { ?x ex:knows ?y } GROUP BY ?x
+    """
+    with pytest.raises(RDFParseError, match="GROUP BY key"):
+        sparql_select(G(ROWS), q)
