@@ -31,11 +31,18 @@ lexical forms (the BGP engine's contract) — term-typed comparison
 semantics (value spaces, language tags) are documented out of subset.
 Unmatched OPTIONAL variables surface as nulls, exactly like the algebra.
 
-Out of subset: MINUS (the algebra exists as ★except_minus), GROUP BY/
-aggregates, property paths in patterns, subqueries, CONSTRUCT/ASK/
-DESCRIBE. OPTIONAL and each UNION arm must share ≥1 variable with the
-rest of their group (no cartesian products — same rule as the BGP
-planner).
+Property paths in predicate position compile onto ops/paths.py's
+evaluator: `^p`, `p|q`, `p/q`, `!(p|^q)`, and closures `p*`/`p+`/`p?` —
+closures require a constant subject or object (seeded evaluation, the
+shape SPARQL engines use; unseeded closure is O(V²) and rejected).
+
+VALUES (single- and multi-var) compiles to an inline relation joined
+into the group; BIND(expr AS ?v) to a vectorized computed column
+(numeric results render as canonical lexical forms).
+
+Out of subset: subqueries, HAVING, CONSTRUCT/ASK/DESCRIBE. OPTIONAL and
+each UNION arm must share ≥1 variable with the rest of their group (no
+cartesian products — same rule as the BGP planner).
 """
 
 from __future__ import annotations
@@ -46,18 +53,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..model import RDF_TYPE, RDFParseError
+from . import paths as _paths
 from .bgp import Var, match_bgp, select
 
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
         (?P<string>"(?:[^"\\]|\\.)*") |
-        (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;]) |
+        (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;|/^+?]) |
     )""",
     re.VERBOSE,
 )
@@ -211,6 +219,15 @@ class _Parser:
                 elements.append(("optional", self.parse_group()))
             elif self.kw("MINUS"):
                 elements.append(("minus", self.parse_group()))
+            elif self.kw("VALUES"):
+                elements.append(self.parse_values())
+            elif self.kw("BIND"):
+                self.expect("op", "(")
+                expr = self.parse_primary()
+                self.expect("kw", "AS")
+                var = self.expect("var")[1:]
+                self.expect("op", ")")
+                elements.append(("bind", expr, var))
             elif self.peek() == ("op", "{"):
                 left = self.parse_group()
                 self.expect("kw", "UNION")
@@ -221,7 +238,9 @@ class _Parser:
                 elements.append(("union", arms))
             else:
                 pat = self.parse_pattern()
-                if elements and elements[-1][0] == "bgp":
+                if isinstance(pat[1], _paths.Path):
+                    elements.append(("path", pat))
+                elif elements and elements[-1][0] == "bgp":
                     elements[-1][1].append(pat)
                 else:
                     elements.append(("bgp", [pat]))
@@ -229,6 +248,45 @@ class _Parser:
                 self.next()
         self.next()  # }
         return {"elements": elements, "filters": filters}
+
+    def parse_values(self):
+        """VALUES ?v { t ... }  |  VALUES (?v ?w) { (t t) ... }"""
+        if self.peek()[0] == "var":
+            vars_ = [self.next()[1][1:]]
+            multi = False
+        else:
+            self.expect("op", "(")
+            vars_ = []
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect("op", ")")
+            multi = True
+        self.expect("op", "{")
+        rows: list[list] = []
+        while self.peek() != ("op", "}"):
+            if multi:
+                self.expect("op", "(")
+                row = []
+                while self.peek() != ("op", ")"):
+                    row.append(self._values_term())
+                self.next()
+            else:
+                row = [self._values_term()]
+            if len(row) != len(vars_):
+                raise RDFParseError("SPARQL: VALUES row arity mismatch")
+            rows.append(row)
+        self.next()  # }
+        return ("values", vars_, rows)
+
+    def _values_term(self):
+        k, v = self.next()
+        if k in ("iri", "pname"):
+            return self.expand(k, v)
+        if k == "string":
+            return v[1:-1].encode().decode("unicode_escape")
+        if k == "num":
+            return v
+        raise RDFParseError(f"SPARQL: bad VALUES term {v!r}")
 
     def parse_term(self, position: str):
         k, v = self.next()
@@ -246,9 +304,79 @@ class _Parser:
 
     def parse_pattern(self):
         s = self.parse_term("subject")
-        p = self.parse_term("predicate")
+        k, v = self.peek()
+        if k == "var":
+            p = self.parse_term("predicate")
+        else:
+            p = self.parse_path()
+            if isinstance(p, _paths.Link):
+                p = p.p  # plain predicate — stays a BGP pattern
         o = self.parse_term("object")
         return (s, p, o)
+
+    # SPARQL property-path grammar (P_Alt > P_Seq > modifiers > primary),
+    # compiled onto ops/paths.py's AST
+    def parse_path(self):
+        left = self.parse_path_seq()
+        while self.peek() == ("op", "|"):
+            self.next()
+            left = _paths.Alt(left, self.parse_path_seq())
+        return left
+
+    def parse_path_seq(self):
+        left = self.parse_path_elt()
+        while self.peek() == ("op", "/"):
+            self.next()
+            left = _paths.Seq(left, self.parse_path_elt())
+        return left
+
+    def parse_path_elt(self):
+        prim = self.parse_path_primary()
+        k, v = self.peek()
+        if k == "op" and v in ("*", "+", "?"):
+            self.next()
+            cls = {"*": _paths.Star, "+": _paths.Plus, "?": _paths.Opt}[v]
+            return cls(prim)
+        return prim
+
+    def parse_path_primary(self):
+        k, v = self.peek()
+        if k == "op" and v == "^":
+            self.next()
+            return _paths.Inv(self.parse_path_primary())
+        if k == "op" and v == "(":
+            self.next()
+            p = self.parse_path()
+            self.expect("op", ")")
+            return p
+        if k == "op" and v == "!":
+            self.next()
+            self.expect("op", "(")
+            fwd, inv = [], []
+            while True:
+                kk, vv = self.peek()
+                if kk == "op" and vv == "^":
+                    self.next()
+                    kk, vv = self.next()
+                    inv.append(self.expand(kk, vv))
+                else:
+                    kk, vv = self.next()
+                    if kk == "kw" and vv == "a":
+                        fwd.append(RDF_TYPE)
+                    else:
+                        fwd.append(self.expand(kk, vv))
+                if self.peek() == ("op", "|"):
+                    self.next()
+                    continue
+                break
+            self.expect("op", ")")
+            return _paths.NegSet(fwd=tuple(fwd), inv=tuple(inv))
+        kk, vv = self.next()
+        if kk == "kw" and vv == "a":
+            return _paths.Link(RDF_TYPE)
+        if kk in ("iri", "pname"):
+            return _paths.Link(self.expand(kk, vv))
+        raise RDFParseError(f"SPARQL: bad path element {vv!r}")
 
     # --- expressions (precedence: ! > cmp > && > ||) ----------------------
 
@@ -380,12 +508,118 @@ def _group_vars(group: dict) -> set:
     for el in group["elements"]:
         if el[0] == "bgp":
             out |= {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
+        elif el[0] == "path":
+            out |= {x.name for x in (el[1][0], el[1][2]) if isinstance(x, Var)}
+        elif el[0] == "values":
+            out |= set(el[1])
+        elif el[0] == "bind":
+            out.add(el[2])
         elif el[0] == "optional":
             out |= _group_vars(el[1])
         elif el[0] == "union":
             for arm in el[1]:
                 out |= _group_vars(arm)
     return out
+
+
+def _has_closure(p) -> bool:
+    if isinstance(p, (_paths.Star, _paths.Plus, _paths.Opt)):
+        return True
+    if isinstance(p, _paths.Inv):
+        return _has_closure(p.path)
+    if isinstance(p, (_paths.Alt, _paths.Seq)):
+        return any(_has_closure(x) for x in p.paths)
+    return False
+
+
+def _invert_path(p):
+    """Structural reversal: pairs(invert(P)) == reversed pairs(P). Needed
+    so a constant-OBJECT closure can be evaluated seeded from that end
+    (plain Inv wrapping would evaluate the closure unseeded first)."""
+    if isinstance(p, _paths.Link):
+        return _paths.Inv(p)
+    if isinstance(p, _paths.Inv):
+        return p.path
+    if isinstance(p, _paths.Seq):
+        return _paths.Seq(*[_invert_path(x) for x in reversed(p.paths)])
+    if isinstance(p, _paths.Alt):
+        return _paths.Alt(*[_invert_path(x) for x in p.paths])
+    if isinstance(p, _paths.Star):
+        return _paths.Star(_invert_path(p.path))
+    if isinstance(p, _paths.Plus):
+        return _paths.Plus(_invert_path(p.path))
+    if isinstance(p, _paths.Opt):
+        return _paths.Opt(_invert_path(p.path))
+    if isinstance(p, _paths.NegSet):
+        return _paths.Inv(p)  # non-closure: generic inversion is fine
+    raise RDFParseError(f"SPARQL: cannot invert path {p!r}")
+
+
+def _compile_path_pattern(triples_ds, pat):
+    """(s, Path, o) → binding relation. Closure operators (* + ?) need a
+    constant endpoint in this subset (seeded evaluation — the shape
+    SPARQL engines use; an unseeded closure is O(V²)), and must be the
+    path's TOP operator (seeds don't propagate through Seq)."""
+    s, path, o = pat
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": t["s_lex"].combine_chunks().cast(pa.large_string()),
+                "p": t["p"].combine_chunks().cast(pa.large_string()),
+                "o": t["o_lex"].combine_chunks().cast(pa.large_string()),
+            }
+        )
+
+    edges = triples_ds.map_batches(to_edges, batch_format="pyarrow")
+    seeds = None
+    if _has_closure(path):
+        if not isinstance(s, Var):
+            seeds = [s]
+        elif not isinstance(o, Var):
+            # evaluate the structurally inverted path from the object
+            path = _invert_path(path)
+            s, o = o, s
+            seeds = [s]
+        else:
+            raise RDFParseError(
+                "SPARQL: a closure path (*, +, ?) needs a constant subject "
+                "or object in this subset (seeded evaluation)"
+            )
+        if not isinstance(path, (_paths.Star, _paths.Plus, _paths.Opt)):
+            raise RDFParseError(
+                "SPARQL: a closure must be the path's top operator in "
+                "this subset (seeds do not propagate through Seq)"
+            )
+    pairs = _paths.eval_path(edges, path, seeds=seeds)
+
+    out_cols: list[tuple[str, str]] = []
+    filt = []
+    if isinstance(s, Var):
+        out_cols.append((s.name, "start"))
+    else:
+        filt.append(("start", s))
+    if isinstance(o, Var):
+        out_cols.append((o.name, "end"))
+    else:
+        filt.append(("end", o))
+    if not out_cols:
+        raise RDFParseError("SPARQL: path pattern binds no variable")
+    if len({n for n, _ in out_cols}) != len(out_cols):
+        raise RDFParseError("SPARQL: same var on both ends of a path")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {n: pa.array([], pa.large_string()) for n, _ in out_cols}
+            )
+        x = t
+        for col, const in filt:
+            x = x.filter(pc.equal(x[col], const))
+        return pa.table({n: x[c].combine_chunks() for n, c in out_cols})
+
+    rel = pairs.map_batches(project, batch_format="pyarrow")
+    return rel, sorted(n for n, _ in out_cols)
 
 
 def _align_columns(ds, have: list, want: list):
@@ -494,6 +728,9 @@ def _compile_group(triples_ds, group: dict):
                 {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
             )
             how = "inner"
+        elif el[0] == "path":
+            rel, rel_vars = _compile_path_pattern(triples_ds, el[1])
+            how = "inner"
         elif el[0] == "optional":
             rel, rel_vars = _compile_group(triples_ds, el[1])
             how = "left_outer"
@@ -502,6 +739,56 @@ def _compile_group(triples_ds, group: dict):
                 raise RDFParseError("SPARQL: MINUS cannot open a group")
             rel, rel_vars = _compile_group(triples_ds, el[1])
             acc, acc_vars = _minus_bindings(acc, acc_vars, rel, rel_vars)
+            continue
+        elif el[0] == "values":
+            import ray.data as rd
+
+            _, vnames, rows = el
+            rel = rd.from_arrow(
+                pa.table(
+                    {
+                        v: pa.array([r[i] for r in rows], pa.large_string())
+                        for i, v in enumerate(vnames)
+                    }
+                )
+            )
+            rel_vars = sorted(vnames)
+            how = "inner"
+        elif el[0] == "bind":
+            if acc is None:
+                raise RDFParseError("SPARQL: BIND cannot open a group")
+            _, expr, var = el
+            if var in acc_vars:
+                raise RDFParseError(f"SPARQL: BIND reassigns bound ?{var}")
+            new_vars = sorted(acc_vars + [var])
+
+            def bind_kernel(t: pa.Table, _expr=expr, _var=var,
+                            _vars=tuple(new_vars)) -> pa.Table:
+                if t.num_columns == 0:
+                    return pa.table(
+                        {v: pa.array([], pa.large_string()) for v in _vars}
+                    )
+                val = _eval_value(_expr, t)
+                if isinstance(val, pa.Scalar):
+                    col = pa.array([val.as_py()] * t.num_rows)
+                else:
+                    col = val
+                if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+                    # numeric → canonical lexical form (ints print bare)
+                    as_int = pc.cast(col, pa.int64(), safe=False)
+                    integral = pc.all(
+                        pc.equal(pc.cast(as_int, pa.float64()),
+                                 pc.cast(col, pa.float64()))
+                    ).as_py()
+                    col = pc.cast(as_int if integral else col, pa.large_string())
+                else:
+                    col = pc.cast(col, pa.large_string())
+                cols = {v: t[v].combine_chunks() for v in _vars if v != _var}
+                cols[_var] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                return pa.table({v: cols[v] for v in _vars})
+
+            acc = acc.map_batches(bind_kernel, batch_format="pyarrow")
+            acc_vars = new_vars
             continue
         elif el[0] == "union":
             arms = [_compile_group(triples_ds, a) for a in el[1]]

@@ -206,3 +206,130 @@ def test_projected_var_must_be_group_key():
     """
     with pytest.raises(RDFParseError, match="GROUP BY key"):
         sparql_select(G(ROWS), q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_alt_and_seq_in_pattern():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?z WHERE { ?x ex:knows/ex:knows ?z } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["x"], r["z"]) for r in rows] == [("http://ex/a", "http://ex/c")]
+
+    q2 = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?v WHERE { ?x ex:knows|ex:age ?v . ?x a ex:Person } ORDER BY ?v
+    """
+    rows2 = sparql_select(G(ROWS), q2).take_all()
+    assert [(r["x"], r["v"]) for r in rows2] == [
+        ("http://ex/a", "42"), ("http://ex/a", "http://ex/b"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_inverse_in_pattern():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?y WHERE { ?y ^ex:knows ?x . FILTER(?x = "http://ex/a") }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["y"] for r in rows] == ["http://ex/b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_star_with_constant_subject():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?y WHERE { ex:a ex:knows* ?y } ORDER BY ?y
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["y"] for r in rows] == [
+        "http://ex/a", "http://ex/b", "http://ex/c",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_plus_with_constant_object():
+    # inverted seeded evaluation: who reaches c via knows+
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x WHERE { ?x ex:knows+ ex:c } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["x"] for r in rows] == ["http://ex/a", "http://ex/b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_closure_requires_constant_endpoint():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?y WHERE { ?x ex:knows* ?y }
+    """
+    with pytest.raises(RDFParseError, match="closure path"):
+        sparql_select(G(ROWS), q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_negset_in_pattern():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?v WHERE { ?x !(ex:age|a) ?v } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["x"], r["v"]) for r in rows] == [
+        ("http://ex/a", "http://ex/b"), ("http://ex/b", "http://ex/c"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_values_restricts_bindings():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?n WHERE {
+      ?x ex:age ?n .
+      VALUES ?x { ex:a ex:c }
+    } ORDER BY ?x
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["x"], r["n"]) for r in rows] == [
+        ("http://ex/a", "42"), ("http://ex/c", "19"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_values_multi_var():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?n WHERE {
+      ?x ex:age ?n .
+      VALUES (?x ?n) { (ex:a "42") (ex:b "999") }
+    }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["x"], r["n"]) for r in rows] == [("http://ex/a", "42")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bind_strlen_and_literal():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?len ?tag WHERE {
+      ?x ex:age ?n .
+      BIND(STRLEN(?x) AS ?len)
+      BIND("person" AS ?tag)
+    } ORDER BY ?x LIMIT 1
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert rows[0]["len"] == "11"  # len("http://ex/a")
+    assert rows[0]["tag"] == "person"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bind_rejects_rebinding():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x WHERE { ?x ex:age ?n . BIND("x" AS ?n) }
+    """
+    with pytest.raises(RDFParseError, match="reassigns"):
+        sparql_select(G(ROWS), q)
