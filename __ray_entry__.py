@@ -234,6 +234,18 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return q_hash_variants(sf_dir)
 
+    def kg_sparql_construct(sf_dir: str):
+        # SPARQL text front door over the KG triple table: CONSTRUCT the
+        # inverse of every linkedTo edge
+        from jena_ray.ops.sparql import sparql_construct
+        from jena_ray.pipelines.kg import kg_triples
+
+        q = """
+        PREFIX ex: <http://example.org/p/>
+        CONSTRUCT { ?o ex:linkedFrom ?s } WHERE { ?s ex:linkedTo ?o }
+        """
+        return sparql_construct(kg_triples(sf_dir, linker_concurrency=2), q)
+
     def kg_pagerank(sf_dir: str):
         from jena_ray.ops.graphalgo import entity_edges, pagerank
         from jena_ray.pipelines.kg import kg_triples
@@ -251,6 +263,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "kg_text_query": kg_text_query,
         "kg_shacl_report": kg_shacl_report,
         "kg_shex_report": kg_shex_report,
+        "kg_sparql_construct": kg_sparql_construct,
         "kg_apply_patch": kg_apply_patch,
         "kg_extract_raw": kg_extract_raw,
         "kg_serialize_ntriples": kg_serialize_ntriples,

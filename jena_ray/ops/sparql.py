@@ -59,7 +59,7 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -130,6 +130,33 @@ class _Parser:
             k, v = self.next()
             pfx = v.partition(":")[0] if k == "pname" else ""
             self.prefixes[pfx] = self.expect("iri")[1:-1]
+        if self.kw("ASK"):
+            group = self.parse_group()
+            if self.peek()[0] != "eof":
+                raise RDFParseError("SPARQL: trailing tokens after ASK group")
+            return {"form": "ask", "group": group}
+        if self.kw("CONSTRUCT"):
+            self.expect("op", "{")
+            template = []
+            while self.peek() != ("op", "}"):
+                template.append(self.parse_pattern())
+                while self.peek() == ("op", "."):
+                    self.next()
+            self.next()
+            self.expect("kw", "WHERE")
+            group = self.parse_group()
+            limit = None
+            if self.kw("LIMIT"):
+                limit = int(self.expect("num"))
+            if self.peek()[0] != "eof":
+                raise RDFParseError("SPARQL: trailing tokens after CONSTRUCT")
+            for pat in template:
+                if isinstance(pat[1], _paths.Path):
+                    raise RDFParseError(
+                        "SPARQL: property paths not allowed in CONSTRUCT template"
+                    )
+            return {"form": "construct", "template": template, "group": group,
+                    "limit": limit}
         self.expect("kw", "SELECT")
         distinct = self.kw("DISTINCT")
         proj: list | None
@@ -167,12 +194,19 @@ class _Parser:
         self.expect("kw", "WHERE")
         group = self.parse_group()
         group_by: list[str] = []
+        having = None
         if self.kw("GROUP"):
             self.expect("kw", "BY")
             while self.peek()[0] == "var":
                 group_by.append(self.next()[1][1:])
             if not group_by:
                 raise RDFParseError("SPARQL: empty GROUP BY")
+            if self.kw("HAVING"):
+                # HAVING over the ALIASED aggregates (subset: reference
+                # the (agg AS ?alias) columns, not fresh aggregate exprs)
+                self.expect("op", "(")
+                having = self.parse_or()
+                self.expect("op", ")")
         order = []
         if self.kw("ORDER"):
             self.expect("kw", "BY")
@@ -199,9 +233,9 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return {
-            "distinct": distinct, "project": proj, "group": group,
-            "group_by": group_by, "order": order, "limit": limit,
-            "offset": offset,
+            "form": "select", "distinct": distinct, "project": proj,
+            "group": group, "group_by": group_by, "having": having,
+            "order": order, "limit": limit, "offset": offset,
         }
 
     def parse_group(self) -> dict:
@@ -825,10 +859,84 @@ def _compile_group(triples_ds, group: dict):
     return acc, acc_vars
 
 
+def sparql_ask(triples_ds, query_text: str) -> bool:
+    """ASK { ... } → does any solution exist (OpSlice 1 + nonempty)."""
+    q = _Parser(query_text).parse()
+    if q["form"] != "ask":
+        raise RDFParseError("sparql_ask: not an ASK query")
+    bindings, _ = _compile_group(triples_ds, q["group"])
+    return len(bindings.limit(1).take(1)) > 0
+
+
+def sparql_construct(triples_ds, query_text: str):
+    """CONSTRUCT { template } WHERE { ... } → triple-table Dataset
+    (TRIPLE_SCHEMA; bnodes/paths not allowed in the template subset).
+    Template constants are IRIs; bound values whose lexical form is not
+    an IRI-shaped string become plain literals."""
+    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
+
+    q = _Parser(query_text).parse()
+    if q["form"] != "construct":
+        raise RDFParseError("sparql_construct: not a CONSTRUCT query")
+    bindings, all_vars = _compile_group(triples_ds, q["group"])
+    template = q["template"]
+    for pat in template:
+        for x in pat:
+            if isinstance(x, Var) and x.name not in all_vars:
+                raise RDFParseError(f"SPARQL: unbound template var ?{x.name}")
+
+    def emit(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
+        if t.num_columns:
+            data = {v: t[v].to_pylist() for v in all_vars if v in t.schema.names}
+            n_rows = t.num_rows
+            for i in range(n_rows):
+                for s, p, o in template:
+                    sv = data[s.name][i] if isinstance(s, Var) else s
+                    pv = data[p.name][i] if isinstance(p, Var) else p
+                    ov = data[o.name][i] if isinstance(o, Var) else o
+                    if sv is None or pv is None or ov is None:
+                        continue  # unbound OPTIONAL var: skip the triple
+                    o_is_iri = isinstance(ov, str) and ov.startswith(
+                        ("http://", "https://", "urn:", "file://")
+                    )
+                    cols["s_kind"].append(KIND_IRI)
+                    cols["s_lex"].append(sv)
+                    cols["p"].append(pv)
+                    cols["o_kind"].append(KIND_IRI if o_is_iri else KIND_LITERAL)
+                    cols["o_lex"].append(ov)
+                    cols["o_datatype"].append("" if o_is_iri else XSD_STRING)
+                    cols["o_lang"].append("")
+                    cols["g"].append("")
+                    cols["doc_id"].append("construct")
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    out = bindings.map_batches(emit, batch_format="pyarrow")
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def sparql_query(triples_ds, query_text: str):
+    """Form dispatcher: SELECT → binding Dataset, ASK → bool,
+    CONSTRUCT → triple Dataset."""
+    form = _Parser(query_text).parse()["form"]
+    if form == "ask":
+        return sparql_ask(triples_ds, query_text)
+    if form == "construct":
+        return sparql_construct(triples_ds, query_text)
+    return sparql_select(triples_ds, query_text)
+
+
 def sparql_select(triples_ds, query_text: str):
     """Parse + compile + execute a SELECT query over the triple Dataset.
     Returns a binding Dataset (one large_string column per projected var)."""
     q = _Parser(query_text).parse()
+    if q["form"] != "select":
+        raise RDFParseError("sparql_select: not a SELECT query")
     bindings, all_vars = _compile_group(triples_ds, q["group"])
     proj_items = q["project"] or [("var", v) for v in all_vars]
     agg_items = [p for p in proj_items if p[0] == "agg"]
@@ -883,6 +991,15 @@ def sparql_select(triples_ds, query_text: str):
         ]
         if keys:
             grouped = prepped.groupby(keys).aggregate(*aggs)
+            if q.get("having") is not None:
+                having = q["having"]
+
+                def having_kernel(t: pa.Table) -> pa.Table:
+                    if t.num_columns == 0:
+                        return t
+                    return t.filter(pc.fill_null(_eval_bool(having, t), False))
+
+                grouped = grouped.map_batches(having_kernel, batch_format="pyarrow")
             out = grouped.map_batches(
                 lambda t: pa.table({n: t[n].combine_chunks() for n in proj})
                 if t.num_columns

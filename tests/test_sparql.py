@@ -333,3 +333,55 @@ def test_bind_rejects_rebinding():
     """
     with pytest.raises(RDFParseError, match="reassigns"):
         sparql_select(G(ROWS), q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ask():
+    from jena_ray.ops.sparql import sparql_ask
+
+    q = "PREFIX ex: <http://ex/> ASK { ?x ex:knows ?y }"
+    assert sparql_ask(G(ROWS), q) is True
+    q2 = 'PREFIX ex: <http://ex/> ASK { ?x ex:knows ?y . FILTER(?y = "nope") }'
+    assert sparql_ask(G(ROWS), q2) is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_construct_emits_triple_table():
+    from jena_ray.ops.sparql import sparql_construct
+
+    q = """
+    PREFIX ex: <http://ex/>
+    CONSTRUCT { ?y ex:knownBy ?x . ?x ex:labeled "friend" }
+    WHERE { ?x ex:knows ?y }
+    """
+    rows = sparql_construct(G(ROWS), q).take_all()
+    spo = {(r["s_lex"], r["p"], r["o_lex"]) for r in rows}
+    assert ("http://ex/b", "http://ex/knownBy", "http://ex/a") in spo
+    assert ("http://ex/a", "http://ex/labeled", "friend") in spo
+    lit = [r for r in rows if r["o_lex"] == "friend"][0]
+    assert lit["o_kind"] == 2 and lit["o_datatype"].endswith("#string")
+    iri = [r for r in rows if r["p"] == "http://ex/knownBy"][0]
+    assert iri["o_kind"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_having_filters_groups():
+    rows_in = ROWS + [("http://ex/a", "http://ex/knows", "http://ex/c")]
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x ex:knows ?y }
+    GROUP BY ?x HAVING(?n > 1)
+    """
+    rows = sparql_select(G(rows_in), q).take_all()
+    assert [(r["x"], r["n"]) for r in rows] == [("http://ex/a", 2)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_query_dispatcher():
+    from jena_ray.ops.sparql import sparql_query
+
+    assert sparql_query(G(ROWS), "PREFIX ex: <http://ex/> ASK { ?x ex:age ?n }") is True
+    ds = sparql_query(
+        G(ROWS), "PREFIX ex: <http://ex/> SELECT ?x WHERE { ?x ex:age ?n }"
+    )
+    assert ds.count() == 3
