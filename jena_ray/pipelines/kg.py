@@ -62,7 +62,9 @@ def kg_triples(
         ExtractAndLink,
         fn_constructor_kwargs={"on_error": on_error},
         batch_format="pyarrow",
-        batch_size=64,
+        # 128-doc batches measured fastest at 32 CPUs (64: 7.7s, 128:
+        # 5.4s, 512: 6.9s for 100k docs — task overhead vs pipelining)
+        batch_size=128,
         concurrency=_pool_size(linker_concurrency),
     )
     # large batches: the canonicalizer's per-unique-value dictionary rewrite
@@ -128,7 +130,7 @@ def _canon_triples_for_range(sf_dir: str, id_range, reps: int, linker_concurrenc
     return docs.map_batches(
         ExtractAndLink,
         batch_format="pyarrow",
-        batch_size=64,
+        batch_size=128,
         concurrency=_pool_size(linker_concurrency),
     ).map_batches(canonicalize_batch, batch_format="pyarrow")
 
