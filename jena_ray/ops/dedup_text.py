@@ -124,6 +124,11 @@ def minhash_bands_batch(b: pa.Table) -> pa.Table:
 # union-find-style dedup, at the cost of not scoring every cross pair.
 MAX_BUCKET_ALLPAIRS = 512
 
+# n-gram Jaccard: shingles appearing in more docs than this are dropped
+# before pairing (keep below MAX_BUCKET_ALLPAIRS so the pair kernel never
+# chain-degrades — exactness is the point of this variant)
+NGRAM_DF_CAP = 256
+
 
 def _pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
     dtype = g["doc_id"].dtype
@@ -223,6 +228,108 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.7):
         )
 
     return with_texts.map_batches(verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
+    """EXACT n-gram Jaccard near-dup pairs, fully distributed and fully
+    SQL-oracle-able (unlike MinHash, no approximation):
+
+        explode each doc to its DISTINCT word k-grams
+        candidate pairs = docs sharing ≥1 shingle  (groupby shingle)
+        |A∩B| = number of shared shingles           (groupby pair count)
+        |A∪B| = |A| + |B| − |A∩B|                   (broadcast size map)
+        keep pairs with ∩/∪ ≥ threshold
+
+    The shuffle shape is explode → one groupby(shingle) → one
+    groupby(pair); no driver-side text. Group sizes are bounded by a
+    DOCUMENT-FREQUENCY stop filter: shingles appearing in more than
+    NGRAM_DF_CAP docs are dropped BEFORE pairing (standard stop-shingle
+    practice) — deterministic, so the SQL oracle mirrors it with a
+    HAVING clause and results stay exactly comparable."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = text.lower().split()
+            if len(toks) < k:
+                sh = {" ".join(toks)} if toks else set()
+            else:
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            for g in sorted(sh):
+                ids.append(d)
+                grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, id_type), "shingle": pa.array(grams)}
+        )
+
+    shingles = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    # stop-shingle list: shingles in more than NGRAM_DF_CAP docs (tiny by
+    # construction — only the most generic phrases survive the HAVING)
+    stop = {
+        row["shingle"]
+        for row in shingles.groupby("shingle").count().take_all()
+        if row["count()"] > NGRAM_DF_CAP
+    }
+    stop_ref = ray.put(frozenset(stop))
+
+    def drop_stop(t: pa.Table) -> pa.Table:
+        s = ray.get(stop_ref)
+        if not s:
+            return t
+        mask = pa.array([g not in s for g in t["shingle"].to_pylist()])
+        return t.filter(mask)
+
+    shingles = shingles.map_batches(drop_stop, batch_format="pyarrow")
+
+    # per-doc distinct (non-stop) shingle counts — doc-count-sized, broadcast
+    sizes = {}
+    for row in shingles.groupby("doc_id").count().take_all():
+        sizes[row["doc_id"]] = row["count()"]
+    sizes_ref = ray.put(sizes)
+
+    shared = (
+        shingles.groupby("shingle")
+        .map_groups(_pairs_in_group, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"a": pa.array([], id_type), "b": pa.array([], id_type),
+                 "inter": pa.array([], pa.int64()),
+                 "uni": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        sz = ray.get(sizes_ref)
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        inter = t["inter"].to_pylist()
+        keep = {"a": [], "b": [], "inter": [], "uni": [], "jaccard": []}
+        for x, y, c in zip(a, b, inter):
+            union = sz[x] + sz[y] - c
+            j = c / union if union else 1.0
+            if j >= threshold:
+                keep["a"].append(x)
+                keep["b"].append(y)
+                keep["inter"].append(c)
+                keep["uni"].append(union)
+                keep["jaccard"].append(j)
+        return pa.table(
+            {"a": pa.array(keep["a"], id_type), "b": pa.array(keep["b"], id_type),
+             "inter": pa.array(keep["inter"], pa.int64()),
+             "uni": pa.array(keep["uni"], pa.int64()),
+             "jaccard": pa.array(keep["jaccard"], pa.float64())}
+        )
+
+    return shared.map_batches(verdict, batch_format="pyarrow")
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -913,6 +913,55 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup (the non-approximate member of the
+    dedup family): shingle-explode → shared-shingle pairs → exact
+    intersection/union counts. Projected to the integer (inter, uni)
+    evidence so the oracle compare is float-free."""
+    from ..ops.dedup_text import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, k=3
+    )
+    return pairs.select_columns(["a", "b", "inter", "uni"])
+
+
+SQL_DEDUP_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ts, ' ')
+  FROM toks WHERE len(ts) > 0 AND len(ts) < 3
+  UNION
+  SELECT DISTINCT doc_id, '' FROM toks WHERE len(ts) = 0
+),
+kept AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 256
+),
+sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
 def q_embedding_near_dup_blocked(sf_dir: str):
     """Exact all-pairs near-dup with NO driver-side matrix: chunk-vs-chunk
     matmul tasks over object-store-resident normalized chunks."""
@@ -1457,6 +1506,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_blocked": (
         q_embedding_near_dup_blocked,
