@@ -7,16 +7,24 @@ covers schema-shaped KG QA:
 
 - shape declarations  <Label> { p1 VE card ; p2 VE card ; ... }  (EachOf)
 - value expressions:  ``.`` (wildcard), datatype IRI, node kinds
-  IRI / BNODE / LITERAL / NONLITERAL, value sets ``[ <v1> "v2" ... ]``
+  IRI / BNODE / LITERAL / NONLITERAL, value sets ``[ <v1> "v2" ... ]``,
+  shape references ``@<Other>`` (non-recursive)
 - cardinalities:      ``?`` (0..1), ``+`` (1..*), ``*`` (0..*),
   ``{m}`` / ``{m,n}`` / ``{m,*}``, default exactly 1
 - CLOSED shapes:      predicates outside the declared set are violations
 - shape map:          ``<node>@<Shape>`` fixed entries and
   ``{FOCUS a <Class>}@<Shape>`` class selectors
 
-NOT in subset (documented): shape references ``@<Other>`` (cross-node —
-needs a join of the object's own triples), AND/OR/NOT shape expressions,
-semantic actions, IMPORTs.
+Shape references are evaluated in dependency (topological) order:
+referenced shapes run a full per-focus pass first and their CONFORMING
+NODE SET is broadcast to the referring shape's pass — one extra
+distributed pass per dependency level. Partitioning assumption
+(documented): a conformance set is focus-node-scale; at corpus scale
+swap the broadcast for a hash join on the object column. Recursive
+references are rejected (fixpoint semantics out of subset).
+
+NOT in subset (documented): AND/OR/NOT shape expressions, semantic
+actions, IMPORTs.
 
 Execution shape (same as stages/shacl.py): the small schema + shape map
 broadcast; data hash-grouped by subject so every focus node's triples
@@ -106,6 +114,11 @@ def parse_shexc(text: str) -> ShexSchema:
     def parse_value_expr():
         nonlocal i
         kind, val = toks[i]
+        if kind == "punct" and val == "@":
+            i += 1
+            k2, v2 = toks[i]
+            i += 1
+            return ("ref", expand(k2, v2))
         if kind == "punct" and val == ".":
             i += 1
             return ("any",)
@@ -210,10 +223,15 @@ def parse_shape_map(text: str, schema: ShexSchema) -> list[ShapeMapEntry]:
     return entries
 
 
-def _matches_value(ve: tuple, o_kind: int, o_lex: str, o_dt: str) -> bool:
+def _matches_value(ve: tuple, o_kind: int, o_lex: str, o_dt: str,
+                   conf_sets: dict | None = None) -> bool:
     tag = ve[0]
     if tag == "any":
         return True
+    if tag == "ref":
+        if conf_sets is None or ve[1] not in conf_sets:
+            return False
+        return o_kind != KIND_LITERAL and o_lex in conf_sets[ve[1]]
     if tag == "kind":
         k = ve[1]
         return (
@@ -230,7 +248,8 @@ def _matches_value(ve: tuple, o_kind: int, o_lex: str, o_dt: str) -> bool:
     return False
 
 
-def _validate_group(g: pd.DataFrame, shape: Shape) -> list[str]:
+def _validate_group(g: pd.DataFrame, shape: Shape,
+                    conf_sets: dict | None = None) -> list[str]:
     """Violation reasons for one focus node (empty = conformant)."""
     reasons = []
     declared = {c.predicate for c in shape.constraints}
@@ -238,7 +257,8 @@ def _validate_group(g: pd.DataFrame, shape: Shape) -> list[str]:
         rows = g[g["p"] == c.predicate]
         ok = rows.apply(
             lambda r: _matches_value(
-                c.value_expr, int(r["o_kind"]), r["o_lex"], r["o_datatype"]
+                c.value_expr, int(r["o_kind"]), r["o_lex"], r["o_datatype"],
+                conf_sets,
             ),
             axis=1,
         ) if len(rows) else pd.Series([], dtype=bool)
@@ -256,16 +276,81 @@ def _validate_group(g: pd.DataFrame, shape: Shape) -> list[str]:
     return reasons
 
 
+def _shape_refs(shape: Shape) -> set:
+    return {c.value_expr[1] for c in shape.constraints if c.value_expr[0] == "ref"}
+
+
+def _topo_ref_order(schema: ShexSchema) -> list[str]:
+    """Referenced shapes in dependency order; raises on reference cycles."""
+    order: list[str] = []
+    state: dict[str, int] = {}  # 0=visiting, 1=done
+
+    def visit(label: str, chain: tuple):
+        if label in chain:
+            raise RDFParseError(
+                f"ShEx: recursive shape reference {' -> '.join(chain + (label,))} "
+                "(fixpoint semantics out of subset)"
+            )
+        if state.get(label) == 1:
+            return
+        shp = schema.shapes.get(label)
+        if shp is None:
+            raise RDFParseError(f"ShEx: reference to unknown shape {label!r}")
+        for dep in sorted(_shape_refs(shp)):
+            visit(dep, chain + (label,))
+        state[label] = 1
+        order.append(label)
+
+    for label in sorted(schema.shapes):
+        for dep in sorted(_shape_refs(schema.shapes[label])):
+            visit(dep, (label,))
+    return order
+
+
+def _conforming_nodes(triples_ds, schema: ShexSchema, label: str,
+                      conf_sets: dict) -> frozenset:
+    """One distributed pass: the set of IRI subjects conforming to
+    `label` (plus empty-group conformance handled analytically)."""
+    import ray
+
+    state_ref = ray.put((schema.shapes[label], dict(conf_sets)))
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        shp, refs = ray.get(state_ref)
+        if int(g["s_kind"].iloc[0]) != KIND_IRI:
+            return pd.DataFrame({"node": []}).astype(str)
+        if _validate_group(g, shp, refs):
+            return pd.DataFrame({"node": []}).astype(str)
+        return pd.DataFrame({"node": [g["s_lex"].iloc[0]]})
+
+    rows = (
+        triples_ds.groupby(["s_kind", "s_lex"])
+        .map_groups(check, batch_format="pandas")
+        .take_all()
+    )
+    return frozenset(r["node"] for r in rows)
+
+
 def validate_shex(triples_ds, schema_text: str, shape_map_text: str):
-    """ShEx validation report Dataset: (focus, shape, status, reason)."""
+    """ShEx validation report Dataset: (focus, shape, status, reason).
+
+    Shape references run first, in dependency order — each referenced
+    shape does one full per-focus pass and its conforming-node set is
+    broadcast into the next level (see module docstring for the scale
+    assumption)."""
     import ray
 
     schema = parse_shexc(schema_text)
     entries = parse_shape_map(shape_map_text, schema)
-    state_ref = ray.put((schema, entries))
+
+    conf_sets: dict[str, frozenset] = {}
+    for label in _topo_ref_order(schema):
+        conf_sets[label] = _conforming_nodes(triples_ds, schema, label, conf_sets)
+
+    state_ref = ray.put((schema, entries, conf_sets))
 
     def validate(g: pd.DataFrame) -> pd.DataFrame:
-        schema_, entries_ = ray.get(state_ref)
+        schema_, entries_, refs = ray.get(state_ref)
         focus = g["s_lex"].iloc[0]
         if int(g["s_kind"].iloc[0]) != KIND_IRI:
             return pd.DataFrame(
@@ -277,7 +362,7 @@ def validate_shex(triples_ds, schema_text: str, shape_map_text: str):
             applies = (e.node == focus) if e.node else (e.target_class in types)
             if not applies:
                 continue
-            reasons = _validate_group(g, schema_.shapes[e.shape])
+            reasons = _validate_group(g, schema_.shapes[e.shape], refs)
             out["focus"].append(focus)
             out["shape"].append(e.shape)
             out["status"].append("nonconformant" if reasons else "conformant")

@@ -102,3 +102,75 @@ def test_validate_shex():
     bob_strict = by[("http://ex/bob", "http://ex/StrictShape")]
     assert bob_strict["status"] == "nonconformant"
     assert "CLOSED" in bob_strict["reason"]
+
+
+SCHEMA_REFS = """
+PREFIX ex: <http://ex/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+<http://ex/AddrShape> {
+  ex:city xsd:string
+}
+
+<http://ex/PersonRefShape> {
+  a [ <http://ex/Person> ] ;
+  ex:addr @<http://ex/AddrShape>
+}
+"""
+
+
+def test_parse_shape_reference():
+    s = parse_shexc(SCHEMA_REFS)
+    c = s.shapes["http://ex/PersonRefShape"].constraints[1]
+    assert c.value_expr == ("ref", "http://ex/AddrShape")
+
+
+def test_recursive_reference_rejected():
+    from jena_ray.stages.shex import _topo_ref_order
+
+    s = parse_shexc(
+        """
+        PREFIX ex: <http://ex/>
+        <http://ex/A> { ex:p @<http://ex/B> }
+        <http://ex/B> { ex:q @<http://ex/A> }
+        """
+    )
+    with pytest.raises(RDFParseError, match="recursive"):
+        _topo_ref_order(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_shape_reference_cross_node():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        # ok: person with a conforming address node
+        (0, "http://ex/p1", RT, 0, "http://ex/Person", "", ""),
+        (0, "http://ex/p1", "http://ex/addr", 0, "http://ex/a1", "", ""),
+        (0, "http://ex/a1", "http://ex/city", 2, "Berlin", XSD + "string", ""),
+        # bad: person whose address node violates AddrShape (no city)
+        (0, "http://ex/p2", RT, 0, "http://ex/Person", "", ""),
+        (0, "http://ex/p2", "http://ex/addr", 0, "http://ex/a2", "", ""),
+        (0, "http://ex/a2", "http://ex/zip", 2, "10115", XSD + "string", ""),
+    ]
+    full = [list(r) + ["", "t"] for r in rows]
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([fr[i] for fr in full], f.type)
+             for i, f in enumerate(TRIPLE_SCHEMA)],
+            schema=TRIPLE_SCHEMA,
+        )
+    )
+    report = validate_shex(
+        ds, SCHEMA_REFS,
+        "{FOCUS a <http://ex/Person>}@<http://ex/PersonRefShape>",
+    ).take_all()
+    by = {r["focus"]: r for r in report}
+    assert by["http://ex/p1"]["status"] == "conformant"
+    assert by["http://ex/p2"]["status"] == "nonconformant"
+    assert "ref" in by["http://ex/p2"]["reason"]
