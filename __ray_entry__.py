@@ -116,6 +116,17 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         )
         return nd_lsh(emb, threshold=0.9)
 
+    def ann_ivf(sf_dir: str):
+        import ray.data as rd
+
+        from jena_ray.ops.similarity import ivf_topk, query_vector
+
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return ivf_topk(emb, query_vector(sf_dir, 0), k=5,
+                        n_centroids=16, nprobe=4)
+
     def ann_lsh(sf_dir: str):
         import ray.data as rd
 
@@ -273,6 +284,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "media_features": media_features,
         "hash_variants": _hash_variants,

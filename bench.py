@@ -71,6 +71,13 @@ def run_bench(sf_dir: str, num_cpus: int, reps: int) -> dict:
         "connected_components",
         "string_funcs",
         "datetime_funcs",
+        # round-2 operator families (kept additive — earlier rounds'
+        # queries stay comparable)
+        "bgp_star_join",
+        "sparql_select",
+        "path_star_alt",
+        "dedup_ngram_jaccard",
+        "owl_transitive_in",
     ):
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()

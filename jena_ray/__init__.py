@@ -13,6 +13,32 @@ the file:line parity map) with a fundamentally different execution model:
   lineage manifests for checkpoint/resume
 
 Nothing here calls ``ray.init``; sessions are owned by bench.py / tests.
+
+Front door (the RDFDataMgr + QueryExecutionFactory analog):
+
+    import jena_ray
+    triples = jena_ray.read("data/*.ttl")            # triple Dataset
+    rows = jena_ray.query(triples, "SELECT ?s WHERE { ?s a <C> }")
+    ok = jena_ray.query("file.nt", "ASK { ?s ?p ?o }")
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def read(paths, **kw):
+    """RDF files (directory / glob / list; .nt .nq .ttl .trig .rdf
+    .jsonld .trix .rj .n3) → distributed triple Dataset. See
+    sources/readers.read_rdf."""
+    from .sources.readers import read_rdf
+
+    return read_rdf(paths, **kw)
+
+
+def query(source, query_text: str):
+    """Run a SPARQL query (SELECT / ASK / CONSTRUCT subset — see
+    ops/sparql.py) over a triple Dataset or RDF file path(s)."""
+    from .ops.sparql import sparql_query
+
+    if isinstance(source, (str, list, tuple)):
+        source = read(source)
+    return sparql_query(source, query_text)

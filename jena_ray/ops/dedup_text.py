@@ -267,16 +267,25 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
             {"doc_id": pa.array(ids, id_type), "shingle": pa.array(grams)}
         )
 
-    shingles = docs_ds.map_batches(explode, batch_format="pyarrow")
+    from ..util import compact_blocks
 
-    # stop-shingle list: shingles in more than NGRAM_DF_CAP docs (tiny by
-    # construction — only the most generic phrases survive the HAVING)
-    stop = {
-        row["shingle"]
-        for row in shingles.groupby("shingle").count().take_all()
-        if row["count()"] > NGRAM_DF_CAP
-    }
-    stop_ref = ray.put(frozenset(stop))
+    shingles = compact_blocks(docs_ds.map_batches(explode, batch_format="pyarrow"))
+
+    # stop-shingle list: shingles in more than NGRAM_DF_CAP docs. The
+    # over-cap rows are filtered DISTRIBUTED and only that tiny tail is
+    # collected (never the full distinct-shingle table).
+    stop_rows = (
+        shingles.groupby("shingle")
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], NGRAM_DF_CAP))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    stop_ref = ray.put(frozenset(r["shingle"] for r in stop_rows))
 
     def drop_stop(t: pa.Table) -> pa.Table:
         s = ray.get(stop_ref)
@@ -285,7 +294,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
         mask = pa.array([g not in s for g in t["shingle"].to_pylist()])
         return t.filter(mask)
 
-    shingles = shingles.map_batches(drop_stop, batch_format="pyarrow")
+    shingles = compact_blocks(shingles.map_batches(drop_stop, batch_format="pyarrow"))
 
     # per-doc distinct (non-stop) shingle counts — doc-count-sized, broadcast
     sizes = {}
@@ -293,9 +302,42 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
         sizes[row["doc_id"]] = row["count()"]
     sizes_ref = ray.put(sizes)
 
+    # pair generation as a SELF-JOIN on the shingle (one hash shuffle, no
+    # per-group Python: a groupby(shingle).map_groups over millions of
+    # tiny groups measured ~5x slower)
+    def rename_to(col):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            return pa.table(
+                {
+                    "shingle": t["shingle"].combine_chunks(),
+                    col: t["doc_id"].combine_chunks(),
+                }
+            )
+
+        return fn
+
+    sh_a = shingles.map_batches(rename_to("a"), batch_format="pyarrow")
+    sh_b = shingles.map_batches(rename_to("b"), batch_format="pyarrow")
+    n_parts = max(1, min(64, shingles.count() // 2_000_000))
+    joined = compact_blocks(sh_a).join(
+        compact_blocks(sh_b), join_type="inner", num_partitions=n_parts,
+        on=("shingle",),
+    )
+
+    def ordered_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"a": pa.array([], id_type), "b": pa.array([], id_type)}
+            )
+        x = t.filter(pc.less(t["a"], t["b"]))
+        return pa.table(
+            {"a": x["a"].combine_chunks(), "b": x["b"].combine_chunks()}
+        )
+
     shared = (
-        shingles.groupby("shingle")
-        .map_groups(_pairs_in_group, batch_format="pandas")
+        joined.map_batches(ordered_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
     )

@@ -59,6 +59,80 @@ def brute_force_topk(emb_ds, query: np.ndarray, k: int = 5):
     return brute.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 20,
+            seed: int = 13) -> np.ndarray:
+    """Plain Lloyd's k-means on a (small, driver-side) training sample —
+    the coarse quantizer for IVF. Deterministic (fixed seed)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = np.array(
+            [
+                sample[assign == j].mean(axis=0) if (assign == j).any()
+                else centroids[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_topk(emb_ds, query: np.ndarray, k: int = 5, *, n_centroids: int = 16,
+             nprobe: int = 4, train_size: int = 2048):
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into cells; only the query's `nprobe` nearest
+    cells are scanned. One pass, no index materialization (pipeline
+    mode): each batch assigns its vectors to cells vectorized, keeps the
+    probed cells, and emits a local top-k — same merge as brute force.
+    The quantizer trains on a driver-side SAMPLE (train_size vectors —
+    KB-scale state, broadcast once)."""
+    import ray
+
+    train = []
+    need = train_size
+    for b in emb_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        train.extend(b["embedding"].to_pylist()[:need - len(train)])
+        if len(train) >= need:
+            break
+    mat = _norm_rows(np.array(train, dtype=np.float64))
+    centroids = _kmeans(mat, n_centroids)
+
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    cd = ((centroids - qn[None, :]) ** 2).sum(axis=1)
+    probe_cells = np.argsort(cd)[:nprobe]
+    state_ref = ray.put((centroids, frozenset(int(c) for c in probe_cells), qn))
+
+    def scan(b: pa.Table) -> pa.Table:
+        cents, cells, q = ray.get(state_ref)
+        m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = _norm_rows(m)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, list(cells))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sims = m[mask] @ q
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)[mask]
+        take = min(k, len(ids))
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table(
+            {"vec_id": pa.array(ids[part], pa.int64()),
+             "cos": pa.array(np.round(sims[part], 6), pa.float64())}
+        )
+
+    cand = emb_ds.map_batches(scan, batch_format="pyarrow")
+    return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+
+
 N_PLANES = 8
 _rng = np.random.RandomState(7)
 _PLANES_BY_DIM: dict[int, np.ndarray] = {}

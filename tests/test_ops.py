@@ -207,3 +207,26 @@ def test_embedding_near_dup_lsh_recall_on_planted_dups():
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"
     assert got <= truth  # within-bucket check is exact cosine: no false positives
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_bruteforce():
+    """IVF with generous nprobe must recover the exact top-k on the
+    embeddings table; tight nprobe still recovers most of it."""
+    import ray.data as rd
+
+    from jena_ray.ops.similarity import brute_force_topk, ivf_topk, query_vector
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = query_vector(SF, vec_id=0)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).take_all()]
+    # probing every cell == exhaustive: identical result incl. order
+    full = [r["vec_id"] for r in
+            ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).take_all()]
+    assert full == exact
+    # tight probe: the top hit must survive, recall >= 3/5
+    tight = [r["vec_id"] for r in
+             ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3).take_all()]
+    assert exact[0] in tight
+    assert len(set(tight) & set(exact)) >= 3

@@ -132,3 +132,20 @@ def test_read_rdf_relabels_bnodes_inside_triple_terms(tmp_path):
         inner_by_doc[doc] = inner
     # different docs → different scopes → different inner terms
     assert len(set(inner_by_doc.values())) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_front_door_read_and_query(tmp_path):
+    """jena_ray.read / jena_ray.query — the RDFDataMgr +
+    QueryExecutionFactory analog."""
+    import jena_ray
+
+    (tmp_path / "d.ttl").write_text(
+        "@prefix ex: <http://ex/> . ex:a a ex:Person ; ex:name \"Alice\" ."
+    )
+    rows = jena_ray.query(
+        str(tmp_path / "d.ttl"),
+        "SELECT ?s WHERE { ?s a <http://ex/Person> }",
+    ).take_all()
+    assert [r["s"] for r in rows] == ["http://ex/a"]
+    assert jena_ray.query(str(tmp_path / "d.ttl"), "ASK { ?s ?p ?o }") is True
