@@ -228,14 +228,58 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool, max_rounds: int = 
     return acc
 
 
-def transitive_pairs(pairs_ds, max_rounds: int = 25):
+def transitive_pairs(pairs_ds, max_rounds: int = 25,
+                     driver_threshold: int = 1_000_000):
     """Unseeded transitive closure of a (start, end) pair Dataset by
     semi-naive iteration: per round the NEW pairs only are advanced one
     step against the base relation (frontier ⋈ base), deduped against the
     accumulator by a min-tag groupby. O(longest chain) rounds. Output is
     O(V·reach) — callers own the judgment that the closed relation is
-    hierarchy-shaped (partOf/ancestor), not clique-shaped."""
+    hierarchy-shaped (partOf/ancestor), not clique-shaped.
+
+    Strategy switch (same shape as sameas.components_driver vs
+    components_distributed): below `driver_threshold` base pairs the
+    closure runs in-memory on the driver — each distributed round costs
+    several fixed-overhead executions, which dominates small relations —
+    and the iterative Dataset algebra handles the large case."""
     base = _distinct(pairs_ds)
+    if base.count() <= driver_threshold:
+        import ray.data as rd
+
+        succ: dict[str, set] = {}
+        for b in base.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for s, e in zip(b["start"].to_pylist(), b["end"].to_pylist()):
+                succ.setdefault(s, set()).add(e)
+        closed: dict[str, set] = {}
+
+        def reach(x: str) -> set:
+            if x in closed:
+                return closed[x]
+            closed[x] = set()  # cycle guard: nodes on the stack see partial
+            out: set = set()
+            stack = list(succ.get(x, ()))
+            seen: set = set()
+            while stack:
+                y = stack.pop()
+                if y in seen:
+                    continue
+                seen.add(y)
+                out.add(y)
+                stack.extend(succ.get(y, ()))
+            closed[x] = out
+            return out
+
+        starts, ends = [], []
+        for x in sorted(succ):
+            for y in sorted(reach(x)):
+                starts.append(x)
+                ends.append(y)
+        return rd.from_arrow(
+            pa.table(
+                {"start": pa.array(starts, pa.large_string()),
+                 "end": pa.array(ends, pa.large_string())}
+            )
+        )
     acc = base
     frontier = base
     for _ in range(max_rounds):

@@ -225,20 +225,22 @@ def owl_inference(triples_ds, schema_triples: list[tuple], *,
     duplicates across batches — follow with exact_dedup)."""
     import ray
 
+    from .rdfs import _TBOX_CACHE
+
     tbox = OwlTBox(schema_triples)
     tbox_ref = ray.put(tbox)
 
-    class Streamer:
-        def __init__(self):
-            self.tbox = ray.get(tbox_ref)
+    # stateless tasks + per-worker broadcast cache (see rdfs.py) — actor
+    # pool spin-up dominated small rule workloads
+    def kernel(batch: pa.Table) -> pa.Table:
+        key = tbox_ref.hex()
+        tb = _TBOX_CACHE.get(key)
+        if tb is None:
+            _TBOX_CACHE.clear()
+            tb = _TBOX_CACHE[key] = ray.get(tbox_ref)
+        return _stream_kernel(batch, tb, include_input)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return _stream_kernel(batch, self.tbox, include_input)
-
-    # autoscaling + fractional CPU (stacked pools deadlock small sessions)
-    out = triples_ds.map_batches(
-        Streamer, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
-    )
+    out = triples_ds.map_batches(kernel, batch_format="pyarrow")
     if tbox.transitive:
         # closure sees the streamed output (inverse/symmetric edges count)
         out = out.materialize()

@@ -126,6 +126,13 @@ def infer_batch(batch: pa.Table, tbox: TBox, include_input: bool = True) -> pa.T
     )
 
 
+# per-worker-process broadcast cache (same pattern as sameas.rewrite):
+# stateless TASKS instead of an actor pool — pool spin-up alone costs
+# seconds and dominates small rule workloads, while the broadcast T-box
+# deserializes once per worker via this cache
+_TBOX_CACHE: dict = {}
+
+
 def rdfs_inference(triples_ds, schema_triples: list[tuple], include_input=True):
     """Broadcast the T-box once (ray.put), stream the A-box through the
     rule kernel. Output may contain duplicates across batches — follow
@@ -134,16 +141,12 @@ def rdfs_inference(triples_ds, schema_triples: list[tuple], include_input=True):
 
     tbox_ref = ray.put(TBox(schema_triples))
 
-    class Inferencer:
-        def __init__(self):
-            self.tbox = ray.get(tbox_ref)  # once per actor
+    def kernel(batch: pa.Table) -> pa.Table:
+        key = tbox_ref.hex()
+        tbox = _TBOX_CACHE.get(key)
+        if tbox is None:
+            _TBOX_CACHE.clear()
+            tbox = _TBOX_CACHE[key] = ray.get(tbox_ref)
+        return infer_batch(batch, tbox, include_input)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return infer_batch(batch, self.tbox, include_input)
-
-    # autoscaling pool + fractional CPU: two fixed 1-CPU pools stacked in
-    # one pipeline can reserve every CPU of a small session and starve the
-    # task stages between them (deadlock) — see NOTES sharp edges
-    return triples_ds.map_batches(
-        Inferencer, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
-    )
+    return triples_ds.map_batches(kernel, batch_format="pyarrow")
