@@ -116,6 +116,25 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         )
         return nd_lsh(emb, threshold=0.9)
 
+    def approx_count_distinct(sf_dir: str):
+        # HLL sketch vs exact on the same column (rows-only: the sketch
+        # is approximate by design; the test bounds the error at 3 SE)
+        import ray.data as rd
+
+        from jena_ray.ops.sketches import approx_count_distinct as acd
+
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        est = acd(ds, "o_custkey", p=12)
+        exact = ds.unique("o_custkey")
+        import pyarrow as pa
+
+        return pa.table(
+            {"estimate": pa.array([est], pa.float64()),
+             "exact": pa.array([float(len(exact))], pa.float64()),
+             "rel_err": pa.array([abs(est - len(exact)) / len(exact)],
+                                  pa.float64())}
+        )
+
     def ann_ivf(sf_dir: str):
         import ray.data as rd
 
@@ -285,6 +304,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": text_fingerprint,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "approx_count_distinct": approx_count_distinct,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "media_features": media_features,
         "hash_variants": _hash_variants,

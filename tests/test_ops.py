@@ -230,3 +230,27 @@ def test_ivf_topk_recall_vs_bruteforce():
              ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3).take_all()]
     assert exact[0] in tight
     assert len(set(tight) & set(exact)) >= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_approx_count_distinct():
+    """HLL estimate within 3 standard errors of exact, and partition-
+    independent (merge is commutative max)."""
+    import ray.data as rd
+
+    from jena_ray.ops.sketches import approx_count_distinct
+
+    n = 20000
+    ds = rd.from_items([{"v": f"val-{i % 7919}"} for i in range(n)])
+    exact = 7919
+    est = approx_count_distinct(ds, "v", p=12)
+    se = 1.04 / (4096 ** 0.5)
+    assert abs(est - exact) / exact < 3 * se, (est, exact)
+    # partitioning independence
+    est2 = approx_count_distinct(ds.repartition(13), "v", p=12)
+    assert est == est2
+
+    # small-range linear counting regime
+    small = rd.from_items([{"v": i} for i in range(100)])
+    est_small = approx_count_distinct(small, "v", p=12)
+    assert abs(est_small - 100) < 5
