@@ -102,3 +102,37 @@ def test_validate_shaclc_end_to_end():
     assert [(r["focus"], r["constraint"]) for r in report] == [
         ("http://ex/bad", "minCount")
     ]
+
+
+def test_shaclc_agrees_with_paired_turtle_shapes():
+    """Cross-parser conformance: for reference corpus files in the flat
+    subset, parsing the .shaclc and the PAIRED .ttl must yield the same
+    shape structures (modulo the min_count-0-is-default convention)."""
+    import os
+
+    from jena_ray.stages.shacl import parse_shapes
+
+    def norm(shapes):
+        out = {}
+        for s in shapes:
+            props = sorted(
+                (p.path, p.min_count or 0, p.max_count, p.datatype,
+                 p.node_kind, p.pattern, p.min_inclusive, p.max_inclusive)
+                for p in s.properties
+            )
+            out[s.name] = (sorted(s.target_classes), props)
+        return out
+
+    compared = 0
+    for fname in ("basic-shape-with-target", "count-0-1", "count-1-2",
+                  "count-0-unlimited", "count-1-unlimited", "datatype",
+                  "nodeKind", "basic-shape"):
+        sc = os.path.join(REF, fname + ".shaclc")
+        tt = os.path.join(REF, fname + ".ttl")
+        if not (os.path.exists(sc) and os.path.exists(tt)):
+            continue
+        got = norm(parse_shaclc(open(sc).read()))
+        want = norm(parse_shapes(open(tt).read()))
+        assert got == want, fname
+        compared += 1
+    assert compared >= 5
