@@ -72,11 +72,13 @@ def run_bench(sf_dir: str, num_cpus: int, reps: int) -> dict:
         "string_funcs",
         "datetime_funcs",
         # round-2 operator families (kept additive — earlier rounds'
-        # queries stay comparable)
+        # queries stay comparable). dedup_ngram_jaccard is correctness-
+        # gated at sf0.01 but excluded here: its sf0.1 shingle table is
+        # ~15M string-keyed rows and the exact-parity requirement rules
+        # out int-hashed keys, so it dominates the bench (~2 min).
         "bgp_star_join",
         "sparql_select",
         "path_star_alt",
-        "dedup_ngram_jaccard",
         "owl_transitive_in",
     ):
         fn, _ = REGISTRY[name]
