@@ -253,7 +253,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
     id_type = docs_ds.schema().base_schema.field("doc_id").type
 
     def explode(b: pa.Table) -> pa.Table:
-        ids, grams = [], []
+        ids, grams, hashes = [], [], []
         for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
             toks = text.lower().split()
             if len(toks) < k:
@@ -263,8 +263,13 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
             for g in sorted(sh):
                 ids.append(d)
                 grams.append(g)
+                # composite shuffle key: int hash FIRST so the sort/join
+                # compares 8 bytes and falls back to the string only on
+                # hash-equal runs — exact string equality preserved
+                hashes.append(zlib.crc32(g.encode()))
         return pa.table(
-            {"doc_id": pa.array(ids, id_type), "shingle": pa.array(grams)}
+            {"doc_id": pa.array(ids, id_type), "shingle": pa.array(grams),
+             "h": pa.array(hashes, pa.int64())}
         )
 
     from ..util import compact_blocks
@@ -275,7 +280,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
     # over-cap rows are filtered DISTRIBUTED and only that tiny tail is
     # collected (never the full distinct-shingle table).
     stop_rows = (
-        shingles.groupby("shingle")
+        shingles.groupby(["h", "shingle"])
         .count()
         .map_batches(
             lambda t: t.filter(pc.greater(t["count()"], NGRAM_DF_CAP))
@@ -311,6 +316,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
                 return t
             return pa.table(
                 {
+                    "h": t["h"].combine_chunks(),
                     "shingle": t["shingle"].combine_chunks(),
                     col: t["doc_id"].combine_chunks(),
                 }
@@ -323,7 +329,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
     n_parts = max(1, min(64, shingles.count() // 2_000_000))
     joined = compact_blocks(sh_a).join(
         compact_blocks(sh_b), join_type="inner", num_partitions=n_parts,
-        on=("shingle",),
+        on=("h", "shingle"),
     )
 
     def ordered_pairs(t: pa.Table) -> pa.Table:
