@@ -40,7 +40,10 @@ VALUES (single- and multi-var) compiles to an inline relation joined
 into the group; BIND(expr AS ?v) to a vectorized computed column
 (numeric results render as canonical lexical forms).
 
-Out of subset: subqueries, HAVING, CONSTRUCT/ASK/DESCRIBE. OPTIONAL and
+{ SELECT ... } subqueries compile recursively and join into their group
+on the shared variables (aggregate subqueries included).
+
+Out of subset: DESCRIBE, federated SERVICE. OPTIONAL and
 each UNION arm must share ≥1 variable with the rest of their group (no
 cartesian products — same rule as the BGP planner).
 """
@@ -157,6 +160,14 @@ class _Parser:
                     )
             return {"form": "construct", "template": template, "group": group,
                     "limit": limit}
+        q = self.parse_select_rest()
+        if self.peek()[0] != "eof":
+            raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        return q
+
+    def parse_select_rest(self) -> dict:
+        """SELECT ... WHERE ... [GROUP BY/HAVING/ORDER/LIMIT/OFFSET] —
+        shared by top-level queries and { SELECT ... } subqueries."""
         self.expect("kw", "SELECT")
         distinct = self.kw("DISTINCT")
         proj: list | None
@@ -230,8 +241,6 @@ class _Parser:
                 limit = int(self.expect("num"))
             elif self.kw("OFFSET"):
                 offset = int(self.expect("num"))
-        if self.peek()[0] != "eof":
-            raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return {
             "form": "select", "distinct": distinct, "project": proj,
             "group": group, "group_by": group_by, "having": having,
@@ -263,13 +272,22 @@ class _Parser:
                 self.expect("op", ")")
                 elements.append(("bind", expr, var))
             elif self.peek() == ("op", "{"):
-                left = self.parse_group()
-                self.expect("kw", "UNION")
-                right = self.parse_group()
-                arms = [left, right]
-                while self.kw("UNION"):
-                    arms.append(self.parse_group())
-                elements.append(("union", arms))
+                # lookahead: '{ SELECT' is a subquery, else a UNION group
+                if (self.i + 1 < len(self.toks)
+                        and self.toks[self.i + 1][0] == "kw"
+                        and self.toks[self.i + 1][1].upper() == "SELECT"):
+                    self.next()  # {
+                    sub = self.parse_select_rest()
+                    self.expect("op", "}")
+                    elements.append(("subquery", sub))
+                else:
+                    left = self.parse_group()
+                    self.expect("kw", "UNION")
+                    right = self.parse_group()
+                    arms = [left, right]
+                    while self.kw("UNION"):
+                        arms.append(self.parse_group())
+                    elements.append(("union", arms))
             else:
                 pat = self.parse_pattern()
                 if isinstance(pat[1], _paths.Path):
@@ -548,6 +566,12 @@ def _group_vars(group: dict) -> set:
             out |= set(el[1])
         elif el[0] == "bind":
             out.add(el[2])
+        elif el[0] == "subquery":
+            q = el[1]
+            if q["project"] is None:
+                out |= _group_vars(q["group"])
+            else:
+                out |= {p[1] if p[0] == "var" else p[3] for p in q["project"]}
         elif el[0] == "optional":
             out |= _group_vars(el[1])
         elif el[0] == "union":
@@ -765,6 +789,9 @@ def _compile_group(triples_ds, group: dict):
         elif el[0] == "path":
             rel, rel_vars = _compile_path_pattern(triples_ds, el[1])
             how = "inner"
+        elif el[0] == "subquery":
+            rel, rel_vars = _exec_select(triples_ds, el[1])
+            how = "inner"
         elif el[0] == "optional":
             rel, rel_vars = _compile_group(triples_ds, el[1])
             how = "left_outer"
@@ -937,6 +964,13 @@ def sparql_select(triples_ds, query_text: str):
     q = _Parser(query_text).parse()
     if q["form"] != "select":
         raise RDFParseError("sparql_select: not a SELECT query")
+    out, _cols = _exec_select(triples_ds, q)
+    return out
+
+
+def _exec_select(triples_ds, q: dict):
+    """Execute a parsed SELECT dict → (Dataset, projected column names).
+    Shared by the top-level form and { SELECT ... } subqueries."""
     bindings, all_vars = _compile_group(triples_ds, q["group"])
     proj_items = q["project"] or [("var", v) for v in all_vars]
     agg_items = [p for p in proj_items if p[0] == "agg"]
@@ -1000,12 +1034,20 @@ def sparql_select(triples_ds, query_text: str):
                     return t.filter(pc.fill_null(_eval_bool(having, t), False))
 
                 grouped = grouped.map_batches(having_kernel, batch_format="pyarrow")
-            out = grouped.map_batches(
-                lambda t: pa.table({n: t[n].combine_chunks() for n in proj})
-                if t.num_columns
-                else t,
-                batch_format="pyarrow",
-            )
+            def project_cast(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0:
+                    return t
+                cols = {}
+                for n in proj:
+                    c = t[n].combine_chunks()
+                    # Ray groupby downgrades large_string keys to string;
+                    # downstream joins refuse the mix — re-cast
+                    if pa.types.is_string(c.type):
+                        c = c.cast(pa.large_string())
+                    cols[n] = c
+                return pa.table(cols)
+
+            out = grouped.map_batches(project_cast, batch_format="pyarrow")
         else:
             import ray.data as rd
 
@@ -1032,9 +1074,9 @@ def sparql_select(triples_ds, query_text: str):
             if not rows:
                 return rd.from_arrow(
                     pa.table({c: pa.array([], pa.large_string()) for c in proj})
-                )
-            return rd.from_items(rows)
+                ), proj
+            return rd.from_items(rows), proj
         raise RDFParseError("SPARQL: OFFSET without LIMIT not supported")
     if q["limit"] is not None:
         out = out.limit(q["limit"])
-    return out
+    return out, proj

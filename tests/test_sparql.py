@@ -385,3 +385,33 @@ def test_query_dispatcher():
         G(ROWS), "PREFIX ex: <http://ex/> SELECT ?x WHERE { ?x ex:age ?n }"
     )
     assert ds.count() == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_subquery_aggregate_joined_into_outer():
+    rows_in = ROWS + [("http://ex/a", "http://ex/knows", "http://ex/c")]
+    # inner: out-degree per person; outer: join back to their age
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?n ?deg WHERE {
+      ?x ex:age ?n .
+      { SELECT ?x (COUNT(?y) AS ?deg) WHERE { ?x ex:knows ?y } GROUP BY ?x }
+    } ORDER BY ?x
+    """
+    rows = sparql_select(G(rows_in), q).take_all()
+    assert [(r["x"], r["n"], r["deg"]) for r in rows] == [
+        ("http://ex/a", "42", 2), ("http://ex/b", "7", 1),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_subquery_with_limit():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?x ?n WHERE {
+      { SELECT ?x WHERE { ?x ex:knows ?y } ORDER BY ?x LIMIT 1 }
+      ?x ex:age ?n .
+    }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["x"], r["n"]) for r in rows] == [("http://ex/a", "42")]
