@@ -1342,6 +1342,35 @@ SELECT n, CAST(count(*) AS BIGINT) AS members FROM members GROUP BY n
 """
 
 
+def q_sparql_subquery(sf_dir: str):
+    """Aggregate subquery joined into the outer group (OpGroup nested
+    under OpJoin — the 'per-key aggregate then enrich' SPARQL idiom)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?n ?r ?members WHERE {
+          ?n <in_region> ?r .
+          { SELECT ?n (COUNT(?c) AS ?members) WHERE {
+              ?c <in_nation> ?n .
+            } GROUP BY ?n }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_SUBQUERY = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+),
+counts AS (SELECT n, CAST(count(*) AS BIGINT) AS members FROM members GROUP BY n)
+SELECT counts.n AS n, 'r:' || n_regionkey AS r, members
+FROM counts JOIN nation ON counts.n = 'n:' || n_nationkey
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -1522,6 +1551,7 @@ REGISTRY: dict[str, tuple] = {
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
+    "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
