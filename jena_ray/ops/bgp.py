@@ -68,8 +68,13 @@ def _order_patterns(patterns):
     return ordered
 
 
-def _bindings_for_pattern(triples_ds, pat):
-    """One triple pattern → Dataset of bindings (one column per var)."""
+def _bindings_for_pattern(triples_ds, pat, graph=None):
+    """One triple pattern → Dataset of bindings (one column per var).
+
+    ``graph``: None = union-default-graph mode (no constraint — matches
+    the engine's one-table model and Jena's unionDefaultGraph); a string
+    = only that named graph; a Var = named graphs only, graph name bound
+    (GRAPH ?g semantics — the shared g var forces same-graph joins)."""
     s, p, o = pat
     # (var, source column) per VARIABLE POSITION — duplicates preserved so
     # ?x p ?x becomes a within-pattern equality
@@ -80,6 +85,8 @@ def _bindings_for_pattern(triples_ds, pat):
         positions.append((p.name, "p"))
     if _is_var(o):
         positions.append((o.name, "o_lex"))
+    if _is_var(graph):
+        positions.append((graph.name, "g"))
     var_names = sorted({v for v, _ in positions})
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -98,6 +105,10 @@ def _bindings_for_pattern(triples_ds, pat):
             mask = conj(mask, pc.equal(t["p"], p))
         if not _is_var(o):
             mask = conj(mask, pc.equal(t["o_lex"], o))
+        if isinstance(graph, str):
+            mask = conj(mask, pc.equal(t["g"], graph))
+        elif _is_var(graph):
+            mask = conj(mask, pc.not_equal(t["g"], ""))
         x = t.filter(mask) if mask is not None else t
         by_var: dict[str, list] = {}
         for v, col in positions:
@@ -130,25 +141,28 @@ def _dedup(ds, cols):
 
 
 def match_bgp(triples_ds, patterns, *, distinct: bool = False,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None, graph=None):
     """Solve a BGP over the triple Dataset → binding Dataset (one
     large_string column per variable, SPARQL bag semantics unless
-    ``distinct``)."""
+    ``distinct``). ``graph`` scopes every pattern (see
+    _bindings_for_pattern); a Var graph joins as a shared variable, so
+    all patterns bind within the SAME named graph."""
     ordered = _order_patterns(patterns)
     if not ordered:
         raise ValueError("empty BGP")
+    gvars = {graph.name} if _is_var(graph) else set()
 
-    acc = _bindings_for_pattern(triples_ds, ordered[0])
-    acc_vars = set(_pattern_vars(ordered[0]))
+    acc = _bindings_for_pattern(triples_ds, ordered[0], graph)
+    acc_vars = set(_pattern_vars(ordered[0])) | gvars
     for pat in ordered[1:]:
-        nxt = _bindings_for_pattern(triples_ds, pat)
-        shared = sorted(acc_vars & set(_pattern_vars(pat)))
+        nxt = _bindings_for_pattern(triples_ds, pat, graph)
+        shared = sorted(acc_vars & (set(_pattern_vars(pat)) | gvars))
         n_parts = num_partitions or max(1, min(64, acc.count() // 2_000_000))
         acc = compact_blocks(
             acc.join(nxt, join_type="inner", num_partitions=n_parts,
                      on=tuple(shared))
         )
-        acc_vars |= set(_pattern_vars(pat))
+        acc_vars |= set(_pattern_vars(pat)) | gvars
     if distinct:
         acc = _dedup(acc, sorted(acc_vars))
     return acc

@@ -41,9 +41,14 @@ into the group; BIND(expr AS ?v) to a vectorized computed column
 (numeric results render as canonical lexical forms).
 
 { SELECT ... } subqueries compile recursively and join into their group
-on the shared variables (aggregate subqueries included).
+on the shared variables (aggregate subqueries included). GRAPH <g>
+scopes its group's patterns to one named graph; GRAPH ?g matches named
+graphs only and binds ?g as a shared variable (same-graph joins).
+DESCRIBE <iri> returns the node's direct star; ASK short-circuits.
+Default-graph mode is UNION-default (no g constraint — Jena
+unionDefaultGraph), matching the engine's one-table model.
 
-Out of subset: DESCRIBE, federated SERVICE. OPTIONAL and
+Out of subset: federated SERVICE, GRAPH scope inside subqueries. OPTIONAL and
 each UNION arm must share ≥1 variable with the rest of their group (no
 cartesian products — same rule as the BGP planner).
 """
@@ -62,7 +67,7 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -138,6 +143,13 @@ class _Parser:
             if self.peek()[0] != "eof":
                 raise RDFParseError("SPARQL: trailing tokens after ASK group")
             return {"form": "ask", "group": group}
+        if self.kw("DESCRIBE"):
+            k, v = self.next()
+            node = self.expand(k, v)
+            if self.peek()[0] != "eof":
+                raise RDFParseError("SPARQL: DESCRIBE takes a single IRI "
+                                    "in this subset")
+            return {"form": "describe", "node": node}
         if self.kw("CONSTRUCT"):
             self.expect("op", "{")
             template = []
@@ -262,6 +274,10 @@ class _Parser:
                 elements.append(("optional", self.parse_group()))
             elif self.kw("MINUS"):
                 elements.append(("minus", self.parse_group()))
+            elif self.kw("GRAPH"):
+                k, v = self.next()
+                term = Var(v[1:]) if k == "var" else self.expand(k, v)
+                elements.append(("graph", term, self.parse_group()))
             elif self.kw("VALUES"):
                 elements.append(self.parse_values())
             elif self.kw("BIND"):
@@ -572,6 +588,10 @@ def _group_vars(group: dict) -> set:
                 out |= _group_vars(q["group"])
             else:
                 out |= {p[1] if p[0] == "var" else p[3] for p in q["project"]}
+        elif el[0] == "graph":
+            out |= _group_vars(el[2])
+            if isinstance(el[1], Var):
+                out.add(el[1].name)
         elif el[0] == "optional":
             out |= _group_vars(el[1])
         elif el[0] == "union":
@@ -773,32 +793,51 @@ def _minus_bindings(left, left_vars, right, right_vars):
     ), left_vars
 
 
-def _compile_group(triples_ds, group: dict):
-    """→ (bindings Dataset, sorted var list) for one GroupGraphPattern."""
+def _compile_group(triples_ds, group: dict, graph=None):
+    """→ (bindings Dataset, sorted var list) for one GroupGraphPattern.
+    ``graph`` (None | IRI string | Var) scopes the group's patterns —
+    set by an enclosing GRAPH element."""
     import ray.data as rd
 
     acc = None
     acc_vars: list = []
     for el in group["elements"]:
         if el[0] == "bgp":
-            rel = match_bgp(triples_ds, el[1], distinct=False)
+            rel = match_bgp(triples_ds, el[1], distinct=False, graph=graph)
             rel_vars = sorted(
                 {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
+                | ({graph.name} if isinstance(graph, Var) else set())
             )
             how = "inner"
+        elif el[0] == "graph":
+            rel, rel_vars = _compile_group(triples_ds, el[2], graph=el[1])
+            how = "inner"
         elif el[0] == "path":
-            rel, rel_vars = _compile_path_pattern(triples_ds, el[1])
+            if graph is not None and not isinstance(graph, str):
+                raise RDFParseError(
+                    "SPARQL: property paths under GRAPH ?var are not in "
+                    "this subset (constant graphs are)"
+                )
+            scoped = triples_ds
+            if isinstance(graph, str):
+                scoped = triples_ds.map_batches(
+                    lambda t, _g=graph: t.filter(pc.equal(t["g"], _g))
+                    if t.num_columns
+                    else t,
+                    batch_format="pyarrow",
+                )
+            rel, rel_vars = _compile_path_pattern(scoped, el[1])
             how = "inner"
         elif el[0] == "subquery":
             rel, rel_vars = _exec_select(triples_ds, el[1])
             how = "inner"
         elif el[0] == "optional":
-            rel, rel_vars = _compile_group(triples_ds, el[1])
+            rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
             how = "left_outer"
         elif el[0] == "minus":
             if acc is None:
                 raise RDFParseError("SPARQL: MINUS cannot open a group")
-            rel, rel_vars = _compile_group(triples_ds, el[1])
+            rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
             acc, acc_vars = _minus_bindings(acc, acc_vars, rel, rel_vars)
             continue
         elif el[0] == "values":
@@ -852,7 +891,7 @@ def _compile_group(triples_ds, group: dict):
             acc_vars = new_vars
             continue
         elif el[0] == "union":
-            arms = [_compile_group(triples_ds, a) for a in el[1]]
+            arms = [_compile_group(triples_ds, a, graph=graph) for a in el[1]]
             rel_vars = sorted(set().union(*(set(v) for _, v in arms)))
             rel = _align_columns(arms[0][0], arms[0][1], rel_vars)
             for a_ds, a_vars in arms[1:]:
@@ -947,14 +986,33 @@ def sparql_construct(triples_ds, query_text: str):
     return out
 
 
+def sparql_describe(triples_ds, query_text: str):
+    """DESCRIBE <iri> → every triple whose subject or object is the node
+    (the reference's default DescribeHandler is the concise bounded
+    description; this subset returns the direct star)."""
+    q = _Parser(query_text).parse()
+    if q["form"] != "describe":
+        raise RDFParseError("sparql_describe: not a DESCRIBE query")
+    node = q["node"]
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.or_(pc.equal(t["s_lex"], node), pc.equal(t["o_lex"], node))
+        )
+
+    return triples_ds.map_batches(f, batch_format="pyarrow")
+
+
 def sparql_query(triples_ds, query_text: str):
     """Form dispatcher: SELECT → binding Dataset, ASK → bool,
-    CONSTRUCT → triple Dataset."""
+    CONSTRUCT/DESCRIBE → triple Dataset."""
     form = _Parser(query_text).parse()["form"]
     if form == "ask":
         return sparql_ask(triples_ds, query_text)
     if form == "construct":
         return sparql_construct(triples_ds, query_text)
+    if form == "describe":
+        return sparql_describe(triples_ds, query_text)
     return sparql_select(triples_ds, query_text)
 
 

@@ -415,3 +415,65 @@ def test_subquery_with_limit():
     """
     rows = sparql_select(G(ROWS), q).take_all()
     assert [(r["x"], r["n"]) for r in rows] == [("http://ex/a", "42")]
+
+
+def _quads(rows):
+    """rows: (s, p, o, g) — build a 4-col triple table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_lex": pa.array([r[0] for r in rows], pa.large_string()),
+                "p": pa.array([r[1] for r in rows], pa.large_string()),
+                "o_lex": pa.array([r[2] for r in rows], pa.large_string()),
+                "g": pa.array([r[3] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+QROWS = [
+    ("http://ex/a", "http://ex/p", "v1", ""),                 # default graph
+    ("http://ex/a", "http://ex/p", "v2", "http://ex/g1"),
+    ("http://ex/a", "http://ex/q", "w1", "http://ex/g1"),
+    ("http://ex/b", "http://ex/p", "v3", "http://ex/g2"),
+    ("http://ex/b", "http://ex/q", "w2", "http://ex/g1"),     # cross-graph
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_constant_scopes_patterns():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s ?v WHERE { GRAPH <http://ex/g1> { ?s ex:p ?v } }
+    """
+    rows = sparql_select(_quads(QROWS), q).take_all()
+    assert [(r["s"], r["v"]) for r in rows] == [("http://ex/a", "v2")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_var_binds_and_forces_same_graph():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?v . ?s ex:q ?w } }
+    """
+    rows = sparql_select(_quads(QROWS), q).take_all()
+    # only g1 has BOTH p and q for the same subject a; b's p and q are in
+    # DIFFERENT graphs so the shared ?g join drops it
+    assert [(r["g"], r["s"]) for r in rows] == [("http://ex/g1", "http://ex/a")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_describe_star():
+    from jena_ray.ops.sparql import sparql_query
+
+    ds = G(ROWS)
+    out = sparql_query(ds, "DESCRIBE <http://ex/b>")
+    got = {(r["s_lex"], r["p"], r["o_lex"]) for r in out.take_all()}
+    assert got == {
+        ("http://ex/a", "http://ex/knows", "http://ex/b"),
+        ("http://ex/b", "http://ex/knows", "http://ex/c"),
+        ("http://ex/b", "http://ex/age", "7"),
+    }
