@@ -1371,6 +1371,54 @@ FROM counts JOIN nation ON counts.n = 'n:' || n_nationkey
 """
 
 
+def q_sparql_graph(sf_dir: str):
+    """GRAPH ?g pattern (OpGraph / engine/main/OpExecutor execute(OpGraph)):
+    membership triples partitioned into per-region named graphs; the
+    graph variable binds and projects alongside the pattern vars."""
+    import pyarrow.parquet as pq
+
+    from ..ops.sparql import sparql_select
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    region_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                         nat["n_regionkey"].to_pylist()))
+
+    def with_graph(t: pa.Table) -> pa.Table:
+        # graph name = the region of the edge's nation endpoint
+        gs = []
+        for p, o, s in zip(t["p"].to_pylist(), t["o"].to_pylist(),
+                           t["s"].to_pylist()):
+            nkey = int((o if p == "in_nation" else s)[2:])
+            gs.append(f"g:{region_of[nkey]}")
+        return pa.table(
+            {
+                "s_lex": t["s"].combine_chunks().cast(pa.large_string()),
+                "p": t["p"].combine_chunks().cast(pa.large_string()),
+                "o_lex": t["o"].combine_chunks().cast(pa.large_string()),
+                "g": pa.array(gs, pa.large_string()),
+            }
+        )
+
+    quads = _membership_edges(sf_dir).map_batches(with_graph, batch_format="pyarrow")
+    return sparql_select(
+        quads,
+        """
+        SELECT ?g ?c ?n WHERE { GRAPH ?g { ?c <in_nation> ?n } }
+        """,
+    )
+
+
+SQL_SPARQL_GRAPH = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, c_nationkey AS nk FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier
+)
+SELECT 'g:' || n_regionkey AS g, m AS c, 'n:' || nk AS n
+FROM members JOIN nation ON nk = n_nationkey
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -1552,6 +1600,7 @@ REGISTRY: dict[str, tuple] = {
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
     "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
+    "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
