@@ -1419,6 +1419,47 @@ FROM members JOIN nation ON nk = n_nationkey
 """
 
 
+def q_sparql_optional(sf_dir: str):
+    """OPTIONAL through the text front-end (OpLeftJoin): every nation
+    keeps its region edge; the member edge is optional, unmatched →
+    null, rendered as an empty string for the float-free oracle compare
+    (COALESCE in SQL)."""
+    from ..ops.sparql import sparql_select
+
+    out = sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?n ?r ?c WHERE {
+          ?n <in_region> ?r .
+          OPTIONAL { ?c <in_nation> ?n . FILTER(STRSTARTS(?c, "s:")) }
+        }
+        """,
+    )
+
+    def null_to_empty(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table(
+            {
+                "n": t["n"].combine_chunks(),
+                "r": t["r"].combine_chunks(),
+                "c": pc.fill_null(t["c"].combine_chunks(), ""),
+            }
+        )
+
+    return out.map_batches(null_to_empty, batch_format="pyarrow")
+
+
+SQL_SPARQL_OPTIONAL = """
+WITH suppliers AS (
+  SELECT 's:' || s_suppkey AS m, s_nationkey AS nk FROM supplier
+)
+SELECT 'n:' || n_nationkey AS n, 'r:' || n_regionkey AS r,
+       COALESCE(m, '') AS c
+FROM nation LEFT JOIN suppliers ON nk = n_nationkey
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -1601,6 +1642,7 @@ REGISTRY: dict[str, tuple] = {
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
     "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
+    "sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

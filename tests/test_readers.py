@@ -149,3 +149,31 @@ def test_front_door_read_and_query(tmp_path):
     ).take_all()
     assert [r["s"] for r in rows] == ["http://ex/a"]
     assert jena_ray.query(str(tmp_path / "d.ttl"), "ASK { ?s ?p ?o }") is True
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_front_door_graph_query_over_trig(tmp_path):
+    """End-to-end: TriG named graphs through read_rdf, queried with
+    GRAPH ?g via the front door."""
+    import jena_ray
+
+    (tmp_path / "d.trig").write_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:s0 ex:p ex:o0 .\n"  # default graph
+        "GRAPH ex:g1 { ex:s1 ex:p ex:o1 . }\n"
+        "GRAPH ex:g2 { ex:s2 ex:p ex:o2 . }\n"
+    )
+    rows = jena_ray.query(
+        str(tmp_path / "d.trig"),
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://e/p> ?o } } ORDER BY ?g",
+    ).take_all()
+    assert [(r["g"], r["s"]) for r in rows] == [
+        ("http://e/g1", "http://e/s1"),
+        ("http://e/g2", "http://e/s2"),
+    ]
+    # constant graph
+    rows2 = jena_ray.query(
+        str(tmp_path / "d.trig"),
+        "SELECT ?s WHERE { GRAPH <http://e/g2> { ?s ?p ?o } }",
+    ).take_all()
+    assert [r["s"] for r in rows2] == ["http://e/s2"]
