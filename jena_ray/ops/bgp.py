@@ -74,7 +74,12 @@ def _bindings_for_pattern(triples_ds, pat, graph=None):
     ``graph``: None = union-default-graph mode (no constraint — matches
     the engine's one-table model and Jena's unionDefaultGraph); a string
     = only that named graph; a Var = named graphs only, graph name bound
-    (GRAPH ?g semantics — the shared g var forces same-graph joins)."""
+    (GRAPH ?g semantics — the shared g var forces same-graph joins).
+
+    An all-constant pattern (no variable positions) yields the UNIT
+    relation: one ``__exists`` marker row per matching triple — Jena's
+    StageMatchTriple returns one empty binding per match; the marker
+    column preserves the row count that a zero-column table would lose."""
     s, p, o = pat
     # (var, source column) per VARIABLE POSITION — duplicates preserved so
     # ?x p ?x becomes a within-pattern equality
@@ -89,10 +94,12 @@ def _bindings_for_pattern(triples_ds, pat, graph=None):
         positions.append((graph.name, "g"))
     var_names = sorted({v for v, _ in positions})
 
+    out_names = var_names or ["__exists"]
+
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return pa.table(
-                {v: pa.array([], pa.large_string()) for v in var_names}
+                {v: pa.array([], pa.large_string()) for v in out_names}
             )
         mask = None
 
@@ -119,6 +126,10 @@ def _bindings_for_pattern(triples_ds, pat, graph=None):
                 eq_mask = conj(eq_mask, pc.equal(x[cl[0]], x[extra]))
         if eq_mask is not None:
             x = x.filter(eq_mask)
+        if not by_var:  # all-constant pattern: unit relation, count kept
+            return pa.table(
+                {"__exists": pa.array(["1"] * x.num_rows, pa.large_string())}
+            )
         return pa.table(
             {v: x[cl[0]].combine_chunks().cast(pa.large_string())
              for v, cl in by_var.items()}
@@ -146,11 +157,32 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
     large_string column per variable, SPARQL bag semantics unless
     ``distinct``). ``graph`` scopes every pattern (see
     _bindings_for_pattern); a Var graph joins as a shared variable, so
-    all patterns bind within the SAME named graph."""
-    ordered = _order_patterns(patterns)
-    if not ordered:
+    all patterns bind within the SAME named graph.
+
+    All-constant patterns contribute no columns but DO gate/multiply the
+    solution set: each matching triple contributes one empty binding
+    (StageMatchTriple semantics), so 0 matches empties the BGP and a BGP
+    of only constant patterns returns the unit relation (``__exists``
+    marker column, one row per solution)."""
+    pats = list(patterns)
+    if not pats:
         raise ValueError("empty BGP")
     gvars = {graph.name} if _is_var(graph) else set()
+    # a Var graph binds a variable in EVERY pattern, so nothing is constant
+    const_pats = [] if gvars else [p for p in pats if not _pattern_vars(p)]
+    var_pats = pats if gvars else [p for p in pats if _pattern_vars(p)]
+    mult = 1
+    for p in const_pats:
+        mult *= _bindings_for_pattern(triples_ds, p, graph).count()
+        if mult == 0:
+            break
+    if not var_pats:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"__exists": pa.array(["1"] * mult, pa.large_string())})
+        )
+    ordered = _order_patterns(var_pats)
 
     acc = _bindings_for_pattern(triples_ds, ordered[0], graph)
     acc_vars = set(_pattern_vars(ordered[0])) | gvars
@@ -163,6 +195,15 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
                      on=tuple(shared))
         )
         acc_vars |= set(_pattern_vars(pat)) | gvars
+    if mult == 0:
+        acc = acc.limit(0)
+    elif mult > 1:  # bag semantics: constant matches multiply solutions
+        acc = acc.map_batches(
+            lambda t, _m=mult: pa.concat_tables([t] * _m)
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
     if distinct:
         acc = _dedup(acc, sorted(acc_vars))
     return acc

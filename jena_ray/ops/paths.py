@@ -185,8 +185,21 @@ def _restrict_to_starts(pairs_ds, seeds):
     return pairs_ds.map_batches(f, batch_format="pyarrow")
 
 
-def _closure(edges_ds, step: Path, seeds, include_zero: bool, max_rounds: int = 25):
-    """Seeded semi-naive reachability over one path step."""
+def _check_rounds(rounds: int, max_rounds, what: str) -> None:
+    """Closures run to fixpoint by default (rounds are bounded by graph
+    diameter); an explicit ``max_rounds`` cap RAISES when hit with a
+    non-empty frontier instead of silently returning a truncated result
+    (the reference evaluates * / + / TransitiveProperty to fixpoint)."""
+    if max_rounds is not None and rounds >= max_rounds:
+        raise RuntimeError(
+            f"{what}: round cap {max_rounds} hit with a non-empty frontier "
+            "— result would be truncated; raise max_rounds or pass None"
+        )
+
+
+def _closure(edges_ds, step: Path, seeds, include_zero: bool,
+             max_rounds: int | None = None):
+    """Seeded semi-naive reachability over one path step (to fixpoint)."""
     step_pairs = eval_path(edges_ds, step)  # (start, end) of ONE application
 
     zero = _seeds_ds(seeds)
@@ -194,9 +207,12 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool, max_rounds: int = 
     frontier = compact_blocks(_restrict_to_starts(step_pairs, seeds))
     acc = _distinct(zero.union(frontier)) if include_zero else _distinct(frontier)
 
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         if frontier.count() == 0:
             break
+        _check_rounds(rounds, max_rounds, "path closure")
+        rounds += 1
         stepped = _join_seq(frontier, step_pairs)
         if stepped.count() == 0:
             break
@@ -228,7 +244,7 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool, max_rounds: int = 
     return acc
 
 
-def transitive_pairs(pairs_ds, max_rounds: int = 25,
+def transitive_pairs(pairs_ds, max_rounds: int | None = None,
                      driver_threshold: int = 1_000_000):
     """Unseeded transitive closure of a (start, end) pair Dataset by
     semi-naive iteration: per round the NEW pairs only are advanced one
@@ -282,9 +298,12 @@ def transitive_pairs(pairs_ds, max_rounds: int = 25,
         )
     acc = base
     frontier = base
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         if frontier.count() == 0:
             break
+        _check_rounds(rounds, max_rounds, "transitive_pairs")
+        rounds += 1
         stepped = _join_seq(frontier, base)
         if stepped.count() == 0:
             break
@@ -315,7 +334,7 @@ def transitive_pairs(pairs_ds, max_rounds: int = 25,
     return acc
 
 
-def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int = 25):
+def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
     """Evaluate `path` over an (s, p, o) edge Dataset → distinct
     (start, end) pairs. `seeds` (iterable of node strings) is REQUIRED
     for Star/Plus/Opt at the top level and restricts results to paths
@@ -352,6 +371,12 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int = 25):
 
         def f(t: pa.Table) -> pa.Table:
             ps = t["p"].to_pylist()
+            if not fwd_excl and inv_excl:
+                # pure-inverse set !(^q...): reverse edges ONLY — no
+                # forward half exists (P_NegPropSet partitions the set;
+                # an empty forward half contributes nothing)
+                inv_mask = pa.array([p not in inv_excl for p in ps])
+                return _as_pairs(t.filter(inv_mask), "o", "s")
             fwd_mask = pa.array([p not in fwd_excl for p in ps])
             fwd = _as_pairs(t.filter(fwd_mask), "s", "o")
             if not inv_excl:

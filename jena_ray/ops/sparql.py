@@ -718,6 +718,28 @@ def _align_columns(ds, have: list, want: list):
 def _join_bindings(left, left_vars, right, right_vars, how: str):
     from ..util import compact_blocks
 
+    # unit relation (all-constant BGP — no variable columns, only the
+    # __exists marker): join = existence gate × bag multiplier
+    if not right_vars or not left_vars:
+        if not right_vars:
+            unit, other, other_vars = right, left, left_vars
+        else:
+            unit, other, other_vars = left, right, right_vars
+        n = unit.count()
+        if n == 0:
+            # inner: no solutions; left_outer (OPTIONAL over a constant
+            # pattern that matched nothing): left side unchanged
+            if how == "left_outer" and not right_vars:
+                return left, left_vars
+            return other.limit(0), other_vars
+        if n > 1 and how != "left_outer":
+            other = other.map_batches(
+                lambda t, _m=n: pa.concat_tables([t] * _m)
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+        return other, other_vars
     shared = sorted(set(left_vars) & set(right_vars))
     if not shared:
         raise RDFParseError(
@@ -900,7 +922,11 @@ def _compile_group(triples_ds, group: dict, graph=None):
         else:  # pragma: no cover
             raise RDFParseError(f"SPARQL: unknown group element {el[0]!r}")
         if acc is None:
-            acc, acc_vars = _align_columns(rel, rel_vars, rel_vars), rel_vars
+            if rel_vars:
+                acc = _align_columns(rel, rel_vars, rel_vars)
+            else:
+                acc = rel  # unit relation: keep the __exists marker rows
+            acc_vars = rel_vars
         else:
             acc, acc_vars = _join_bindings(acc, acc_vars, rel, rel_vars, how)
     if acc is None:
@@ -1109,8 +1135,17 @@ def _exec_select(triples_ds, q: dict):
         else:
             import ray.data as rd
 
-            row = prepped.aggregate(*aggs)
-            out = rd.from_items([{n: row[n] for n in proj}])
+            row = prepped.aggregate(*aggs) or {}
+            # SPARQL defines COUNT/SUM over the empty group as 0;
+            # MIN/MAX/AVG stay unbound (None)
+            zero_fns = {"COUNT", "SUM"}
+            fn_by_alias = {al: fn for (_, fn, _v, al) in agg_items}
+            vals = {
+                n: (0 if row.get(n) is None and fn_by_alias.get(n) in zero_fns
+                    else row.get(n))
+                for n in proj
+            }
+            out = rd.from_items([vals])
     else:
         out = select(bindings, proj)
     if q["distinct"]:

@@ -95,7 +95,7 @@ def _stream_kernel(batch: pa.Table, tbox: OwlTBox, include_input: bool) -> pa.Ta
     )
 
 
-def _closure_triples(triples_ds, pred: str, max_rounds: int = 25):
+def _closure_triples(triples_ds, pred: str, max_rounds: int | None = None):
     """Transitive closure of one predicate's edge set → NEW triples only."""
     from ..ops.paths import transitive_pairs
 
@@ -220,7 +220,7 @@ def functional_equalities(triples_ds, tbox: OwlTBox):
 
 
 def owl_inference(triples_ds, schema_triples: list[tuple], *,
-                  include_input: bool = True, max_rounds: int = 25):
+                  include_input: bool = True, max_rounds: int | None = None):
     """Apply the OWL rule families; returns a triple Dataset (may contain
     duplicates across batches — follow with exact_dedup)."""
     import ray

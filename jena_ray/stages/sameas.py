@@ -95,7 +95,8 @@ def components_driver(edges_ds) -> dict[str, str]:
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
-def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int | None = None):
+def components_distributed(edges_ds, max_rounds: int | None = None,
+                           num_partitions: int | None = None):
     """Label-propagation closure entirely in Dataset algebra.
 
     Returns a Dataset (node, rep). Per round:
@@ -175,7 +176,17 @@ def components_distributed(edges_ds, max_rounds: int = 20, num_partitions: int |
         )
     )
     labels, prev_sig = compact_with_sig(labels)
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
+        # runs to the signature fixpoint by default (O(log diameter)
+        # rounds with pointer jumping); an explicit cap raises rather
+        # than silently returning unconverged labels
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"components_distributed: round cap {max_rounds} hit "
+                "before the label fixpoint — raise max_rounds or pass None"
+            )
+        rounds += 1
         # 1. neighbor-min: peer receives the node's current label
         def _cand_kernel(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:

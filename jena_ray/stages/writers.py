@@ -78,23 +78,59 @@ def turtle_pretty_groups(triples_ds, prefixes: dict | None = None):
     )
 
 
+def _string_spans(text: str) -> list[tuple[int, int]]:
+    """Spans of Turtle string literals (short/long, single/double quoted,
+    backslash escapes honored) — bnode-reference scanning must skip these
+    so a literal containing ``"_:b0"`` is never treated as a reference."""
+    spans = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "\"'":
+            start = i
+            if text[i : i + 3] == c * 3:
+                q = c * 3
+                i += 3
+                while i < n and text[i : i + 3] != q:
+                    i += 2 if text[i] == "\\" else 1
+                i = min(n, i + 3)
+            else:
+                i += 1
+                while i < n and text[i] != c:
+                    i += 2 if text[i] == "\\" else 1
+                i = min(n, i + 1)
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
+
+
 def _inline_bnodes(rows: list[dict]) -> list[str]:
     """Driver-side bnode inlining over the (small) assembled fragment set:
     a bnode subject referenced EXACTLY ONCE as an object (and not by
     itself) is substituted into its referencing block as ``[ body ]`` and
     its own block dropped; iterated to fixpoint so chains nest bottom-up.
     Cycles and multi-reference bnodes keep their ``_:x`` labels (same rule
-    as the reference's pretty writer)."""
+    as the reference's pretty writer). Reference scanning is quote-aware:
+    ``_:label`` inside a string literal is content, not a reference."""
     import re
 
     frags = {i: dict(r) for i, r in enumerate(rows)}
 
-    def refs_of(label: str):
+    def matches_outside_strings(label: str, body: str):
         pat = re.compile(rf"_:{re.escape(label)}(?![0-9A-Za-z_\-])")
+        spans = _string_spans(body)
+        return [
+            m
+            for m in pat.finditer(body)
+            if not any(a <= m.start() < b for a, b in spans)
+        ]
+
+    def refs_of(label: str):
         return [
             i
             for i, f in frags.items()
-            for _ in pat.finditer(f["body"])
+            for _ in matches_outside_strings(label, f["body"])
         ]
 
     changed = True
@@ -109,9 +145,10 @@ def _inline_bnodes(rows: list[dict]) -> list[str]:
             if len(ref_ids) != 1 or ref_ids[0] == i:
                 continue
             j = ref_ids[0]
-            pat = re.compile(rf"_:{re.escape(label)}(?![0-9A-Za-z_\-])")
+            body = frags[j]["body"]
+            m = matches_outside_strings(label, body)[0]
             inline = "[ " + f["body"] + " ]"
-            frags[j]["body"] = pat.sub(lambda _m: inline, frags[j]["body"], count=1)
+            frags[j]["body"] = body[: m.start()] + inline + body[m.end():]
             del frags[i]
             changed = True
 

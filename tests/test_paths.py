@@ -106,3 +106,38 @@ def test_nested_star_of_seq():
     g = _graph()
     got = _pairs(eval_path(g, Star(Seq(Link("p"), Link("p"))), seeds=["a"]))
     assert got == {("a", "a"), ("a", "c")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_negset_pure_inverse_matches_reverse_only():
+    """!(^q) matches reverse edges only — no forward half exists
+    (ADVICE r2; P_NegPropSet partitions into fwd and inv halves)."""
+    g = _graph()
+    got = _pairs(eval_path(g, NegSet(fwd=(), inv=("q",))))
+    # reverse edges of every non-q predicate; ^q itself excluded
+    assert got == {("b", "a"), ("c", "b"), ("d", "c"), ("x", "a")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_closure_round_cap_raises_not_truncates():
+    """An explicit max_rounds cap RAISES when hit with a non-empty
+    frontier instead of silently returning a truncated closure
+    (ADVICE r2; the reference evaluates closures to fixpoint)."""
+    import ray.data as rd
+
+    n = 6
+    rows = [(f"n{i}", "p", f"n{i+1}") for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([r[0] for r in rows], pa.large_string()),
+                "p": pa.array([r[1] for r in rows], pa.large_string()),
+                "o": pa.array([r[2] for r in rows], pa.large_string()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="round cap"):
+        eval_path(ds, Plus(Link("p")), seeds=["n0"], max_rounds=2)
+    # default (no cap) runs to fixpoint: n0 reaches all n successors
+    got = _pairs(eval_path(ds, Plus(Link("p")), seeds=["n0"]))
+    assert got == {("n0", f"n{i}") for i in range(1, n + 1)}

@@ -477,3 +477,46 @@ def test_describe_star():
         ("http://ex/b", "http://ex/knows", "http://ex/c"),
         ("http://ex/b", "http://ex/age", "7"),
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ask_all_constant_pattern():
+    """An all-constant pattern preserves its match count (ADVICE r2:
+    StageMatchTriple returns one empty binding per match)."""
+    from jena_ray.ops.sparql import sparql_ask
+
+    assert sparql_ask(
+        G(ROWS), "ASK { <http://ex/a> <http://ex/knows> <http://ex/b> }"
+    ) is True
+    assert sparql_ask(
+        G(ROWS), "ASK { <http://ex/a> <http://ex/knows> <http://ex/zzz> }"
+    ) is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_constant_pattern_gates_group():
+    """A constant pattern joined with a var pattern acts as an existence
+    gate: present -> group unchanged, absent -> group empty."""
+    q_hit = """
+    PREFIX ex: <http://ex/>
+    SELECT ?n WHERE { ex:a ex:knows ex:b . ex:a ex:age ?n }
+    """
+    rows = sparql_select(G(ROWS), q_hit).take_all()
+    assert [r["n"] for r in rows] == ["42"]
+    q_miss = """
+    PREFIX ex: <http://ex/>
+    SELECT ?n WHERE { ex:a ex:knows ex:zzz . ex:a ex:age ?n }
+    """
+    assert sparql_select(G(ROWS), q_miss).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_count_sum_over_empty_is_zero():
+    """SPARQL defines COUNT/SUM over the empty group as 0 (ADVICE r2)."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT (COUNT(*) AS ?c) (SUM(?n) AS ?s) WHERE { ?x ex:nothere ?n }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert len(rows) == 1
+    assert rows[0]["c"] == 0 and rows[0]["s"] == 0

@@ -206,3 +206,76 @@ def test_read_rdf_rdfjson_file(tmp_path):
     )
     rows = read_rdf(str(tmp_path / "d.rj")).take_all()
     assert len(rows) == 1 and rows[0]["s_lex"] == "http://ex/a"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inline_bnodes_ignores_labels_inside_literals():
+    """A string literal containing "_:b0" is content, not a bnode
+    reference — inlining must not splice into or divert on it (ADVICE
+    r2: the reference scan is structural, never inside quoted text)."""
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+    from jena_ray.rdf.iso import graph_iso
+    from jena_ray.rdf.turtle import parse_turtle
+    from jena_ray.stages.writers import assemble, turtle_pretty_groups
+
+    src = """
+    @prefix ex: <http://ex/> .
+    ex:a ex:note "the label _:b0 is just text" .
+    ex:a ex:knows _:b0 .
+    _:b0 ex:name "real bnode" .
+    """
+    triples = parse_turtle(src)
+    import pyarrow as pa
+
+    cols = {name: [] for name in TRIPLE_SCHEMA.names}
+    for (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g) in triples:
+        for name, v in zip(
+            TRIPLE_SCHEMA.names,
+            [s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, "t"],
+        ):
+            cols[name].append(v)
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+            schema=TRIPLE_SCHEMA,
+        )
+    )
+    text = assemble(turtle_pretty_groups(ds), "turtle")
+    # the literal text is intact and the real reference was inlined
+    assert '"the label _:b0 is just text"' in text, text
+    assert "[ " in text, text
+    reparsed = parse_turtle(text)
+    assert graph_iso(triples, reparsed), text
+
+
+def test_inline_bnodes_literal_collision_direct():
+    """Direct unit check with a literal whose content IS the colliding
+    label: the reference count must see exactly the one structural ref,
+    and the substitution must land outside the quoted string."""
+    from jena_ray.stages.writers import _inline_bnodes
+
+    rows = [
+        {
+            "fragment": '<http://ex/a> <http://ex/note> "see _:x here" ; '
+                        "<http://ex/knows> _:x .",
+            "sort_key": "http://ex/a",
+            "s_is_bnode": False,
+            "s_label": "http://ex/a",
+            "body": '<http://ex/note> "see _:x here" ; <http://ex/knows> _:x',
+        },
+        {
+            "fragment": '_:x <http://ex/name> "real" .',
+            "sort_key": "x",
+            "s_is_bnode": True,
+            "s_label": "x",
+            "body": '<http://ex/name> "real"',
+        },
+    ]
+    out = _inline_bnodes(rows)
+    assert len(out) == 1, out
+    block = out[0]
+    # literal untouched; structural ref replaced by the inlined block
+    assert '"see _:x here"' in block, block
+    assert '<http://ex/knows> [ <http://ex/name> "real" ]' in block, block
