@@ -8,10 +8,14 @@
     → exact dedup                        salt-free full-key shuffle
     → materialize                        partitioned parquet (optional)
 
-Everything streams; the only driver-side state is the (small) sameAs rep
-map. The one cached intermediate is the canonical triple stream (consumed
-twice); large runs spill it to Parquet shards instead of pinning it in
-the object store (``spill_dir=``).
+Everything streams. The sameAs closure AUTO-switches strategies on the
+edge count (``close_sameas``): small equivalence graphs use the driver
+union-find + broadcast rewrite, large ones run distributed label
+propagation + a hash-join rewrite — above the threshold NO driver-sized
+state remains anywhere in the pipeline. The one cached intermediate is
+the canonical triple stream (consumed twice); large runs spill it to
+Parquet shards instead of pinning it in the object store
+(``spill_dir=``).
 """
 
 from __future__ import annotations
@@ -22,7 +26,31 @@ from ..stages.dedup import exact_dedup
 from ..stages.extract import extract_batch  # noqa: F401 (public pipeline API)
 from ..stages.link import EntityLinker, ExtractAndLink  # noqa: F401
 from ..stages.materialize import materialize
-from ..stages.sameas import components_driver, extract_edges, rewrite_with_reps
+from ..stages.sameas import (
+    components_distributed,
+    components_driver,
+    extract_edges,
+    rewrite_with_reps,
+    rewrite_with_reps_ds,
+)
+
+# Above this many distinct-ish sameAs edges the closure + rewrite run
+# fully distributed (components_distributed + join-based rewrite): at the
+# 100 TB design point the equivalence edge list is not guaranteed
+# driver-sized. Below it, the driver union-find + broadcast rewrite is
+# faster (no per-round shuffles, no two extra stream joins).
+SAMEAS_DRIVER_THRESHOLD = 2_000_000
+
+
+def close_sameas(canon, *, driver_threshold: int = SAMEAS_DRIVER_THRESHOLD):
+    """sameAs closure + stream rewrite with an AUTO strategy switch,
+    mirroring SPILL_DOC_THRESHOLD: one count() on the (map-side deduped)
+    edge stream picks the driver union-find (small) or the distributed
+    label propagation + hash-join rewrite (large)."""
+    edges = extract_edges(canon)
+    if edges.count() <= driver_threshold:
+        return rewrite_with_reps(canon, components_driver(edges))
+    return rewrite_with_reps_ds(canon, components_distributed(edges))
 
 
 def _pool_size(requested) -> tuple[int, int]:
@@ -41,6 +69,7 @@ def kg_triples(
     dedup: bool = True,
     on_error: str = "raise",
     spill_dir: str | None = None,
+    sameas_driver_threshold: int = SAMEAS_DRIVER_THRESHOLD,
 ):
     """The canonical triple Dataset for the corpus derived from sf_dir.
 
@@ -86,8 +115,7 @@ def kg_triples(
         os.makedirs(canon_dir, exist_ok=True)
         canon.write_parquet(canon_dir)
         canon = rd.read_parquet(canon_dir)
-    rep_map = components_driver(extract_edges(canon))
-    closed = rewrite_with_reps(canon, rep_map)
+    closed = close_sameas(canon, driver_threshold=sameas_driver_threshold)
 
     if dedup:
         closed = exact_dedup(closed)
@@ -198,7 +226,6 @@ def kg_resumable(
 
     canon = rd.read_parquet(extract_dir)
     canon = canon.drop_columns([c for c in ["shard"] if c in canon.schema().names])
-    rep_map = components_driver(extract_edges(canon))
-    closed = rewrite_with_reps(canon, rep_map)
+    closed = close_sameas(canon)
     final = exact_dedup(closed)
     return final, stats

@@ -117,12 +117,24 @@ def components_distributed(edges_ds, max_rounds: int | None = None,
     _SIG_MOD = (1 << 56) - 5  # partials sum within int64 across many blocks
 
     def symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
+        a = batch.column("a").combine_chunks().cast(pa.large_string())
+        b = batch.column("b").combine_chunks().cast(pa.large_string())
         return pa.Table.from_arrays(
             [pa.concat_arrays([a, b]), pa.concat_arrays([b, a])],
             names=["node", "peer"],
         )
+
+    def _relabel_ls(names):
+        # groupby emits `string` keys even from large_string input, and
+        # acero joins refuse mixed key types — rename AND re-cast
+        def f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column(i).combine_chunks().cast(pa.large_string())
+                 for i in range(len(names))],
+                names=list(names),
+            )
+
+        return f
 
     from ..util import compact_blocks
 
@@ -171,9 +183,7 @@ def components_distributed(edges_ds, max_rounds: int | None = None,
         )
         .groupby("node")
         .min("label")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-        )
+        .map_batches(_relabel_ls(["node", "label"]), batch_format="pyarrow")
     )
     labels, prev_sig = compact_with_sig(labels)
     rounds = 0
@@ -206,9 +216,7 @@ def components_distributed(edges_ds, max_rounds: int | None = None,
             labels.union(cand)
             .groupby("node")
             .min("label")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-            )
+            .map_batches(_relabel_ls(["node", "label"]), batch_format="pyarrow")
         )
 
         # 2. pointer jump: label ← label(label)
@@ -250,6 +258,97 @@ def components_distributed(edges_ds, max_rounds: int | None = None,
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "rep"]), batch_format="pyarrow"
     )
+
+
+def rewrite_with_reps_ds(triples_ds, reps_ds, run_doc_id: str = "",
+                         num_partitions: int | None = None):
+    """Join-based rewrite for when the rep map is NOT driver-sized.
+
+    ``reps_ds`` is a (node, rep) Dataset (``components_distributed``
+    output). The stream is rewritten by two left-outer hash joins — one
+    on s_lex, one on o_lex — with the representative coalesced in only
+    for IRI terms; the (member, owl:sameAs, rep) assertions are emitted
+    distributed from the reps Dataset. No structure proportional to the
+    equivalence graph ever lands on the driver."""
+    from ..util import compact_blocks
+
+    def _clean_reps(t: pa.Table) -> pa.Table:
+        # groupby upstream may downgrade large_string → string; acero
+        # joins refuse mixed key types, so re-cast both columns
+        return pa.table(
+            {
+                "__node": t.column("node").combine_chunks().cast(pa.large_string()),
+                "__rep": t.column("rep").combine_chunks().cast(pa.large_string()),
+            }
+        )
+
+    reps = compact_blocks(reps_ds.map_batches(_clean_reps, batch_format="pyarrow"))
+
+    base = compact_blocks(
+        triples_ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("p"), OWL_SAMEAS)),
+            batch_format="pyarrow",
+        )
+    )
+    if num_partitions is None:
+        num_partitions = max(1, min(64, base.count() // 2_000_000))
+
+    names = TRIPLE_SCHEMA.names
+
+    def _rebuild(pos_lex: str, pos_kind: str):
+        def kernel(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], f.type) for f in TRIPLE_SCHEMA],
+                    schema=TRIPLE_SCHEMA,
+                )
+            rep = t.column("__rep").combine_chunks()
+            lex = t.column(pos_lex).combine_chunks().cast(pa.large_string())
+            is_iri = pc.equal(
+                t.column(pos_kind), pa.scalar(KIND_IRI, pa.int8())
+            ).combine_chunks()
+            new_lex = pc.if_else(pc.and_(is_iri, pc.is_valid(rep)), rep, lex)
+            cols = {}
+            for n in names:
+                if n == pos_lex:
+                    cols[n] = _combine(new_lex)
+                else:
+                    cols[n] = t.column(n).combine_chunks().cast(
+                        TRIPLE_SCHEMA.field(n).type
+                    )
+            return pa.Table.from_arrays([cols[n] for n in names], schema=TRIPLE_SCHEMA)
+
+        return kernel
+
+    j1 = base.join(
+        reps, join_type="left_outer", num_partitions=num_partitions,
+        on=("s_lex",), right_on=("__node",),
+    ).map_batches(_rebuild("s_lex", "s_kind"), batch_format="pyarrow")
+    j2 = compact_blocks(j1).join(
+        reps, join_type="left_outer", num_partitions=num_partitions,
+        on=("o_lex",), right_on=("__node",),
+    ).map_batches(_rebuild("o_lex", "o_kind"), batch_format="pyarrow")
+
+    def _assert_rows(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.not_equal(t.column("__node"), t.column("__rep")))
+        n = x.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array([KIND_IRI] * n, pa.int8()),
+                x.column("__node").combine_chunks(),
+                pa.array([OWL_SAMEAS] * n, pa.large_string()),
+                pa.array([KIND_IRI] * n, pa.int8()),
+                x.column("__rep").combine_chunks(),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([run_doc_id] * n, pa.large_string()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    assertions = reps.map_batches(_assert_rows, batch_format="pyarrow")
+    return j2.union(assertions)
 
 
 def rewrite_with_reps(triples_ds, rep_map: dict[str, str], run_doc_id: str = ""):

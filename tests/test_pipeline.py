@@ -85,3 +85,72 @@ def test_kg_triples_spill_path_matches_materialize(tmp_path):
     got = _result_set(kg_triples(SF, linker_concurrency=2, spill_dir=str(tmp_path)))
     want = golden_triples(SF)
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_triples_distributed_sameas_matches_golden():
+    """Forcing the distributed sameAs path (threshold 0) must produce the
+    exact same triple set as the driver union-find — and the flagship
+    then has NO driver-sized state anywhere (VERDICT r2 #1)."""
+    from jena_ray.pipelines.kg import kg_triples
+
+    got = _result_set(
+        kg_triples(SF, linker_concurrency=2, sameas_driver_threshold=0)
+    )
+    want = golden_triples(SF)
+    missing = want - got
+    extra = got - want
+    assert not missing, f"missing {len(missing)}, e.g. {sorted(missing)[:5]}"
+    assert not extra, f"extra {len(extra)}, e.g. {sorted(extra)[:5]}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rewrite_with_reps_ds_matches_dict_rewrite():
+    """Join-based rewrite == broadcast-dict rewrite on a synthetic chain
+    (a sameAs b sameAs c ... ), including the re-emitted member→rep
+    assertions and non-IRI terms left untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.model import KIND_IRI, KIND_LITERAL, OWL_SAMEAS, TRIPLE_SCHEMA
+    from jena_ray.stages.sameas import (
+        components_distributed,
+        components_driver,
+        extract_edges,
+        rewrite_with_reps,
+        rewrite_with_reps_ds,
+    )
+
+    n = 12
+    rows = []
+    # chain of sameAs edges + one data triple per node + a literal decoy
+    for i in range(n - 1):
+        rows.append((KIND_IRI, f"http://ex/n{i:02d}", OWL_SAMEAS,
+                     KIND_IRI, f"http://ex/n{i+1:02d}", "", "", "", "d"))
+    for i in range(n):
+        rows.append((KIND_IRI, f"http://ex/n{i:02d}", "http://ex/p",
+                     KIND_LITERAL, f"http://ex/n{(i+1) % n:02d}",
+                     "http://www.w3.org/2001/XMLSchema#string", "", "", "d"))
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[j] for r in rows],
+                  TRIPLE_SCHEMA.field(j).type) for j in range(9)],
+        schema=TRIPLE_SCHEMA,
+    )
+    ds = rd.from_arrow(tbl)
+    want = {
+        tuple(r[k] for k in TRIPLE_SCHEMA.names)
+        for r in rewrite_with_reps(
+            ds, components_driver(extract_edges(ds))
+        ).take_all()
+    }
+    got = {
+        tuple(r[k] for k in TRIPLE_SCHEMA.names)
+        for r in rewrite_with_reps_ds(
+            ds, components_distributed(extract_edges(ds))
+        ).take_all()
+    }
+    assert got == want
+    # literal objects must NOT have been rewritten even though their
+    # lexical form collides with a mapped IRI
+    lits = {r for r in got if r[3] == KIND_LITERAL}
+    assert len(lits) == n
