@@ -237,7 +237,9 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
         explode each doc to its DISTINCT word k-grams
         candidate pairs = docs sharing ≥1 shingle  (groupby shingle)
         |A∩B| = number of shared shingles           (groupby pair count)
-        |A∪B| = |A| + |B| − |A∩B|                   (broadcast size map)
+        |A∪B| = |A| + |B| − |A∩B|                   (sizes attached by two
+                                                     hash joins on the
+                                                     per-doc size table)
         keep pairs with ∩/∪ ≥ threshold
 
     The shuffle shape is explode → one groupby(shingle) → one
@@ -301,11 +303,33 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
 
     shingles = compact_blocks(shingles.map_batches(drop_stop, batch_format="pyarrow"))
 
-    # per-doc distinct (non-stop) shingle counts — doc-count-sized, broadcast
-    sizes = {}
-    for row in shingles.groupby("doc_id").count().take_all():
-        sizes[row["doc_id"]] = row["count()"]
-    sizes_ref = ray.put(sizes)
+    # per-doc distinct (non-stop) shingle counts — kept as a DATASET and
+    # attached to the pair table by two hash joins below (|A| on a, |B| on
+    # b); nothing doc-count-sized ever lands on the driver
+    sizes = shingles.groupby("doc_id").count()
+
+    def _sizes_as(col: str, szcol: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table(
+                    {col: pa.array([], id_type),
+                     szcol: pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    col: t["doc_id"].combine_chunks().cast(id_type),
+                    szcol: t["count()"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    sizes_a = compact_blocks(
+        sizes.map_batches(_sizes_as("a", "sz_a"), batch_format="pyarrow")
+    )
+    sizes_b = compact_blocks(
+        sizes.map_batches(_sizes_as("b", "sz_b"), batch_format="pyarrow")
+    )
 
     # pair generation as a SELF-JOIN on the shingle (one hash shuffle, no
     # per-group Python: a groupby(shingle).map_groups over millions of
@@ -342,42 +366,67 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3):
             {"a": x["a"].combine_chunks(), "b": x["b"].combine_chunks()}
         )
 
-    shared = (
+    def _cast_shared(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"a": pa.array([], id_type), "b": pa.array([], id_type),
+                 "inter": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": t["a"].combine_chunks().cast(id_type),
+                "b": t["b"].combine_chunks().cast(id_type),
+                "inter": t["inter"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    shared = compact_blocks(
         joined.map_batches(ordered_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
+        .map_batches(_cast_shared, batch_format="pyarrow")
     )
+    n_pairs = shared.count()
+    n_parts2 = max(1, min(64, n_pairs // 2_000_000))
+    with_sizes = compact_blocks(
+        shared.join(sizes_a, join_type="inner", num_partitions=n_parts2,
+                    on=("a",))
+    ).join(sizes_b, join_type="inner", num_partitions=n_parts2, on=("b",))
 
     def verdict(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
+        if t.num_columns == 0 or t.num_rows == 0:
             return pa.table(
                 {"a": pa.array([], id_type), "b": pa.array([], id_type),
                  "inter": pa.array([], pa.int64()),
                  "uni": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        sz = ray.get(sizes_ref)
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        inter = t["inter"].to_pylist()
-        keep = {"a": [], "b": [], "inter": [], "uni": [], "jaccard": []}
-        for x, y, c in zip(a, b, inter):
-            union = sz[x] + sz[y] - c
-            j = c / union if union else 1.0
-            if j >= threshold:
-                keep["a"].append(x)
-                keep["b"].append(y)
-                keep["inter"].append(c)
-                keep["uni"].append(union)
-                keep["jaccard"].append(j)
-        return pa.table(
-            {"a": pa.array(keep["a"], id_type), "b": pa.array(keep["b"], id_type),
-             "inter": pa.array(keep["inter"], pa.int64()),
-             "uni": pa.array(keep["uni"], pa.int64()),
-             "jaccard": pa.array(keep["jaccard"], pa.float64())}
+        inter = t["inter"].combine_chunks()
+        uni = pc.subtract(
+            pc.add(t["sz_a"].combine_chunks(), t["sz_b"].combine_chunks()),
+            inter,
         )
+        j = pc.if_else(
+            pc.equal(uni, 0),
+            pa.scalar(1.0, pa.float64()),
+            pc.divide(
+                pc.cast(inter, pa.float64()),
+                pc.max_element_wise(pc.cast(uni, pa.float64()), 1.0),
+            ),
+        )
+        mask = pc.greater_equal(j, threshold)
+        x = pa.table(
+            {
+                "a": t["a"].combine_chunks().cast(id_type),
+                "b": t["b"].combine_chunks().cast(id_type),
+                "inter": inter,
+                "uni": uni,
+                "jaccard": j,
+            }
+        ).filter(mask)
+        return x
 
-    return shared.map_batches(verdict, batch_format="pyarrow")
+    return with_sizes.map_batches(verdict, batch_format="pyarrow")
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -421,6 +470,17 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(set(zip(g["doc_id"], g["simhash"])))
         a, b2, dist = [], [], []
+        if len(rows) > MAX_BUCKET_ALLPAIRS:
+            # hot segment bucket: all-pairs is O(n²) — chain-degrade like
+            # the MinHash buckets (sorted successor pairs keep the
+            # duplicate cluster connected; O(n) comparisons)
+            for r1, r2 in zip(rows[:-1], rows[1:]):
+                d = bin(int(r1[1]) ^ int(r2[1])).count("1")
+                if d <= max_hamming:
+                    a.append(r1[0])
+                    b2.append(r2[0])
+                    dist.append(d)
+            return pd.DataFrame({"a": a, "b": b2, "hamming": dist})
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
                 d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")

@@ -254,3 +254,29 @@ def test_hll_approx_count_distinct():
     small = rd.from_items([{"v": i} for i in range(100)])
     est_small = approx_count_distinct(small, "v", p=12)
     assert abs(est_small - 100) < 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_hot_bucket_chain_degrades():
+    """A segment bucket beyond MAX_BUCKET_ALLPAIRS chain-degrades to O(n)
+    sorted-successor pairs instead of O(n²) all-pairs (VERDICT r2 #3);
+    identical docs stay connected through the chain."""
+    import ray.data as rd
+
+    from jena_ray.ops import dedup_text as dt
+
+    old = dt.MAX_BUCKET_ALLPAIRS
+    dt.MAX_BUCKET_ALLPAIRS = 8
+    try:
+        n = 24  # identical docs: every segment bucket holds all 24
+        docs = rd.from_items(
+            [{"doc_id": f"d{i:03d}", "text": "same text here"} for i in range(n)]
+        )
+        pairs = dt.simhash_pairs(docs, max_hamming=3).take_all()
+        got = {(r["a"], r["b"]) for r in pairs}
+        # chain pairs only: (d000,d001), (d001,d002), ... — NOT all-pairs
+        want = {(f"d{i:03d}", f"d{i+1:03d}") for i in range(n - 1)}
+        assert got == want
+        assert all(r["hamming"] == 0 for r in pairs)
+    finally:
+        dt.MAX_BUCKET_ALLPAIRS = old
