@@ -61,38 +61,55 @@ class OwlTBox:
                     self.inverse_functional.add(s)
 
 
-def _stream_kernel(batch: pa.Table, tbox: OwlTBox, include_input: bool) -> pa.Table:
-    cols = {name: batch.column(name).to_pylist() for name in TRIPLE_SCHEMA.names}
-    out: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
-    seen: set = set()
-
-    def emit(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, doc):
-        key = (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g)
-        if key in seen:
-            return
-        seen.add(key)
-        for name, v in zip(
-            TRIPLE_SCHEMA.names,
-            (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, doc),
-        ):
-            out[name].append(v)
-
-    for i in range(len(batch)):
-        row = tuple(cols[n][i] for n in TRIPLE_SCHEMA.names)
-        s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, doc = row
-        if include_input:
-            emit(*row[:8], doc)
-        if o_kind == KIND_LITERAL:
-            continue
-        # inverseOf: (s p o) → (o q s) for every declared inverse q
-        for q in sorted(tbox.inverse.get(p, ())):
-            emit(o_kind, o_lex, q, s_kind, s_lex, "", "", g, doc)
-        # SymmetricProperty: (s p o) → (o p s)
-        if p in tbox.symmetric:
-            emit(o_kind, o_lex, p, s_kind, s_lex, "", "", g, doc)
+def _swapped(x: pa.Table, new_p: str) -> pa.Table:
+    """(s p o) → (o new_p s) emission table (inverse/symmetric rules)."""
+    n = x.num_rows
+    blank = pa.array([""] * n, pa.large_string())
     return pa.Table.from_arrays(
-        [pa.array(out[f.name], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        [
+            x.column("o_kind").combine_chunks(),
+            x.column("o_lex").combine_chunks(),
+            pa.array([new_p] * n, pa.large_string()),
+            x.column("s_kind").combine_chunks(),
+            x.column("s_lex").combine_chunks(),
+            blank,
+            blank,
+            x.column("g").combine_chunks(),
+            x.column("doc_id").combine_chunks(),
+        ],
+        schema=TRIPLE_SCHEMA,
     )
+
+
+def _stream_kernel(batch: pa.Table, tbox: OwlTBox, include_input: bool) -> pa.Table:
+    """Vectorized per-triple OWL rules (VERDICT r2 #4): one pyarrow filter
+    per rule-relevant predicate present in the batch, column-swapped
+    emission tables, in-batch full-row dedup via group_by."""
+    from .rdfs import _dedup_batch, _empty_triples
+
+    parts: list[pa.Table] = []
+    if include_input:
+        parts.append(batch)
+    if batch.num_rows:
+        rule_preds = set(pc.unique(batch.column("p")).to_pylist()) & (
+            set(tbox.inverse) | tbox.symmetric
+        )
+        if rule_preds:
+            res = batch.filter(
+                pc.not_equal(batch.column("o_kind"),
+                             pa.scalar(KIND_LITERAL, pa.int8()))
+            )
+            for p_val in sorted(rule_preds):
+                x = res.filter(pc.equal(res.column("p"), p_val))
+                if x.num_rows == 0:
+                    continue
+                # inverseOf: (s p o) → (o q s) for every declared inverse q
+                for q in sorted(tbox.inverse.get(p_val, ())):
+                    parts.append(_swapped(x, q))
+                # SymmetricProperty: (s p o) → (o p s)
+                if p_val in tbox.symmetric:
+                    parts.append(_swapped(x, p_val))
+    return _dedup_batch(parts) if parts else _empty_triples()
 
 
 def _closure_triples(triples_ds, pred: str, max_rounds: int | None = None):

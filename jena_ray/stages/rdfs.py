@@ -69,61 +69,137 @@ class TBox:
                 self.range.setdefault(s, set()).add(o)
         self.sub_class = transitive_closure(sub_class)
         self.sub_prop = transitive_closure(sub_prop)
+        # per-predicate class emission sets with the subclass closure
+        # folded in (rdfs2+9 / rdfs3+9 in one lookup) — lets the batch
+        # kernel emit one constant-class column block per (pred, class)
+        self.domain_cl = {
+            p: tuple(sorted(set().union(
+                *({c} | self.sub_class.get(c, set()) for c in cs))))
+            for p, cs in self.domain.items()
+        }
+        self.range_cl = {
+            p: tuple(sorted(set().union(
+                *({c} | self.sub_class.get(c, set()) for c in cs))))
+            for p, cs in self.range.items()
+        }
+
+
+def _empty_triples() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+    )
+
+
+def _const(n: int, v) -> pa.Array:
+    return pa.array([v] * n, pa.large_string())
+
+
+def _repred(x: pa.Table, q: str) -> pa.Table:
+    """(s p o) → (s q o): one column swapped for a constant predicate."""
+    return pa.Table.from_arrays(
+        [
+            x.column("s_kind").combine_chunks(),
+            x.column("s_lex").combine_chunks(),
+            _const(x.num_rows, q),
+            x.column("o_kind").combine_chunks(),
+            x.column("o_lex").combine_chunks(),
+            x.column("o_datatype").combine_chunks(),
+            x.column("o_lang").combine_chunks(),
+            x.column("g").combine_chunks(),
+            x.column("doc_id").combine_chunks(),
+        ],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def _typed(x: pa.Table, kind_col: str, lex_col: str, cls: str) -> pa.Table:
+    """(term rdf:type cls) rows from one side of the input triples."""
+    n = x.num_rows
+    return pa.Table.from_arrays(
+        [
+            x.column(kind_col).combine_chunks(),
+            x.column(lex_col).combine_chunks(),
+            _const(n, RDF_TYPE),
+            pa.array([KIND_IRI] * n, pa.int8()),
+            _const(n, cls),
+            _const(n, ""),
+            _const(n, ""),
+            x.column("g").combine_chunks(),
+            x.column("doc_id").combine_chunks(),
+        ],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def _dedup_batch(parts: list[pa.Table]) -> pa.Table:
+    """Concat rule emissions + in-batch REDUCED-style dedup (full-row
+    group_by — the distinct set is unchanged; exact_dedup downstream owns
+    global set semantics)."""
+    tbl = pa.concat_tables([p.select(TRIPLE_SCHEMA.names) for p in parts])
+    if tbl.num_rows == 0:
+        return _empty_triples()
+    out = tbl.group_by(TRIPLE_SCHEMA.names, use_threads=False).aggregate([])
+    return pa.Table.from_arrays(
+        [out.column(n).combine_chunks().cast(TRIPLE_SCHEMA.field(n).type)
+         for n in TRIPLE_SCHEMA.names],
+        schema=TRIPLE_SCHEMA,
+    )
 
 
 def infer_batch(batch: pa.Table, tbox: TBox, include_input: bool = True) -> pa.Table:
-    """Stateless flat-map kernel: apply RDFS rules to every A-box triple."""
-    cols = {name: batch.column(name).to_pylist() for name in TRIPLE_SCHEMA.names}
-    out: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
-    seen_out: set = set()
+    """Stateless flat-map kernel: apply RDFS rules to the A-box batch.
 
-    def emit(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, doc):
-        key = (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g)
-        if key in seen_out:
-            return
-        seen_out.add(key)
-        out["s_kind"].append(s_kind)
-        out["s_lex"].append(s_lex)
-        out["p"].append(p)
-        out["o_kind"].append(o_kind)
-        out["o_lex"].append(o_lex)
-        out["o_datatype"].append(o_dt)
-        out["o_lang"].append(o_lang)
-        out["g"].append(g)
-        out["doc_id"].append(doc)
+    Fully vectorized (VERDICT r2 #4): per rule-relevant predicate one
+    pyarrow filter, then constant-column emission tables per rule family
+    — no per-row Python in the hot path. The T-box lookups drive which
+    (tiny) set of filters run; predicates absent from the batch are
+    skipped via one unique() pass."""
+    import pyarrow.compute as pc
 
-    n = len(batch)
-    for i in range(n):
-        s_kind, s_lex = cols["s_kind"][i], cols["s_lex"][i]
-        p = cols["p"][i]
-        o_kind, o_lex = cols["o_kind"][i], cols["o_lex"][i]
-        o_dt, o_lang = cols["o_datatype"][i], cols["o_lang"][i]
-        g, doc = cols["g"][i], cols["doc_id"][i]
-        if include_input:
-            emit(s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g, doc)
-        # rdfs7: superproperties (then their domains/ranges apply too)
-        preds = [p] + sorted(tbox.sub_prop.get(p, ()))
-        for q in preds:
-            if q != p:
-                emit(s_kind, s_lex, q, o_kind, o_lex, o_dt, o_lang, g, doc)
-            # rdfs2 + rdfs9
-            for c in sorted(tbox.domain.get(q, ())):
-                emit(s_kind, s_lex, RDF_TYPE, KIND_IRI, c, "", "", g, doc)
-                for d in sorted(tbox.sub_class.get(c, ())):
-                    emit(s_kind, s_lex, RDF_TYPE, KIND_IRI, d, "", "", g, doc)
-            # rdfs3 + rdfs9 (object must be a resource)
-            if o_kind != KIND_LITERAL:
-                for c in sorted(tbox.range.get(q, ())):
-                    emit(o_kind, o_lex, RDF_TYPE, KIND_IRI, c, "", "", g, doc)
-                    for d in sorted(tbox.sub_class.get(c, ())):
-                        emit(o_kind, o_lex, RDF_TYPE, KIND_IRI, d, "", "", g, doc)
-        # rdfs9: explicit rdf:type assertions
-        if p == RDF_TYPE and o_kind == KIND_IRI:
-            for d in sorted(tbox.sub_class.get(o_lex, ())):
-                emit(s_kind, s_lex, RDF_TYPE, KIND_IRI, d, "", "", g, doc)
-    return pa.Table.from_arrays(
-        [pa.array(out[f.name], f.type) for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+    parts: list[pa.Table] = []
+    if include_input:
+        parts.append(batch)
+    if batch.num_rows == 0:
+        return _dedup_batch(parts) if parts else _empty_triples()
+
+    batch_preds = set(pc.unique(batch.column("p")).to_pylist())
+    rule_preds = batch_preds & (
+        set(tbox.sub_prop) | set(tbox.domain_cl) | set(tbox.range_cl)
     )
+    lit = pa.scalar(KIND_LITERAL, pa.int8())
+    for p_val in sorted(rule_preds):
+        x = batch.filter(pc.equal(batch.column("p"), p_val))
+        # rdfs7 + the superproperties' own domain/range (rdfs2/3 apply to
+        # every predicate in the subPropertyOf closure chain)
+        preds = [p_val] + sorted(tbox.sub_prop.get(p_val, ()))
+        for q in preds[1:]:
+            parts.append(_repred(x, q))
+        x_res = None
+        for q in preds:
+            for c in tbox.domain_cl.get(q, ()):  # rdfs2 (+9 folded in)
+                parts.append(_typed(x, "s_kind", "s_lex", c))
+            rng = tbox.range_cl.get(q, ())
+            if rng and x_res is None:
+                x_res = x.filter(pc.not_equal(x.column("o_kind"), lit))
+            for c in rng:  # rdfs3 (+9 folded in; object must be a resource)
+                parts.append(_typed(x_res, "o_kind", "o_lex", c))
+    # rdfs9: explicit rdf:type assertions
+    if RDF_TYPE in batch_preds and tbox.sub_class:
+        ty = batch.filter(
+            pc.and_(
+                pc.equal(batch.column("p"), RDF_TYPE),
+                pc.equal(batch.column("o_kind"), pa.scalar(KIND_IRI, pa.int8())),
+            )
+        )
+        if ty.num_rows:
+            classes = set(pc.unique(ty.column("o_lex")).to_pylist()) & set(
+                tbox.sub_class
+            )
+            for c in sorted(classes):
+                xc = ty.filter(pc.equal(ty.column("o_lex"), c))
+                for d in sorted(tbox.sub_class[c]):
+                    parts.append(_typed(xc, "s_kind", "s_lex", d))
+    return _dedup_batch(parts) if parts else _empty_triples()
 
 
 # per-worker-process broadcast cache (same pattern as sameas.rewrite):
