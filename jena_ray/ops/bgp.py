@@ -17,8 +17,13 @@ Pattern join order: patterns are greedily reordered so each next pattern
 shares ≥1 variable with the already-joined prefix (most-constants first
 as the seed) — the reference's ReorderLib.fixed() heuristic analog.
 
-Bindings are lexical forms (s_lex/p/o_lex); kind columns can be added
-per-variable with ``with_kinds=True``.
+Bindings are lexical forms (s_lex/p/o_lex). With ``with_meta=True`` each
+variable additionally carries hidden term-metadata columns —
+``{v}__kind`` (int8 node kind), ``{v}__dt`` (datatype IRI), ``{v}__lang``
+(language tag) — sourced from the triple table when present, defaulted
+otherwise. These drive term-typed FILTER comparison and SPARQL term
+ordering in the front door (NodeValue.java / BindingComparator.java
+semantics) and are never part of the join key or the projected output.
 """
 
 from __future__ import annotations
@@ -34,6 +39,18 @@ from ..util import compact_blocks
 @dataclass(frozen=True)
 class Var:
     name: str
+
+
+# hidden per-variable term-metadata column suffixes (see module docstring)
+META_SUFFIXES = ("__kind", "__dt", "__lang")
+
+
+def meta_cols_of(v: str) -> tuple[str, str, str]:
+    return (v + "__kind", v + "__dt", v + "__lang")
+
+
+def is_meta_col(name: str) -> bool:
+    return name.endswith(META_SUFFIXES)
 
 
 def _is_var(t) -> bool:
@@ -68,7 +85,7 @@ def _order_patterns(patterns):
     return ordered
 
 
-def _bindings_for_pattern(triples_ds, pat, graph=None):
+def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
     """One triple pattern → Dataset of bindings (one column per var).
 
     ``graph``: None = union-default-graph mode (no constraint — matches
@@ -80,27 +97,38 @@ def _bindings_for_pattern(triples_ds, pat, graph=None):
     relation: one ``__exists`` marker row per matching triple — Jena's
     StageMatchTriple returns one empty binding per match; the marker
     column preserves the row count that a zero-column table would lose."""
+    from ..model import KIND_IRI, KIND_LITERAL
+
     s, p, o = pat
-    # (var, source column) per VARIABLE POSITION — duplicates preserved so
-    # ?x p ?x becomes a within-pattern equality
+    # (var, source column, position tag) per VARIABLE POSITION —
+    # duplicates preserved so ?x p ?x becomes a within-pattern equality
     positions = []
     if _is_var(s):
-        positions.append((s.name, "s_lex"))
+        positions.append((s.name, "s_lex", "s"))
     if _is_var(p):
-        positions.append((p.name, "p"))
+        positions.append((p.name, "p", "p"))
     if _is_var(o):
-        positions.append((o.name, "o_lex"))
+        positions.append((o.name, "o_lex", "o"))
     if _is_var(graph):
-        positions.append((graph.name, "g"))
-    var_names = sorted({v for v, _ in positions})
+        positions.append((graph.name, "g", "g"))
+    var_names = sorted({v for v, _, _ in positions})
 
     out_names = var_names or ["__exists"]
 
+    def _empty_out() -> pa.Table:
+        cols: dict[str, pa.Array] = {}
+        for v in out_names:
+            cols[v] = pa.array([], pa.large_string())
+            if with_meta and v != "__exists":
+                kc, dc, lc = meta_cols_of(v)
+                cols[kc] = pa.array([], pa.int8())
+                cols[dc] = pa.array([], pa.large_string())
+                cols[lc] = pa.array([], pa.large_string())
+        return pa.table(cols)
+
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
-            return pa.table(
-                {v: pa.array([], pa.large_string()) for v in out_names}
-            )
+            return _empty_out()
         mask = None
 
         def conj(m, cond):
@@ -118,7 +146,7 @@ def _bindings_for_pattern(triples_ds, pat, graph=None):
             mask = conj(mask, pc.not_equal(t["g"], ""))
         x = t.filter(mask) if mask is not None else t
         by_var: dict[str, list] = {}
-        for v, col in positions:
+        for v, col, _pos in positions:
             by_var.setdefault(v, []).append(col)
         eq_mask = None
         for v, cl in by_var.items():
@@ -130,10 +158,37 @@ def _bindings_for_pattern(triples_ds, pat, graph=None):
             return pa.table(
                 {"__exists": pa.array(["1"] * x.num_rows, pa.large_string())}
             )
-        return pa.table(
-            {v: x[cl[0]].combine_chunks().cast(pa.large_string())
-             for v, cl in by_var.items()}
-        )
+        cols = {
+            v: x[cl[0]].combine_chunks().cast(pa.large_string())
+            for v, cl in by_var.items()
+        }
+        if with_meta:
+            first_pos = {}
+            for v, _col, pos in positions:
+                first_pos.setdefault(v, pos)
+            have = set(x.schema.names)
+            n = x.num_rows
+
+            def _col_or(name: str, default, typ):
+                if name is not None and name in have:
+                    return x[name].combine_chunks().cast(typ)
+                return pa.array([default] * n, typ)
+
+            for v, pos in first_pos.items():
+                kc, dc, lc = meta_cols_of(v)
+                if pos == "s":
+                    cols[kc] = _col_or("s_kind", KIND_IRI, pa.int8())
+                elif pos == "o":
+                    cols[kc] = _col_or("o_kind", KIND_LITERAL, pa.int8())
+                else:  # predicate / graph positions are always IRIs
+                    cols[kc] = pa.array([KIND_IRI] * n, pa.int8())
+                cols[dc] = _col_or(
+                    "o_datatype" if pos == "o" else None, "", pa.large_string()
+                )
+                cols[lc] = _col_or(
+                    "o_lang" if pos == "o" else None, "", pa.large_string()
+                )
+        return pa.table(cols)
 
     return compact_blocks(triples_ds.map_batches(kernel, batch_format="pyarrow"))
 
@@ -152,7 +207,8 @@ def _dedup(ds, cols):
 
 
 def match_bgp(triples_ds, patterns, *, distinct: bool = False,
-              num_partitions: int | None = None, graph=None):
+              num_partitions: int | None = None, graph=None,
+              with_meta: bool = False):
     """Solve a BGP over the triple Dataset → binding Dataset (one
     large_string column per variable, SPARQL bag semantics unless
     ``distinct``). ``graph`` scopes every pattern (see
@@ -173,7 +229,7 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
     var_pats = pats if gvars else [p for p in pats if _pattern_vars(p)]
     mult = 1
     for p in const_pats:
-        mult *= _bindings_for_pattern(triples_ds, p, graph).count()
+        mult *= _bindings_for_pattern(triples_ds, p, graph, False).count()
         if mult == 0:
             break
     if not var_pats:
@@ -184,11 +240,22 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
         )
     ordered = _order_patterns(var_pats)
 
-    acc = _bindings_for_pattern(triples_ds, ordered[0], graph)
+    acc = _bindings_for_pattern(triples_ds, ordered[0], graph, with_meta)
     acc_vars = set(_pattern_vars(ordered[0])) | gvars
     for pat in ordered[1:]:
-        nxt = _bindings_for_pattern(triples_ds, pat, graph)
+        nxt = _bindings_for_pattern(triples_ds, pat, graph, with_meta)
         shared = sorted(acc_vars & (set(_pattern_vars(pat)) | gvars))
+        if with_meta and shared:
+            # shared vars carry meta on BOTH sides — keep the accumulated
+            # side's columns, drop the new pattern's (joins are on the
+            # lexical form; the engine's documented term-join subset)
+            drop = [m for v in shared for m in meta_cols_of(v)]
+
+            def _drop_meta(t: pa.Table, _d=tuple(drop)) -> pa.Table:
+                keep = [c for c in t.schema.names if c not in _d]
+                return t.select(keep)
+
+            nxt = nxt.map_batches(_drop_meta, batch_format="pyarrow")
         n_parts = num_partitions or max(1, min(64, acc.count() // 2_000_000))
         acc = compact_blocks(
             acc.join(nxt, join_type="inner", num_partitions=n_parts,

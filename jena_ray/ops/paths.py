@@ -158,9 +158,28 @@ def _join_seq(left_ds, right_ds):
     )
 
 
+def _is_ds(x) -> bool:
+    return hasattr(x, "map_batches")
+
+
 def _seeds_ds(seeds):
+    """Identity (seed, seed) pairs. ``seeds`` is either a small iterable
+    of node strings (broadcast path) or a distinct single-column 'node'
+    Dataset (distributed path — seed propagation through Seq)."""
     import ray.data as rd
 
+    if _is_ds(seeds):
+        return seeds.map_batches(
+            lambda t: pa.table(
+                {
+                    "start": t["node"].combine_chunks().cast(pa.large_string()),
+                    "end": t["node"].combine_chunks().cast(pa.large_string()),
+                }
+            )
+            if t.num_columns
+            else _as_pairs(t, "start", "end"),
+            batch_format="pyarrow",
+        )
     vals = sorted(set(seeds))
     return rd.from_arrow(
         pa.table(
@@ -170,8 +189,46 @@ def _seeds_ds(seeds):
     )
 
 
+def _ends_as_seeds(pairs_ds):
+    """Distinct 'end' values of a pair Dataset as a seed Dataset — the
+    frontier a later Seq element continues from (never on the driver)."""
+    return compact_blocks(
+        pairs_ds.groupby("end")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["end"].combine_chunks().cast(pa.large_string())}
+            )
+            if t.num_columns
+            else pa.table({"node": pa.array([], pa.large_string())}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _restrict_to_starts(pairs_ds, seeds):
     import ray
+
+    if _is_ds(seeds):
+        key = compact_blocks(
+            seeds.map_batches(
+                lambda t: pa.table(
+                    {"start": t["node"].combine_chunks().cast(pa.large_string())}
+                )
+                if t.num_columns
+                else pa.table({"start": pa.array([], pa.large_string())}),
+                batch_format="pyarrow",
+            )
+        )
+        left = compact_blocks(pairs_ds)
+        if key.count() == 0 or left.count() == 0:
+            return _empty_pairs()
+        joined = left.join(
+            key, join_type="inner", num_partitions=_n_parts(left), on=("start",)
+        )
+        return joined.map_batches(
+            lambda t: _as_pairs(t, "start", "end"), batch_format="pyarrow"
+        )
 
     seed_ref = ray.put(frozenset(seeds))
 
@@ -197,14 +254,41 @@ def _check_rounds(rounds: int, max_rounds, what: str) -> None:
         )
 
 
+def _step_contains_seq(p: Path) -> bool:
+    if isinstance(p, Seq):
+        return True
+    if isinstance(p, Inv):
+        return _step_contains_seq(p.path)
+    if isinstance(p, Alt):
+        return any(_step_contains_seq(x) for x in p.paths)
+    return False
+
+
 def _closure(edges_ds, step: Path, seeds, include_zero: bool,
              max_rounds: int | None = None):
-    """Seeded semi-naive reachability over one path step (to fixpoint)."""
-    step_pairs = eval_path(edges_ds, step)  # (start, end) of ONE application
+    """Seeded semi-naive reachability over one path step (to fixpoint).
 
-    zero = _seeds_ds(seeds)
-    # first application restricted to the seeds
-    frontier = compact_blocks(_restrict_to_starts(step_pairs, seeds))
+    Plain steps (Link/Inv/NegSet/Alt-of-links) are materialized ONCE as a
+    pair relation and joined per round. A step containing a Seq (e.g.
+    (p/q)*) is instead RE-EVALUATED seeded by the current frontier each
+    round: materializing p∘q unseeded is a join whose size is unrelated
+    to the reachable set and can explode quadratically."""
+    seeded_step = _step_contains_seq(step)
+    step_pairs = None if seeded_step else eval_path(edges_ds, step)
+
+    def apply_step(frontier_pairs):
+        if seeded_step:
+            stepped = eval_path(
+                edges_ds, step, seeds=_ends_as_seeds(frontier_pairs),
+                max_rounds=max_rounds,
+            )
+        else:
+            stepped = step_pairs
+        return _join_seq(frontier_pairs, stepped)
+
+    zero = compact_blocks(_distinct(_seeds_ds(seeds)))
+    # first application restricted to the seeds (identity ⋈ step)
+    frontier = compact_blocks(apply_step(zero))
     acc = _distinct(zero.union(frontier)) if include_zero else _distinct(frontier)
 
     rounds = 0
@@ -213,7 +297,7 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
             break
         _check_rounds(rounds, max_rounds, "path closure")
         rounds += 1
-        stepped = _join_seq(frontier, step_pairs)
+        stepped = apply_step(frontier)
         if stepped.count() == 0:
             break
         # semi-naive: new frontier = stepped pairs not already accumulated
@@ -354,12 +438,30 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
             )
         )
     elif isinstance(path, Alt):
-        parts = [eval_path(edges_ds, p, max_rounds=max_rounds) for p in path.paths]
+        # with seeds each arm evaluates SEEDED (closures inside Alt work)
+        parts = [
+            eval_path(edges_ds, p, seeds=seeds, max_rounds=max_rounds)
+            for p in path.paths
+        ]
         ds = parts[0]
         for p in parts[1:]:
             ds = ds.union(p)
-        out = _distinct(ds)
+        return _distinct(ds)
     elif isinstance(path, Seq):
+        if seeds is not None:
+            # seed PROPAGATION through the sequence (PathEval.java shape):
+            # evaluate left-to-right, each element seeded by the previous
+            # frontier (distinct ends, kept as a Dataset — never driver-
+            # sized), accumulate by mid-joins. Closures inside Seq
+            # therefore evaluate seeded, e.g. p/q* or p*/q.
+            acc = compact_blocks(_distinct(_seeds_ds(seeds)))
+            for p in path.paths:
+                sub_seeds = _ends_as_seeds(acc)
+                step = eval_path(
+                    edges_ds, p, seeds=sub_seeds, max_rounds=max_rounds
+                )
+                acc = _join_seq(acc, step)
+            return acc
         parts = [eval_path(edges_ds, p, max_rounds=max_rounds) for p in path.paths]
         ds = parts[0]
         for p in parts[1:]:

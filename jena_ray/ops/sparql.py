@@ -24,11 +24,19 @@ onto the already-oracled Dataset operators:
     LIMIT / OFFSET                      → Dataset.limit (+offset skip)
     PREFIX / a / IRIs / literals / vars
 
-Expression subset: comparisons (= != < <= > >=; numeric when both sides
-parse as numbers, else lexical), && || !, REGEX(?v, "pat"),
-STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v), BOUND(?v). Bindings are
-lexical forms (the BGP engine's contract) — term-typed comparison
-semantics (value spaces, language tags) are documented out of subset.
+Expression subset: comparisons (= != < <= > >=), && || !,
+REGEX(?v, "pat"), STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v),
+BOUND(?v), LANG(?v), DATATYPE(?v), LANGMATCHES(LANG(?v), "rng"),
+ISIRI/ISURI/ISLITERAL/ISBLANK(?v). Bindings are lexical forms plus
+hidden term-metadata columns ({v}__kind/__dt/__lang, see ops/bgp.py);
+comparison is TERM-TYPED (NodeValue.java): in a numeric context (a
+numeric literal / STRLEN operand) rows compare in the numeric value
+space — ill-typed rows are type errors → false — while untyped lexical
+numbers keep working; between two terms, rows where BOTH sides are
+numeric-TYPED compare by value ("01"^^xsd:int = "1"^^xsd:decimal), all
+others lexically. ORDER BY uses SPARQL term ordering
+(BindingComparator.java): unbound < bnode < IRI < literal, numeric
+literals by value. Joins remain on the lexical form (documented subset).
 Unmatched OPTIONAL variables surface as nulls, exactly like the algebra.
 
 Property paths in predicate position compile onto ops/paths.py's
@@ -61,13 +69,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..model import RDF_TYPE, RDFParseError
+from ..rdf.literals import XSD_INTEGER_TYPES as _XSD_INTS
 from . import paths as _paths
 from .bgp import Var, match_bgp, select
 
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -486,13 +495,30 @@ class _Parser:
             arg = self.expect("string")[1:-1]
             self.expect("op", ")")
             return (fn.lower(), var, arg)
-        if k == "kw" and v.upper() in ("STRLEN", "BOUND"):
+        if k == "kw" and v.upper() in ("STRLEN", "BOUND", "LANG", "DATATYPE",
+                                       "ISIRI", "ISURI", "ISLITERAL",
+                                       "ISBLANK"):
             fn = v.lower()
+            if fn == "isuri":
+                fn = "isiri"
             self.next()
             self.expect("op", "(")
             var = self.expect("var")[1:]
             self.expect("op", ")")
             return (fn, var)
+        if k == "kw" and v.upper() == "LANGMATCHES":
+            # LANGMATCHES(LANG(?v), "range") — the common idiom; the
+            # first arg is required to be LANG(?v) in this subset
+            self.next()
+            self.expect("op", "(")
+            self.expect("kw", "LANG")
+            self.expect("op", "(")
+            var = self.expect("var")[1:]
+            self.expect("op", ")")
+            self.expect("op", ",")
+            rng = self.expect("string")[1:-1]
+            self.expect("op", ")")
+            return ("langmatches", var, rng)
         if k == "var":
             self.next()
             return ("var", v[1:])
@@ -502,6 +528,9 @@ class _Parser:
         if k == "num":
             self.next()
             return ("num", float(v))
+        if k in ("iri", "pname"):  # e.g. DATATYPE(?v) = xsd:decimal
+            self.next()
+            return ("lit", self.expand(k, v))
         raise RDFParseError(f"SPARQL: bad expression at {v!r}")
 
     def parse_cmp(self):
@@ -519,6 +548,71 @@ _CMP = {
     ">": pc.greater, ">=": pc.greater_equal,
 }
 
+# numeric value-space datatypes (NodeValue.java numeric promotion set)
+_NUMERIC_DTS = frozenset(_XSD_INTS) | {
+    _p + s for _p in ("http://www.w3.org/2001/XMLSchema#",)
+    for s in ("decimal", "double", "float")
+}
+_NUM_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
+
+
+def _num_or_null(node, t: pa.Table, val, strict: bool):
+    """Numeric view of one comparison operand: a float64 array/scalar with
+    NULL where the row has no numeric value.
+
+    strict=True (a numeric literal / STRLEN on the other side — the
+    engine's numeric context): a var row is numeric when its lexical form
+    parses AND its datatype is numeric or absent (untyped data keeps the
+    documented lexical-numeric behavior); ill-typed rows become null →
+    comparison false, SPARQL's type-error-is-false rule.
+
+    strict=False (term-typed value comparison, NodeValue.sameValueAs /
+    compare): a var row is numeric ONLY when its datatype is in the
+    numeric value space — plain "42" stays a string."""
+    tag = node[0] if node else None
+    if tag in ("num", "strlen"):
+        return val if not isinstance(val, pa.ChunkedArray) else val.combine_chunks()
+    if tag == "lit":
+        if strict:
+            try:
+                return pa.scalar(float(node[1]), pa.float64())
+            except (TypeError, ValueError):
+                return pa.scalar(None, pa.float64())
+        return pa.scalar(None, pa.float64())
+    if tag == "var":
+        arr = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            return pc.cast(arr, pa.float64())
+        ok = pc.fill_null(pc.match_substring_regex(arr, _NUM_RE), False)
+        dt_col = node[1] + "__dt"
+        if dt_col in t.schema.names:
+            dt = t[dt_col].combine_chunks()
+            numeric_dt = pc.fill_null(
+                pc.is_in(dt, value_set=pa.array(sorted(_NUMERIC_DTS), dt.type)),
+                False,
+            )
+            if strict:
+                dt_gate = pc.or_(
+                    numeric_dt,
+                    pc.fill_null(pc.equal(dt, ""), True),
+                )
+            else:
+                dt_gate = numeric_dt
+            ok = pc.and_(ok, dt_gate)
+        elif not strict:
+            # no metadata → no typed value space to speak of
+            return pa.nulls(len(arr), pa.float64())
+        guarded = pc.if_else(ok, arr, pa.scalar(None, arr.type))
+        return pc.cast(guarded, pa.float64())
+    # other value expressions are engine-numeric already (or fail the cast)
+    try:
+        return pc.cast(
+            val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val,
+            pa.float64(),
+        )
+    except pa.ArrowInvalid:
+        return pa.scalar(None, pa.float64())
+
 
 def _eval_value(node, t: pa.Table):
     tag = node[0]
@@ -530,6 +624,46 @@ def _eval_value(node, t: pa.Table):
         return pa.scalar(node[1], pa.float64())
     if tag == "strlen":
         return pc.cast(pc.utf8_length(t[node[1]].combine_chunks()), pa.float64())
+    if tag == "lang":
+        col = t[node[1] + "__lang"] if node[1] + "__lang" in t.schema.names else None
+        if col is None:
+            return pa.array([""] * t.num_rows, pa.large_string())
+        return pc.fill_null(col.combine_chunks().cast(pa.large_string()), "")
+    if tag == "datatype":
+        # DATATYPE(?v): declared dt; plain literal → xsd:string;
+        # lang-tagged → rdf:langString; non-literals → null (type error)
+        from ..model import KIND_LITERAL, RDF_LANGSTRING, XSD_STRING
+
+        names = t.schema.names
+        n = t.num_rows
+        dt = (
+            t[node[1] + "__dt"].combine_chunks().cast(pa.large_string())
+            if node[1] + "__dt" in names
+            else pa.array([""] * n, pa.large_string())
+        )
+        lang = (
+            t[node[1] + "__lang"].combine_chunks().cast(pa.large_string())
+            if node[1] + "__lang" in names
+            else pa.array([""] * n, pa.large_string())
+        )
+        kind = (
+            t[node[1] + "__kind"].combine_chunks()
+            if node[1] + "__kind" in names
+            else pa.array([KIND_LITERAL] * n, pa.int8())
+        )
+        out = pc.if_else(
+            pc.fill_null(pc.not_equal(lang, ""), False),
+            pa.scalar(RDF_LANGSTRING, pa.large_string()),
+            pc.if_else(
+                pc.fill_null(pc.equal(dt, ""), True),
+                pa.scalar(XSD_STRING, pa.large_string()),
+                dt,
+            ),
+        )
+        is_lit = pc.fill_null(
+            pc.equal(kind, pa.scalar(KIND_LITERAL, pa.int8())), True
+        )
+        return pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
     raise RDFParseError(f"SPARQL: not a value expression: {node!r}")
 
 
@@ -551,24 +685,135 @@ def _eval_bool(node, t: pa.Table):
         return pc.ends_with(t[node[1]].combine_chunks(), node[2])
     if tag == "contains":
         return pc.match_substring(t[node[1]].combine_chunks(), node[2])
+    if tag in ("isiri", "isliteral", "isblank"):
+        from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+        want = {"isiri": KIND_IRI, "isliteral": KIND_LITERAL,
+                "isblank": KIND_BNODE}[tag]
+        kc = node[1] + "__kind"
+        if kc not in t.schema.names:
+            return pa.array([tag == "isliteral"] * t.num_rows)
+        return pc.fill_null(
+            pc.equal(t[kc].combine_chunks(), pa.scalar(want, pa.int8())), False
+        )
+    if tag == "langmatches":
+        # LANGMATCHES(LANG(?v), "range"): '*' = any nonempty; else
+        # case-insensitive exact tag or prefix-before-'-' match (RFC 4647
+        # basic filtering, E_LangMatches.java)
+        lang = pc.utf8_lower(_eval_value(("lang", node[1]), t))
+        rng = node[2].lower()
+        if rng == "*":
+            return pc.fill_null(pc.not_equal(lang, ""), False)
+        return pc.fill_null(
+            pc.or_(
+                pc.equal(lang, rng),
+                pc.starts_with(lang, rng + "-"),
+            ),
+            False,
+        )
     if tag == "cmp":
         op, l, r = node[1], node[2], node[3]
         lv, rv = _eval_value(l, t), _eval_value(r, t)
-        # numeric comparison when either side is numeric (SPARQL casts the
-        # lexical form); else lexical string comparison
-        num = (l[0] == "num" or r[0] == "num"
-               or l[0] == "strlen" or r[0] == "strlen")
-        if num:
-            def to_num(v):
-                if isinstance(v, pa.Scalar):
-                    return v if pa.types.is_floating(v.type) else pc.cast(v, pa.float64())
-                if pa.types.is_floating(v.type):
-                    return v
-                return pc.cast(v, pa.float64())
+        # numeric CONTEXT (a numeric literal / STRLEN operand): compare in
+        # the numeric value space, ill-typed/unparseable rows → false
+        strict = (l[0] == "num" or r[0] == "num"
+                  or l[0] == "strlen" or r[0] == "strlen")
+        ln = _num_or_null(l, t, lv, strict=strict)
+        rn = _num_or_null(r, t, rv, strict=strict)
+        both_num = pc.and_(pc.is_valid(ln), pc.is_valid(rn))
+        if isinstance(both_num, pa.Scalar):
+            both_num = pa.array([both_num.as_py()] * t.num_rows)
+        num_res = pc.fill_null(_CMP[op](ln, rn), False)
+        if strict:
+            return pc.if_else(both_num, num_res, pa.scalar(False))
+        # term-typed comparison: rows where BOTH sides sit in the numeric
+        # value space compare by value ("01"^^xsd:int = "1"^^xsd:decimal);
+        # everything else compares lexically (the documented subset)
+        def as_str(v):
+            if isinstance(v, pa.Scalar):
+                return (v if pa.types.is_large_string(v.type)
+                        else pa.scalar(str(v.as_py()), pa.large_string()))
+            return v.cast(pa.large_string())
 
-            lv, rv = to_num(lv), to_num(rv)
-        return _CMP[op](lv, rv)
+        lex_res = pc.fill_null(_CMP[op](as_str(lv), as_str(rv)), False)
+        if isinstance(lex_res, pa.Scalar):
+            lex_res = pa.array([bool(lex_res.as_py())] * t.num_rows)
+        if isinstance(num_res, pa.Scalar):
+            num_res = pa.array([bool(num_res.as_py())] * t.num_rows)
+        return pc.if_else(both_num, num_res, lex_res)
     raise RDFParseError(f"SPARQL: not a boolean expression: {node!r}")
+
+
+def _term_sort(bindings_ds, order: list):
+    """SPARQL term ordering over a binding Dataset WITH metadata columns
+    (BindingComparator.java): unbound < bnode < IRI < literal; numeric-
+    typed literals compare in the value space, other literals lexically
+    (numbers ordered before non-numeric literals). Realized as four
+    helper sort-key columns per ORDER var — kind class, numeric flag,
+    numeric value, lexical — then one Dataset.sort; DESC reverses the
+    whole comparator (all four flags)."""
+    from ..model import KIND_BNODE, KIND_IRI
+
+    order_vars = [v for v, _ in order]
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        cols = {c: t[c].combine_chunks() for c in t.schema.names}
+        n = t.num_rows
+        for v in order_vars:
+            lex = cols.get(v, pa.nulls(n, pa.large_string()))
+            kind = cols.get(v + "__kind", pa.nulls(n, pa.int8()))
+            dt = cols.get(v + "__dt", pa.array([""] * n, pa.large_string()))
+            klass = pc.if_else(
+                pc.is_null(lex),
+                pa.scalar(0, pa.int8()),
+                pc.if_else(
+                    pc.fill_null(
+                        pc.equal(kind, pa.scalar(KIND_BNODE, pa.int8())), False
+                    ),
+                    pa.scalar(1, pa.int8()),
+                    pc.if_else(
+                        pc.fill_null(
+                            pc.equal(kind, pa.scalar(KIND_IRI, pa.int8())),
+                            False,
+                        ),
+                        pa.scalar(2, pa.int8()),
+                        pa.scalar(3, pa.int8()),
+                    ),
+                ),
+            )
+            numeric_dt = pc.fill_null(
+                pc.is_in(dt, value_set=pa.array(sorted(_NUMERIC_DTS), dt.type)),
+                False,
+            )
+            parseable = pc.fill_null(
+                pc.match_substring_regex(pc.fill_null(lex, ""), _NUM_RE), False
+            )
+            is_num = pc.and_(numeric_dt, parseable)
+            num = pc.cast(
+                pc.if_else(is_num, lex, pa.scalar(None, lex.type)), pa.float64()
+            )
+            flag = pc.if_else(
+                is_num, pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())
+            )
+            s = pc.if_else(is_num, pa.scalar("", lex.type), pc.fill_null(lex, ""))
+            cols[f"__ok_{v}"] = klass
+            cols[f"__of_{v}"] = flag
+            cols[f"__on_{v}"] = pc.fill_null(num, 0.0)
+            cols[f"__os_{v}"] = s
+        return pa.table(cols)
+
+    keyed = bindings_ds.map_batches(add_keys, batch_format="pyarrow")
+    keys, desc = [], []
+    for v, d in order:
+        keys += [f"__ok_{v}", f"__of_{v}", f"__on_{v}", f"__os_{v}"]
+        desc += [d, d, d, d]
+    out = keyed.sort(keys, descending=desc)
+
+    def drop_keys(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.schema.names if not c.startswith(("__ok_", "__of_", "__on_", "__os_"))]
+        return t.select(keep)
+
+    return out.map_batches(drop_keys, batch_format="pyarrow")
 
 
 def _group_vars(group: dict) -> set:
@@ -636,8 +881,10 @@ def _invert_path(p):
 def _compile_path_pattern(triples_ds, pat):
     """(s, Path, o) → binding relation. Closure operators (* + ?) need a
     constant endpoint in this subset (seeded evaluation — the shape
-    SPARQL engines use; an unseeded closure is O(V²)), and must be the
-    path's TOP operator (seeds don't propagate through Seq)."""
+    SPARQL engines use; an unseeded closure is O(V²)). Seeds propagate
+    through Seq and Alt (PathEval.java), so p/q*, (p/q)* and (p*|q) all
+    evaluate seeded; a closure nested inside ANOTHER closure's step is
+    out of subset (eval_path raises)."""
     s, path, o = pat
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -663,11 +910,6 @@ def _compile_path_pattern(triples_ds, pat):
             raise RDFParseError(
                 "SPARQL: a closure path (*, +, ?) needs a constant subject "
                 "or object in this subset (seeded evaluation)"
-            )
-        if not isinstance(path, (_paths.Star, _paths.Plus, _paths.Opt)):
-            raise RDFParseError(
-                "SPARQL: a closure must be the path's top operator in "
-                "this subset (seeds do not propagate through Seq)"
             )
     pairs = _paths.eval_path(edges, path, seeds=seeds)
 
@@ -701,16 +943,43 @@ def _compile_path_pattern(triples_ds, pat):
 
 
 def _align_columns(ds, have: list, want: list):
-    """Add null columns for vars an arm doesn't bind, order columns."""
-    missing = [v for v in want if v not in have]
+    """Add null columns for vars an arm doesn't bind, order columns, and
+    normalize the hidden term-metadata columns: every var in ``want``
+    always gets {v}__kind/{v}__dt/{v}__lang (existing values kept,
+    defaults otherwise) so union arms and join outputs share one schema."""
+    from .bgp import meta_cols_of
 
     def fn(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.table({v: pa.array([], pa.large_string()) for v in want})
-        cols = {v: t[v].combine_chunks() for v in have}
-        for v in missing:
-            cols[v] = pa.nulls(t.num_rows, pa.large_string())
-        return pa.table({v: cols[v] for v in want})
+        names = set(t.schema.names) if t.num_columns else set()
+        n = t.num_rows if t.num_columns else 0
+        cols: dict = {}
+        for v in want:
+            if v in names:
+                c = t[v].combine_chunks()
+                # normalize string→large_string (join-key safety); leave
+                # numeric columns (e.g. subquery aggregate aliases) alone
+                if pa.types.is_string(c.type):
+                    c = c.cast(pa.large_string())
+                cols[v] = c
+            else:
+                cols[v] = pa.nulls(n, pa.large_string())
+            kc, dc, lc = meta_cols_of(v)
+            cols[kc] = (
+                t[kc].combine_chunks().cast(pa.int8())
+                if kc in names
+                else pa.nulls(n, pa.int8())
+            )
+            cols[dc] = (
+                t[dc].combine_chunks().cast(pa.large_string())
+                if dc in names
+                else pa.array([""] * n, pa.large_string())
+            )
+            cols[lc] = (
+                t[lc].combine_chunks().cast(pa.large_string())
+                if lc in names
+                else pa.array([""] * n, pa.large_string())
+            )
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -746,6 +1015,17 @@ def _join_bindings(left, left_vars, right, right_vars, how: str):
             "SPARQL: group element shares no variable with the rest "
             "(cartesian product — not supported)"
         )
+    # both sides may carry meta columns for shared vars (name collision in
+    # the join) — keep the left side's, drop the right's
+    from .bgp import meta_cols_of
+
+    drop = tuple(m for v in shared for m in meta_cols_of(v))
+
+    def _drop_meta(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.schema.names if c not in drop]
+        return t.select(keep)
+
+    right = right.map_batches(_drop_meta, batch_format="pyarrow")
     lc = compact_blocks(left)
     rc = compact_blocks(right)
     n_parts = max(1, min(64, lc.count() // 2_000_000))
@@ -806,9 +1086,19 @@ def _minus_bindings(left, left_vars, right, right_vars):
 
     def keep_unmatched(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
-            return pa.table({v: pa.array([], pa.large_string()) for v in left_vars})
+            from .bgp import meta_cols_of
+
+            cols: dict = {}
+            for v in left_vars:
+                cols[v] = pa.array([], pa.large_string())
+                kc, dc, lc = meta_cols_of(v)
+                cols[kc] = pa.array([], pa.int8())
+                cols[dc] = pa.array([], pa.large_string())
+                cols[lc] = pa.array([], pa.large_string())
+            return pa.table(cols)
         x = t.filter(pc.is_null(t["__minus"]))
-        return pa.table({v: x[v].combine_chunks() for v in left_vars})
+        keep = [c for c in x.schema.names if c != "__minus"]
+        return x.select(keep)
 
     return compact_blocks(
         joined.map_batches(keep_unmatched, batch_format="pyarrow")
@@ -825,7 +1115,8 @@ def _compile_group(triples_ds, group: dict, graph=None):
     acc_vars: list = []
     for el in group["elements"]:
         if el[0] == "bgp":
-            rel = match_bgp(triples_ds, el[1], distinct=False, graph=graph)
+            rel = match_bgp(triples_ds, el[1], distinct=False, graph=graph,
+                            with_meta=True)
             rel_vars = sorted(
                 {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
                 | ({graph.name} if isinstance(graph, Var) else set())
@@ -886,10 +1177,17 @@ def _compile_group(triples_ds, group: dict, graph=None):
 
             def bind_kernel(t: pa.Table, _expr=expr, _var=var,
                             _vars=tuple(new_vars)) -> pa.Table:
+                from .bgp import is_meta_col, meta_cols_of
+
                 if t.num_columns == 0:
-                    return pa.table(
-                        {v: pa.array([], pa.large_string()) for v in _vars}
-                    )
+                    cols0: dict = {}
+                    for v in _vars:
+                        cols0[v] = pa.array([], pa.large_string())
+                        kc0, dc0, lc0 = meta_cols_of(v)
+                        cols0[kc0] = pa.array([], pa.int8())
+                        cols0[dc0] = pa.array([], pa.large_string())
+                        cols0[lc0] = pa.array([], pa.large_string())
+                    return pa.table(cols0)
                 val = _eval_value(_expr, t)
                 if isinstance(val, pa.Scalar):
                     col = pa.array([val.as_py()] * t.num_rows)
@@ -907,7 +1205,18 @@ def _compile_group(triples_ds, group: dict, graph=None):
                     col = pc.cast(col, pa.large_string())
                 cols = {v: t[v].combine_chunks() for v in _vars if v != _var}
                 cols[_var] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                return pa.table({v: cols[v] for v in _vars})
+                out = {v: cols[v] for v in _vars}
+                # meta passthrough for existing vars; the bound var gets
+                # plain-literal defaults
+                for c in t.schema.names:
+                    if is_meta_col(c):
+                        out[c] = t[c].combine_chunks()
+                kc, dc, lc = meta_cols_of(_var)
+                if kc not in out:
+                    out[kc] = pa.nulls(t.num_rows, pa.int8())
+                    out[dc] = pa.array([""] * t.num_rows, pa.large_string())
+                    out[lc] = pa.array([""] * t.num_rows, pa.large_string())
+                return pa.table(out)
 
             acc = acc.map_batches(bind_kernel, batch_format="pyarrow")
             acc_vars = new_vars
@@ -936,9 +1245,16 @@ def _compile_group(triples_ds, group: dict, graph=None):
 
         def kernel(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
-                return pa.table(
-                    {v: pa.array([], pa.large_string()) for v in acc_vars}
-                )
+                from .bgp import meta_cols_of
+
+                cols: dict = {}
+                for v in acc_vars:
+                    cols[v] = pa.array([], pa.large_string())
+                    kc, dc, lc = meta_cols_of(v)
+                    cols[kc] = pa.array([], pa.int8())
+                    cols[dc] = pa.array([], pa.large_string())
+                    cols[lc] = pa.array([], pa.large_string())
+                return pa.table(cols)
             mask = None
             for f in filters:
                 m = _eval_bool(f, t)
@@ -1147,12 +1463,21 @@ def _exec_select(triples_ds, q: dict):
             }
             out = rd.from_items([vals])
     else:
-        out = select(bindings, proj)
+        if q["order"] and not q["distinct"]:
+            # SPARQL term ordering needs the term metadata — sort the
+            # binding table (meta still attached), then project; the
+            # projection map preserves row order
+            bindings = _term_sort(bindings, q["order"])
+            out = select(bindings, proj)
+        else:
+            out = select(bindings, proj)
     if q["distinct"]:
         from .bgp import _dedup
 
         out = _dedup(out, proj)
-    if q["order"]:
+    if q["order"] and ((agg_items or q["group_by"]) or q["distinct"]):
+        # aggregate aliases / post-DISTINCT output carry no term metadata
+        # — plain column sort (aggregates are numeric already)
         out = out.sort(
             [v for v, _ in q["order"]], descending=[d for _, d in q["order"]]
         )

@@ -1279,6 +1279,72 @@ FROM nation JOIN supplier ON s_nationkey = n_nationkey
 """
 
 
+def q_path_star_seq(sf_dir: str):
+    """(in_nation/in_region)* — P_ZeroOrMore1 over P_Seq: the closure's
+    STEP is a sequence, so each round re-evaluates the Seq SEEDED by the
+    current frontier (PathEval.java; materializing p∘q unseeded is a
+    frontier-independent join). Zero-length pairs included."""
+    from ..ops.paths import Link, Seq, Star, eval_path
+
+    seeds = [f"c:{k}" for k in range(20)]
+    return eval_path(
+        _membership_edges(sf_dir),
+        Star(Seq(Link("in_nation"), Link("in_region"))),
+        seeds=seeds,
+    )
+
+
+SQL_PATH_STAR_SEQ = """
+WITH RECURSIVE comp AS (
+  -- one application of in_nation/in_region
+  SELECT 'c:' || c_custkey AS s, 'r:' || n_regionkey AS o
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  UNION ALL
+  SELECT 's:' || s_suppkey, 'r:' || n_regionkey
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+),
+seeds AS (SELECT 'c:' || c_custkey AS v FROM customer WHERE c_custkey < 20),
+reach(start, "end") AS (
+  SELECT v, v FROM seeds
+  UNION
+  SELECT r.start, c.o FROM reach r JOIN comp c ON r."end" = c.s
+)
+SELECT DISTINCT start, "end" FROM reach
+"""
+
+
+def q_path_seq_star(sf_dir: str):
+    """in_nation/in_region* — a closure ELEMENT inside P_Seq: seeds
+    propagate through the sequence (each element seeded by the previous
+    frontier, kept as a Dataset — the round-2 'closure-under-Seq' gap)."""
+    from ..ops.paths import Link, Seq, Star, eval_path
+
+    seeds = [f"c:{k}" for k in range(30)]
+    return eval_path(
+        _membership_edges(sf_dir),
+        Seq(Link("in_nation"), Star(Link("in_region"))),
+        seeds=seeds,
+    )
+
+
+SQL_PATH_SEQ_STAR = """
+WITH RECURSIVE
+hop1 AS (
+  SELECT 'c:' || c_custkey AS start, 'n:' || c_nationkey AS "end"
+  FROM customer WHERE c_custkey < 30
+),
+edges AS (
+  SELECT 'n:' || n_nationkey AS s, 'r:' || n_regionkey AS o FROM nation
+),
+reach(start, "end") AS (
+  SELECT start, "end" FROM hop1          -- zero-length of the star
+  UNION
+  SELECT r.start, e.o FROM reach r JOIN edges e ON r."end" = e.s
+)
+SELECT DISTINCT start, "end" FROM reach
+"""
+
+
 def _membership_triples(sf_dir: str):
     """The membership edge table shaped as triple columns for the BGP
     engine (s_lex, p, o_lex)."""
@@ -1339,6 +1405,107 @@ WITH members AS (
   UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
 )
 SELECT n, CAST(count(*) AS BIGINT) AS members FROM members GROUP BY n
+"""
+
+
+def _typed_price_triples(sf_dir: str):
+    """part → typed-literal triple table (term metadata columns included):
+
+    - <price_c>: integer-cent price, xsd:integer — the value-typed column
+    - <price_c>: numeric-LOOKING decoys typed xsd:string (partkey+10M) —
+      a term-typed FILTER must exclude them; a lexical-cast engine would
+      wrongly admit every one
+    - <price_d>: decoy-free integer-cent price for the ORDER BY query
+    """
+    import numpy as np
+
+    from ..model import KIND_IRI, KIND_LITERAL, XSD_NS, XSD_STRING
+
+    xsd_int = XSD_NS + "integer"
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        keys = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        s = [f"p:{k}" for k in keys]
+        price_lex = [str(c) for c in cents]
+        decoy_lex = [str(int(k) + 10_000_000) for k in keys]
+        n = len(s)
+        return pa.table(
+            {
+                "s_kind": pa.array([KIND_IRI] * (3 * n), pa.int8()),
+                "s_lex": pa.array(s * 3, pa.large_string()),
+                "p": pa.array(
+                    ["price_c"] * n + ["price_c"] * n + ["price_d"] * n,
+                    pa.large_string(),
+                ),
+                "o_kind": pa.array([KIND_LITERAL] * (3 * n), pa.int8()),
+                "o_lex": pa.array(
+                    price_lex + decoy_lex + price_lex, pa.large_string()
+                ),
+                "o_datatype": pa.array(
+                    [xsd_int] * n + [XSD_STRING] * n + [xsd_int] * n,
+                    pa.large_string(),
+                ),
+                "o_lang": pa.array([""] * (3 * n), pa.large_string()),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        to_triples, batch_format="pyarrow"
+    )
+
+
+def q_sparql_filter_typed(sf_dir: str):
+    """Term-typed FILTER semantics through the SPARQL front door
+    (NodeValue.java value spaces): FILTER(?price > 90000) over literals
+    typed xsd:integer admits only the numeric value space — the
+    xsd:string decoys under the same predicate (numeric-looking lexical
+    forms, all > the threshold as numbers) must be excluded."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _typed_price_triples(sf_dir),
+        """
+        SELECT ?s ?price WHERE {
+          ?s <price_c> ?price .
+          FILTER(?price > 90000)
+        }
+        """,
+    )
+
+
+SQL_SPARQL_FILTER_TYPED = """
+SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS s,
+       CAST(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         AS price
+FROM part WHERE floor(p_retailprice * 100 + 0.5) > 90000
+"""
+
+
+def q_sparql_order_typed(sf_dir: str):
+    """SPARQL term ordering (BindingComparator.java): ORDER BY DESC over
+    xsd:integer literals sorts by numeric VALUE — lexical ordering would
+    rank "99995" above "100000"."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _typed_price_triples(sf_dir),
+        """
+        SELECT ?s ?price WHERE { ?s <price_d> ?price }
+        ORDER BY DESC(?price) ?s LIMIT 10
+        """,
+    )
+
+
+SQL_SPARQL_ORDER_TYPED = """
+SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS s,
+       CAST(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         AS price
+FROM part
+ORDER BY floor(p_retailprice * 100 + 0.5) DESC,
+         'p:' || CAST(p_partkey AS VARCHAR) LIMIT 10
 """
 
 
@@ -1633,6 +1800,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "path_2hop": (q_path_2hop, SQL_PATH_2HOP),
     "path_star_alt": (q_path_star_alt, SQL_PATH_STAR_ALT),
+    "path_star_seq": (q_path_star_seq, SQL_PATH_STAR_SEQ),
+    "path_seq_star": (q_path_seq_star, SQL_PATH_SEQ_STAR),
     "path_inverse_seq": (q_path_inverse_seq, SQL_PATH_INVERSE_SEQ),
     "path_negset": (q_path_negset, SQL_PATH_NEGSET),
     "bgp_match": (q_bgp_match, SQL_BGP_MATCH),
@@ -1640,6 +1809,8 @@ REGISTRY: dict[str, tuple] = {
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
+    "sparql_filter_typed": (q_sparql_filter_typed, SQL_SPARQL_FILTER_TYPED),
+    "sparql_order_typed": (q_sparql_order_typed, SQL_SPARQL_ORDER_TYPED),
     "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),

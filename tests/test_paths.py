@@ -141,3 +141,29 @@ def test_closure_round_cap_raises_not_truncates():
     # default (no cap) runs to fixpoint: n0 reaches all n successors
     got = _pairs(eval_path(ds, Plus(Link("p")), seeds=["n0"]))
     assert got == {("n0", f"n{i}") for i in range(1, n + 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seq_with_closure_element_seeded():
+    """Seeds propagate through Seq (PathEval.java): p/q* and p*/q
+    evaluate each element seeded by the previous frontier."""
+    g = _graph()
+    # a -p-> b ; then q* from b: zero-length (b) only (no q edge from b)
+    got = _pairs(eval_path(g, Seq(Link("p"), Star(Link("q"))), seeds=["a"]))
+    assert got == {("a", "b")}
+    # a -p*-> {a,b,c,d}; then -q-> : only c has a q edge (c -q-> a)
+    got2 = _pairs(eval_path(g, Seq(Star(Link("p")), Link("q")), seeds=["a"]))
+    assert got2 == {("a", "a")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_of_seq_and_alt_of_closure():
+    g = _graph()
+    # (p/q)*: a -(p..? no: p then q needs b-q->? none. Seq(p,q) one step:
+    # pairs where x-p->y-q->z: b-p->c, c-q->a => (b, a). From seed b:
+    # zero (b,b) + (b,a) + then from a: a-p->b, b-q->? none → stop.
+    got = _pairs(eval_path(g, Star(Seq(Link("p"), Link("q"))), seeds=["b"]))
+    assert got == {("b", "b"), ("b", "a")}
+    # (q|r)* from a: a-r->x; x has nothing; a-q->? none → {a, x}
+    got2 = _pairs(eval_path(g, Star(Alt(Link("q"), Link("r"))), seeds=["a"]))
+    assert got2 == {("a", "a"), ("a", "x")}

@@ -520,3 +520,107 @@ def test_count_sum_over_empty_is_zero():
     rows = sparql_select(G(ROWS), q).take_all()
     assert len(rows) == 1
     assert rows[0]["c"] == 0 and rows[0]["s"] == 0
+
+
+def _typed_triples(rows):
+    """rows: (s_lex, p, o_lex, o_dt, o_lang, o_kind)"""
+    import ray.data as rd
+
+    from jena_ray.model import KIND_IRI, KIND_LITERAL
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_kind": pa.array([KIND_IRI] * len(rows), pa.int8()),
+                "s_lex": pa.array([r[0] for r in rows], pa.large_string()),
+                "p": pa.array([r[1] for r in rows], pa.large_string()),
+                "o_kind": pa.array(
+                    [r[5] if len(r) > 5 else KIND_LITERAL for r in rows],
+                    pa.int8(),
+                ),
+                "o_lex": pa.array([r[2] for r in rows], pa.large_string()),
+                "o_datatype": pa.array([r[3] for r in rows], pa.large_string()),
+                "o_lang": pa.array([r[4] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_typed_filter_excludes_ill_typed_rows():
+    """FILTER(?v > 10) in numeric context: xsd:string-typed rows with a
+    numeric-looking lexical form are NOT numbers (VERDICT r2 #5)."""
+    rows = [
+        ("http://ex/a", "http://ex/price", "42", XSD + "integer", ""),
+        ("http://ex/b", "http://ex/price", "900", XSD + "string", ""),
+        ("http://ex/c", "http://ex/price", "7", XSD + "integer", ""),
+        ("http://ex/d", "http://ex/price", "15", "", ""),  # untyped: lexical-numeric ok
+    ]
+    q = "SELECT ?s WHERE { ?s <http://ex/price> ?v . FILTER(?v > 10) }"
+    got = {r["s"] for r in sparql_select(_typed_triples(rows), q).take_all()}
+    assert got == {"http://ex/a", "http://ex/d"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_space_equality_across_lexical_forms():
+    """"042"^^xsd:int = "42.0"^^xsd:decimal by VALUE (sameValueAs)."""
+    rows = [
+        ("http://ex/a", "http://ex/p", "042", XSD + "int", ""),
+        ("http://ex/a", "http://ex/q", "42.0", XSD + "decimal", ""),
+        ("http://ex/b", "http://ex/p", "5", XSD + "int", ""),
+        ("http://ex/b", "http://ex/q", "6", XSD + "int", ""),
+        ("http://ex/c", "http://ex/p", "x1", "", ""),
+        ("http://ex/c", "http://ex/q", "x1", "", ""),
+    ]
+    q = """
+    SELECT ?s WHERE {
+      ?s <http://ex/p> ?a . ?s <http://ex/q> ?b . FILTER(?a = ?b)
+    }
+    """
+    got = {r["s"] for r in sparql_select(_typed_triples(rows), q).take_all()}
+    # a: value-equal numerics; c: lexically equal strings; b: unequal
+    assert got == {"http://ex/a", "http://ex/c"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_datatype_isiri_functions():
+    from jena_ray.model import KIND_IRI
+
+    rows = [
+        ("http://ex/a", "http://ex/label", "hello", "", "en"),
+        ("http://ex/a", "http://ex/label", "bonjour", "", "fr-BE"),
+        ("http://ex/a", "http://ex/count", "3", XSD + "integer", ""),
+        ("http://ex/a", "http://ex/link", "http://ex/b", "", "", KIND_IRI),
+    ]
+    ds = _typed_triples(rows)
+    q1 = 'SELECT ?v WHERE { ?s ?p ?v . FILTER(LANG(?v) = "en") }'
+    assert [r["v"] for r in sparql_select(ds, q1).take_all()] == ["hello"]
+    q2 = ('SELECT ?v WHERE { ?s ?p ?v . '
+          'FILTER(DATATYPE(?v) = <http://www.w3.org/2001/XMLSchema#integer>) }')
+    assert [r["v"] for r in sparql_select(ds, q2).take_all()] == ["3"]
+    q3 = 'SELECT ?v WHERE { ?s ?p ?v . FILTER(ISIRI(?v)) }'
+    assert [r["v"] for r in sparql_select(ds, q3).take_all()] == ["http://ex/b"]
+    q4 = 'SELECT ?v WHERE { ?s ?p ?v . FILTER(LANGMATCHES(LANG(?v), "fr")) }'
+    assert [r["v"] for r in sparql_select(ds, q4).take_all()] == ["bonjour"]
+    q5 = 'SELECT ?v WHERE { ?s <http://ex/label> ?v . FILTER(LANGMATCHES(LANG(?v), "*")) }'
+    assert {r["v"] for r in sparql_select(ds, q5).take_all()} == {"hello", "bonjour"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_term_order_by_numeric_value_not_lexical():
+    """ORDER BY over xsd:integer literals sorts by VALUE: 2 < 10 < 100
+    even though lexically "10" < "100" < "2" (BindingComparator)."""
+    rows = [
+        ("http://ex/a", "http://ex/n", "10", XSD + "integer", ""),
+        ("http://ex/b", "http://ex/n", "2", XSD + "integer", ""),
+        ("http://ex/c", "http://ex/n", "100", XSD + "integer", ""),
+    ]
+    q = "SELECT ?s ?v WHERE { ?s <http://ex/n> ?v } ORDER BY ?v"
+    got = [r["v"] for r in sparql_select(_typed_triples(rows), q).take_all()]
+    assert got == ["2", "10", "100"]
+    q2 = "SELECT ?s ?v WHERE { ?s <http://ex/n> ?v } ORDER BY DESC(?v) LIMIT 2"
+    got2 = [r["v"] for r in sparql_select(_typed_triples(rows), q2).take_all()]
+    assert got2 == ["100", "10"]
