@@ -193,6 +193,45 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
     return compact_blocks(triples_ds.map_batches(kernel, batch_format="pyarrow"))
 
 
+# Below this many rows on the smaller side, a pattern join is realized as
+# a BROADCAST hash join (small side ray.put once, per-batch acero join in
+# map_batches) instead of an all-to-all shuffle. This sidesteps the skew
+# stall of low-cardinality join keys (e.g. a 25-value nation key leaves
+# ≤25 populated shuffle partitions regardless of cluster size).
+BGP_BROADCAST_ROWS = 250_000
+
+
+def _broadcast_join(big_ds, small_ds, keys: list[str]):
+    """big ⋈ small on `keys` with the small side broadcast (one ray.put,
+    per-batch pyarrow acero join — vectorized, no shuffle)."""
+    import ray
+
+    from ..util import compact_blocks
+
+    small_schema = small_ds.schema().base_schema
+    tables = [t.combine_chunks() for t in ray.get(small_ds.to_arrow_refs())]
+    small_tbl = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({f.name: pa.array([], f.type) for f in small_schema})
+    )
+    small_ref = ray.put(small_tbl)
+
+    big_schema = big_ds.schema().base_schema
+    out_fields = [(n, big_schema.field(n).type) for n in big_schema.names] + [
+        (f.name, f.type) for f in small_schema
+        if f.name not in keys and f.name not in big_schema.names
+    ]
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({n: pa.array([], typ) for n, typ in out_fields})
+        s = ray.get(small_ref)
+        return t.combine_chunks().join(s, keys=keys, join_type="inner")
+
+    return compact_blocks(big_ds.map_batches(kern, batch_format="pyarrow"))
+
+
 def _dedup(ds, cols):
     return compact_blocks(
         ds.groupby(list(cols)).count().map_batches(
@@ -256,11 +295,16 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
                 return t.select(keep)
 
             nxt = nxt.map_batches(_drop_meta, batch_format="pyarrow")
-        n_parts = num_partitions or max(1, min(64, acc.count() // 2_000_000))
-        acc = compact_blocks(
-            acc.join(nxt, join_type="inner", num_partitions=n_parts,
-                     on=tuple(shared))
-        )
+        n_acc, n_nxt = acc.count(), nxt.count()
+        if min(n_acc, n_nxt) <= BGP_BROADCAST_ROWS:
+            big, small = (acc, nxt) if n_acc >= n_nxt else (nxt, acc)
+            acc = _broadcast_join(big, small, shared)
+        else:
+            n_parts = num_partitions or max(1, min(64, n_acc // 2_000_000))
+            acc = compact_blocks(
+                acc.join(nxt, join_type="inner", num_partitions=n_parts,
+                         on=tuple(shared))
+            )
         acc_vars |= set(_pattern_vars(pat)) | gvars
     if mult == 0:
         acc = acc.limit(0)

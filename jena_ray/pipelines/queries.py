@@ -245,30 +245,51 @@ GROUP BY c_mktsegment
 
 def q_left_join(sf_dir: str):
     """LEFT JOIN / OPTIONAL (QueryIterHashLeftJoin_*): every customer row
-    survives; order count may be zero. Orders aggregated distributed, the
-    small per-customer count map broadcast into the customer stream."""
-    import ray
+    survives; order count may be zero. Realized as a Dataset left_outer
+    hash join — the per-customer count table stays distributed (a
+    fact-sized build side must never land on the driver; the broadcast
+    template lives in q_join_broadcast for genuinely dim-sized sides)."""
+    from ..util import compact_blocks
 
-    counts = (
-        _read(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count()
+    counts = compact_blocks(
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["o_custkey"].combine_chunks(),
+                    "n_orders": t["count()"].combine_chunks().cast(pa.int64()),
+                }
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
     )
-    cmap = {}
-    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        cmap.update(zip(b["o_custkey"].to_pylist(), b["count()"].to_pylist()))
-    ref = ray.put(cmap)
+    cust = compact_blocks(_read(sf_dir, "customer", ["c_custkey"]))
+    n_parts = max(1, min(64, cust.count() // 2_000_000))
+    joined = cust.join(
+        counts, join_type="left_outer", num_partitions=n_parts,
+        on=("c_custkey",),
+    )
 
-    def attach(b: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        m = _ray.get(ref)
-        n = pa.array([m.get(k, 0) for k in b["c_custkey"].to_pylist()], pa.int64())
-        return pa.Table.from_arrays(
-            [b["c_custkey"].combine_chunks(), n], names=["c_custkey", "n_orders"]
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].combine_chunks(),
+                "n_orders": pc.fill_null(
+                    t["n_orders"].combine_chunks().cast(pa.int64()), 0
+                ),
+            }
         )
 
-    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        attach, batch_format="pyarrow"
-    )
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_LEFT_JOIN = """

@@ -55,38 +55,67 @@ def shard_done(out_dir: str, shard: str, cfg_hash: str) -> bool:
     return files == m.get("files")
 
 
-def content_hash_of_table(tbl) -> str:
-    """Order-insensitive content hash of an Arrow table: per-row blake2
-    over a stable row encoding, combined by addition mod 2^128."""
-    import pyarrow as pa
+_MOD128 = 1 << 128
 
-    acc = 0
-    cols = [tbl.column(name).to_pylist() for name in sorted(tbl.schema.names)]
-    for row in zip(*cols):
-        h = hashlib.blake2b(repr(row).encode(), digest_size=16).digest()
-        acc = (acc + int.from_bytes(h, "big")) % (1 << 128)
-    return f"{acc:032x}"
+
+def _row_hash_sum(tbl) -> int:
+    """Vectorized order-insensitive row-hash fold (the sameas._sig_kernel
+    pattern): rows encode as schema-tagged '\\x1f'-joined string columns
+    (one pyarrow kernel), hashed by two fixed-key siphash passes
+    (pd.util.hash_array — deterministic across worker processes,
+    vectorized in C) for 128 bits, summed exactly in bigints."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return 0
+    names = sorted(tbl.schema.names)
+    sig = pa.scalar(
+        "|".join(f"{n}:{tbl.schema.field(n).type}" for n in names),
+        pa.large_string(),
+    )
+    cols = [
+        pc.fill_null(
+            pc.cast(tbl.column(n), pa.large_string()), "\x00NULL\x00"
+        )
+        for n in names
+    ]
+    joined = pc.binary_join_element_wise(
+        sig, *cols, pa.scalar("\x1f", pa.large_string())
+    )
+    arr = np.asarray(joined.to_pylist(), dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="jenaraycontent00")
+    h2 = pd.util.hash_array(arr, hash_key="jenaraycontent01")
+    s1 = int(h1.astype(object).sum())
+    s2 = int(h2.astype(object).sum())
+    return ((s1 << 64) + s2) % _MOD128
+
+
+def content_hash_of_table(tbl) -> str:
+    """Order-insensitive content hash of an Arrow table: vectorized
+    per-row 128-bit hashes combined by addition mod 2^128."""
+    return f"{_row_hash_sum(tbl):032x}"
 
 
 def content_hash_of_dataset(ds) -> str:
     """Distributed variant of :func:`content_hash_of_table`: per-block
     partial sums computed in map_batches (rows never leave the object
     store), combined on the driver mod 2^128. Produces the SAME value as
-    the table variant for the same rows (order-insensitive)."""
+    the table variant for the same rows (order-insensitive — the fold is
+    commutative and linear across blocks)."""
     import pyarrow as pa
 
     def _partial(t: pa.Table) -> pa.Table:
-        cols = [t.column(n).to_pylist() for n in sorted(t.schema.names)]
-        acc = 0
-        for row in zip(*cols):
-            h = hashlib.blake2b(repr(row).encode(), digest_size=16).digest()
-            acc = (acc + int.from_bytes(h, "big")) % (1 << 128)
-        return pa.table({"partial": pa.array([f"{acc:032x}"], pa.string())})
+        return pa.table(
+            {"partial": pa.array([f"{_row_hash_sum(t):032x}"], pa.string())}
+        )
 
     acc = 0
     # one 32-char row per block — tiny driver-side result
     for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
-        acc = (acc + int(row["partial"], 16)) % (1 << 128)
+        acc = (acc + int(row["partial"], 16)) % _MOD128
     return f"{acc:032x}"
 
 

@@ -119,3 +119,38 @@ def test_bgp_over_flagship_triples():
     b = match_bgp(tr, [(Var("s"), RDF_TYPE, Var("t"))])
     rows = b.take_all()
     assert rows and all(r["s"] and r["t"] for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_matches_shuffle_join():
+    """The small-side broadcast realization (BGP_BROADCAST_ROWS) must
+    produce exactly the shuffle join's bag of bindings."""
+    from jena_ray.ops import bgp as bgp_mod
+
+    rows = [
+        (f"m:{i}", "in_nation", f"n:{i % 5}") for i in range(200)
+    ] + [(f"n:{k}", "in_region", f"r:{k % 2}") for k in range(5)]
+    ds = _triples(rows)
+    pats = [
+        (bgp_mod.Var("m"), "in_nation", bgp_mod.Var("n")),
+        (bgp_mod.Var("n"), "in_region", bgp_mod.Var("r")),
+    ]
+
+    def run():
+        out = bgp_mod.match_bgp(ds, pats)
+        import collections
+
+        return collections.Counter(
+            (r["m"], r["n"], r["r"]) for r in out.take_all()
+        )
+
+    old = bgp_mod.BGP_BROADCAST_ROWS
+    try:
+        bgp_mod.BGP_BROADCAST_ROWS = 10_000_000  # force broadcast
+        via_broadcast = run()
+        bgp_mod.BGP_BROADCAST_ROWS = -1  # force shuffle
+        via_shuffle = run()
+    finally:
+        bgp_mod.BGP_BROADCAST_ROWS = old
+    assert via_broadcast == via_shuffle
+    assert sum(via_broadcast.values()) == 200
