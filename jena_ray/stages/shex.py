@@ -6,6 +6,10 @@ parser/ShExC.jj). Implemented subset — the triple-constraint core that
 covers schema-shaped KG QA:
 
 - shape declarations  <Label> { p1 VE card ; p2 VE card ; ... }  (EachOf)
+- shape EXPRESSIONS (round 3): boolean combinations of shape atoms —
+  ``<L> @<A> AND { ... }``, ``<L> @<A> OR @<B>``, ``<L> NOT @<A>``,
+  parenthesised nesting — jena-shex ShapeExprAnd/Or/Not semantics
+  (NOT binds tightest, then AND, then OR)
 - value expressions:  ``.`` (wildcard), datatype IRI, node kinds
   IRI / BNODE / LITERAL / NONLITERAL, value sets ``[ <v1> "v2" ... ]``,
   shape references ``@<Other>`` (non-recursive)
@@ -23,8 +27,8 @@ distributed pass per dependency level. Partitioning assumption
 swap the broadcast for a hash join on the object column. Recursive
 references are rejected (fixpoint semantics out of subset).
 
-NOT in subset (documented): AND/OR/NOT shape expressions, semantic
-actions, IMPORTs.
+NOT in subset (documented): recursive shape references (fixpoint
+semantics), semantic actions, IMPORTs.
 
 Execution shape (same as stages/shacl.py): the small schema + shape map
 broadcast; data hash-grouped by subject so every focus node's triples
@@ -64,10 +68,10 @@ _TOKEN = re.compile(
         (?P<comment>\#[^\n]*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|[A-Za-z_][\w\-]*:) |
-        (?P<kw>PREFIX|CLOSED|IRI|BNODE|LITERAL|NONLITERAL|a) |
+        (?P<kw>(?:PREFIX|CLOSED|AND|OR|NOT|IRI|BNODE|LITERAL|NONLITERAL|a)\b) |
         (?P<string>"(?:[^"\\]|\\.)*") |
         (?P<card>[?*+]|\{\d+(?:,(?:\d+|\*))?\}) |
-        (?P<punct>[{}\[\];@.])
+        (?P<punct>[{}()\[\];@.])
     )""",
     re.VERBOSE,
 )
@@ -112,8 +116,40 @@ def parse_shexc(text: str) -> ShexSchema:
         raise RDFParseError(f"ShExC: expected IRI, got {val!r}")
 
     def parse_value_expr():
+        # boolean combinators at the VALUE-EXPRESSION level too
+        # (e.g. <p> NOT IRI, <p> IRI OR [<v>]): NOT > AND > OR
+        nonlocal i
+        arms = [parse_value_and()]
+        while i < len(toks) and toks[i] == ("kw", "OR"):
+            i += 1
+            arms.append(parse_value_and())
+        return arms[0] if len(arms) == 1 else ("or", tuple(arms))
+
+    def parse_value_and():
+        nonlocal i
+        arms = [parse_value_not()]
+        while i < len(toks) and toks[i] == ("kw", "AND"):
+            i += 1
+            arms.append(parse_value_not())
+        return arms[0] if len(arms) == 1 else ("and", tuple(arms))
+
+    def parse_value_not():
+        nonlocal i
+        if i < len(toks) and toks[i] == ("kw", "NOT"):
+            i += 1
+            return ("not", parse_value_not())
+        return parse_value_atom()
+
+    def parse_value_atom():
         nonlocal i
         kind, val = toks[i]
+        if kind == "punct" and val == "(":
+            i += 1
+            e = parse_value_expr()
+            if toks[i] != ("punct", ")"):
+                raise RDFParseError("ShExC: expected ')' in value expression")
+            i += 1
+            return e
         if kind == "punct" and val == "@":
             i += 1
             k2, v2 = toks[i]
@@ -160,24 +196,14 @@ def parse_shexc(text: str) -> ShexSchema:
             return int(body), int(body)
         return 1, 1
 
-    while i < len(toks):
-        kind, val = toks[i]
-        if kind == "kw" and val == "PREFIX":
-            pfx = toks[i + 1][1]
-            if not pfx.endswith(":"):
-                pfx = pfx.partition(":")[0] + ":"
-            prefixes[pfx[:-1]] = toks[i + 2][1][1:-1]
-            i += 3
-            continue
-        # shape declaration: <Label> [CLOSED] { ... }
-        label = expand(kind, val)
-        i += 1
+    def parse_braced_shape(label: str) -> Shape:
+        nonlocal i
         closed = False
         if toks[i] == ("kw", "CLOSED"):
             closed = True
             i += 1
         if toks[i] != ("punct", "{"):
-            raise RDFParseError(f"ShExC: expected '{{' after shape {label!r}")
+            raise RDFParseError(f"ShExC: expected '{{' in shape {label!r}")
         i += 1
         shape = Shape(label=label, closed=closed)
         while toks[i] != ("punct", "}"):
@@ -190,7 +216,64 @@ def parse_shexc(text: str) -> ShexSchema:
             if toks[i] == ("punct", ";"):
                 i += 1
         i += 1
-        shapes[shape.label] = shape
+        return shape
+
+    # shape expressions: NOT binds tightest, then AND, then OR
+    # (jena-shex ShapeExprAnd/Or/Not; atoms are @<ref>, [CLOSED] { ... },
+    # or a parenthesised expression)
+    def parse_shape_atom(label: str):
+        nonlocal i
+        kind, val = toks[i]
+        if kind == "punct" and val == "(":
+            i += 1
+            e = parse_shape_or(label)
+            if toks[i] != ("punct", ")"):
+                raise RDFParseError(f"ShExC: expected ')' in shape {label!r}")
+            i += 1
+            return e
+        if kind == "punct" and val == "@":
+            i += 1
+            k2, v2 = toks[i]
+            i += 1
+            return ("ref", expand(k2, v2))
+        return ("shape", parse_braced_shape(label))
+
+    def parse_shape_not(label: str):
+        nonlocal i
+        if i < len(toks) and toks[i] == ("kw", "NOT"):
+            i += 1
+            return ("not", parse_shape_not(label))
+        return parse_shape_atom(label)
+
+    def parse_shape_and(label: str):
+        nonlocal i
+        arms = [parse_shape_not(label)]
+        while i < len(toks) and toks[i] == ("kw", "AND"):
+            i += 1
+            arms.append(parse_shape_not(label))
+        return arms[0] if len(arms) == 1 else ("and", tuple(arms))
+
+    def parse_shape_or(label: str):
+        nonlocal i
+        arms = [parse_shape_and(label)]
+        while i < len(toks) and toks[i] == ("kw", "OR"):
+            i += 1
+            arms.append(parse_shape_and(label))
+        return arms[0] if len(arms) == 1 else ("or", tuple(arms))
+
+    while i < len(toks):
+        kind, val = toks[i]
+        if kind == "kw" and val == "PREFIX":
+            pfx = toks[i + 1][1]
+            if not pfx.endswith(":"):
+                pfx = pfx.partition(":")[0] + ":"
+            prefixes[pfx[:-1]] = toks[i + 2][1][1:-1]
+            i += 3
+            continue
+        # shape declaration: <Label> <ShapeExpr>
+        label = expand(kind, val)
+        i += 1
+        shapes[label] = parse_shape_or(label)
     return ShexSchema(shapes, prefixes)
 
 
@@ -245,6 +328,16 @@ def _matches_value(ve: tuple, o_kind: int, o_lex: str, o_dt: str,
     if tag == "values":
         probe = ("lit", o_lex) if o_kind == KIND_LITERAL else ("iri", o_lex)
         return probe in ve[1]
+    if tag == "not":
+        return not _matches_value(ve[1], o_kind, o_lex, o_dt, conf_sets)
+    if tag == "and":
+        return all(
+            _matches_value(a, o_kind, o_lex, o_dt, conf_sets) for a in ve[1]
+        )
+    if tag == "or":
+        return any(
+            _matches_value(a, o_kind, o_lex, o_dt, conf_sets) for a in ve[1]
+        )
     return False
 
 
@@ -276,8 +369,70 @@ def _validate_group(g: pd.DataFrame, shape: Shape,
     return reasons
 
 
-def _shape_refs(shape: Shape) -> set:
-    return {c.value_expr[1] for c in shape.constraints if c.value_expr[0] == "ref"}
+def _conforms_expr(g: pd.DataFrame, expr: tuple,
+                   conf_sets: dict | None = None) -> list[str]:
+    """Violation reasons for one focus node against a shape EXPRESSION
+    (empty = conformant). jena-shex ShapeExprAnd/Or/Not semantics."""
+    tag = expr[0]
+    if tag == "shape":
+        return _validate_group(g, expr[1], conf_sets)
+    if tag == "ref":
+        focus_kind = int(g["s_kind"].iloc[0])
+        focus = g["s_lex"].iloc[0]
+        ok = (
+            conf_sets is not None
+            and focus_kind != KIND_LITERAL
+            and focus in conf_sets.get(expr[1], frozenset())
+        )
+        return [] if ok else [f"@{expr[1]}: focus does not conform"]
+    if tag == "and":
+        out: list[str] = []
+        for arm in expr[1]:
+            out.extend(_conforms_expr(g, arm, conf_sets))
+        return out
+    if tag == "or":
+        for arm in expr[1]:
+            if not _conforms_expr(g, arm, conf_sets):
+                return []
+        return ["OR: no disjunct satisfied"]
+    if tag == "not":
+        inner = _conforms_expr(g, expr[1], conf_sets)
+        return [] if inner else ["NOT: inner shape expression satisfied"]
+    raise RDFParseError(f"ShEx: unknown shape expression {expr!r}")
+
+
+def _ve_refs(ve: tuple) -> set:
+    if ve[0] == "ref":
+        return {ve[1]}
+    if ve[0] == "not":
+        return _ve_refs(ve[1])
+    if ve[0] in ("and", "or"):
+        out: set = set()
+        for a in ve[1]:
+            out |= _ve_refs(a)
+        return out
+    return set()
+
+
+def _shape_refs(expr) -> set:
+    """All @<ref> labels reachable in a shape expression (both expr-level
+    refs and refs anywhere inside triple-constraint value expressions)."""
+    tag = expr[0]
+    if tag == "shape":
+        out: set = set()
+        for c in expr[1].constraints:
+            out |= _ve_refs(c.value_expr)
+        return out
+    if tag == "ref":
+        return {expr[1]}
+    if tag in ("and", "or"):
+        out: set = set()
+        for arm in expr[1]:
+            out |= _shape_refs(arm)
+        return out
+    if tag == "not":
+        return _shape_refs(expr[1])
+    raise RDFParseError(f"ShEx: unknown shape expression {expr!r}")
 
 
 def _topo_ref_order(schema: ShexSchema) -> list[str]:
@@ -316,10 +471,10 @@ def _conforming_nodes(triples_ds, schema: ShexSchema, label: str,
     state_ref = ray.put((schema.shapes[label], dict(conf_sets)))
 
     def check(g: pd.DataFrame) -> pd.DataFrame:
-        shp, refs = ray.get(state_ref)
+        expr, refs = ray.get(state_ref)
         if int(g["s_kind"].iloc[0]) != KIND_IRI:
             return pd.DataFrame({"node": []}).astype(str)
-        if _validate_group(g, shp, refs):
+        if _conforms_expr(g, expr, refs):
             return pd.DataFrame({"node": []}).astype(str)
         return pd.DataFrame({"node": [g["s_lex"].iloc[0]]})
 
@@ -362,7 +517,7 @@ def validate_shex(triples_ds, schema_text: str, shape_map_text: str):
             applies = (e.node == focus) if e.node else (e.target_class in types)
             if not applies:
                 continue
-            reasons = _validate_group(g, schema_.shapes[e.shape], refs)
+            reasons = _conforms_expr(g, schema_.shapes[e.shape], refs)
             out["focus"].append(focus)
             out["shape"].append(e.shape)
             out["status"].append("nonconformant" if reasons else "conformant")

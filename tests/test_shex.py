@@ -24,7 +24,7 @@ PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
 
 def test_parse_shexc():
     s = parse_shexc(SCHEMA)
-    ps = s.shapes["http://ex/PersonShape"]
+    ps = s.shapes["http://ex/PersonShape"][1]  # ("shape", Shape)
     assert [c.predicate for c in ps.constraints] == [
         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
         "http://ex/name",
@@ -39,7 +39,7 @@ def test_parse_shexc():
     knows = ps.constraints[3]
     assert knows.value_expr == ("kind", "IRI")
     assert (knows.min_card, knows.max_card) == (0, -1)
-    strict = s.shapes["http://ex/StrictShape"]
+    strict = s.shapes["http://ex/StrictShape"][1]
     assert strict.closed
     assert (strict.constraints[0].min_card, strict.constraints[0].max_card) == (1, 2)
 
@@ -121,7 +121,7 @@ PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
 
 def test_parse_shape_reference():
     s = parse_shexc(SCHEMA_REFS)
-    c = s.shapes["http://ex/PersonRefShape"].constraints[1]
+    c = s.shapes["http://ex/PersonRefShape"][1].constraints[1]
     assert c.value_expr == ("ref", "http://ex/AddrShape")
 
 
@@ -174,3 +174,96 @@ def test_validate_shape_reference_cross_node():
     assert by["http://ex/p1"]["status"] == "conformant"
     assert by["http://ex/p2"]["status"] == "nonconformant"
     assert "ref" in by["http://ex/p2"]["reason"]
+
+
+BOOL_SCHEMA = """
+PREFIX ex: <http://ex/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+<http://ex/Named> { ex:name xsd:string }
+<http://ex/Aged>  { ex:age xsd:integer }
+<http://ex/Both>   @<http://ex/Named> AND @<http://ex/Aged>
+<http://ex/Either> @<http://ex/Named> OR @<http://ex/Aged>
+<http://ex/Anon>   NOT @<http://ex/Named>
+<http://ex/Fancy>  (@<http://ex/Named> AND @<http://ex/Aged>) OR NOT { ex:knows IRI + }
+"""
+
+
+def test_parse_boolean_shape_exprs():
+    s = parse_shexc(BOOL_SCHEMA)
+    assert s.shapes["http://ex/Both"][0] == "and"
+    assert s.shapes["http://ex/Either"][0] == "or"
+    assert s.shapes["http://ex/Anon"][0] == "not"
+    fancy = s.shapes["http://ex/Fancy"]
+    assert fancy[0] == "or" and fancy[1][0][0] == "and" and fancy[1][1][0] == "not"
+
+
+def _bool_data():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.model import TRIPLE_SCHEMA
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (0, "http://ex/full", "http://ex/name", 2, "F", XSD + "string", ""),
+        (0, "http://ex/full", "http://ex/age", 2, "9", XSD + "integer", ""),
+        (0, "http://ex/nameonly", "http://ex/name", 2, "N", XSD + "string", ""),
+        (0, "http://ex/ageonly", "http://ex/age", 2, "3", XSD + "integer", ""),
+        (0, "http://ex/neither", "http://ex/other", 2, "x", XSD + "string", ""),
+    ]
+    full = [list(r) + ["", "t"] for r in rows]
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([fr[i] for fr in full], f.type)
+             for i, f in enumerate(TRIPLE_SCHEMA)],
+            schema=TRIPLE_SCHEMA,
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_boolean_shape_exprs():
+    """AND / OR / NOT shape expressions (jena-shex ShapeExprAnd/Or/Not)."""
+    nodes = ["full", "nameonly", "ageonly", "neither"]
+    shape_map = "\n".join(
+        f"<http://ex/{n}>@<http://ex/{s}>"
+        for n in nodes
+        for s in ("Both", "Either", "Anon")
+    )
+    report = validate_shex(_bool_data(), BOOL_SCHEMA, shape_map).take_all()
+    by = {(r["focus"].rsplit("/", 1)[1], r["shape"].rsplit("/", 1)[1]):
+          r["status"] == "conformant" for r in report}
+    assert by[("full", "Both")] is True
+    assert by[("nameonly", "Both")] is False
+    assert by[("full", "Either")] is True
+    assert by[("nameonly", "Either")] is True
+    assert by[("ageonly", "Either")] is True
+    assert by[("neither", "Either")] is False
+    assert by[("nameonly", "Anon")] is False
+    assert by[("ageonly", "Anon")] is True
+
+
+def test_boolean_corpus_schemas_parse():
+    """Reference jena-shex spec corpus: the boolean-operator schema files
+    within the implemented subset parse (string facets / IMPORT /
+    inline-shape value expressions remain documented out of subset)."""
+    import glob
+
+    base = "/root/reference/jena-shex/src/test/files/spec/schemas"
+    files = sorted(
+        set(
+            glob.glob(f"{base}/*AND*.shex")
+            + glob.glob(f"{base}/*NOT*.shex")
+            + glob.glob(f"{base}/*OR*.shex")
+        )
+    )
+    if not files:
+        pytest.skip("reference corpus absent")
+    ok = 0
+    for f in files:
+        try:
+            parse_shexc(open(f, encoding="utf-8").read())
+            ok += 1
+        except RDFParseError:
+            pass
+    assert ok >= 29, f"boolean corpus parse count regressed: {ok}"
