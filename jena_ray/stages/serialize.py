@@ -89,16 +89,152 @@ def write_ntriples(triples_ds, out_dir: str):
     return out_dir
 
 
+def _binding_vars(names) -> list[str]:
+    """Visible variables of a binding table (hidden term-metadata columns
+    {v}__kind/__dt/__lang excluded)."""
+    return [n for n in names if not n.endswith(("__kind", "__dt", "__lang"))]
+
+
+def _term_sparql(lex, kind, dt, lang) -> str:
+    """One binding value in SPARQL TSV term syntax
+    (riot/rowset/rw/RowSetWriterTSV.java: Turtle-style terms)."""
+    from ..model import KIND_BNODE, KIND_IRI, XSD_STRING
+
+    if lex is None:
+        return ""
+    if kind == KIND_IRI:
+        return f"<{lex}>"
+    if kind == KIND_BNODE:
+        return f"_:{lex}"
+    esc = (
+        str(lex)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    if lang:
+        return f'"{esc}"@{lang}'
+    if dt and dt != XSD_STRING:
+        return f'"{esc}"^^<{dt}>'
+    return f'"{esc}"'
+
+
+def _row_terms(t: pa.Table, variables: list[str]):
+    """Yield per-row (var → (lex, kind, dt, lang)) using the hidden term
+    metadata when present; plain columns default to literals."""
+    names = set(t.schema.names)
+    cols = {}
+    for v in variables:
+        cols[v] = t[v].to_pylist()
+        cols[v + "__kind"] = (
+            t[v + "__kind"].to_pylist()
+            if v + "__kind" in names
+            else [None] * t.num_rows
+        )
+        cols[v + "__dt"] = (
+            t[v + "__dt"].to_pylist() if v + "__dt" in names else [""] * t.num_rows
+        )
+        cols[v + "__lang"] = (
+            t[v + "__lang"].to_pylist()
+            if v + "__lang" in names
+            else [""] * t.num_rows
+        )
+    for i in range(t.num_rows):
+        yield {
+            v: (
+                cols[v][i],
+                cols[v + "__kind"][i],
+                cols[v + "__dt"][i] or "",
+                cols[v + "__lang"][i] or "",
+            )
+            for v in variables
+        }
+
+
+def results_tsv(ds) -> str:
+    """SPARQL TSV result set (riot/rowset/rw/RowSetWriterTSV.java):
+    ``?var`` header line, one Turtle-term row per solution. Assembled on
+    the driver — result sets are query OUTPUTS (driver-scale by nature);
+    stream big row sets with write_results(fmt=\"csv\"/\"parquet\")."""
+    lines: list[str] = []
+    variables: list[str] | None = None
+    for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        if variables is None:
+            variables = _binding_vars(t.schema.names)
+            lines.append("\t".join("?" + v for v in variables))
+        for row in _row_terms(t, variables):
+            lines.append("\t".join(_term_sparql(*row[v]) for v in variables))
+    if variables is None:
+        return "\n"
+    return "\n".join(lines) + "\n"
+
+
+def results_xml(ds) -> str:
+    """SPARQL XML results format (riot/rowset/rw/RowSetWriterXML.java):
+    <sparql><head>…<results><result><binding>…  Driver-assembled (see
+    results_tsv)."""
+    from xml.sax.saxutils import escape
+
+    from ..model import KIND_BNODE, KIND_IRI
+
+    body: list[str] = []
+    variables: list[str] | None = None
+    for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        if variables is None:
+            variables = _binding_vars(t.schema.names)
+        for row in _row_terms(t, variables):
+            parts = ["  <result>"]
+            for v in variables:
+                lex, kind, dt, lang = row[v]
+                if lex is None:
+                    continue  # unbound: binding omitted, per the format
+                if kind == KIND_IRI:
+                    val = f"<uri>{escape(str(lex))}</uri>"
+                elif kind == KIND_BNODE:
+                    val = f"<bnode>{escape(str(lex))}</bnode>"
+                elif lang:
+                    val = (f'<literal xml:lang="{escape(lang)}">'
+                           f"{escape(str(lex))}</literal>")
+                elif dt:
+                    val = (f'<literal datatype="{escape(dt)}">'
+                           f"{escape(str(lex))}</literal>")
+                else:
+                    val = f"<literal>{escape(str(lex))}</literal>"
+                parts.append(f'    <binding name="{escape(v)}">{val}</binding>')
+            parts.append("  </result>")
+            body.append("\n".join(parts))
+    variables = variables or []
+    head = "\n".join(f'  <variable name="{v}"/>' for v in variables)
+    return (
+        '<?xml version="1.0"?>\n'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+        "<head>\n" + head + ("\n" if head else "") + "</head>\n"
+        "<results>\n" + "\n".join(body) + ("\n" if body else "") +
+        "</results>\n</sparql>\n"
+    )
+
+
 def write_results(ds, out_dir: str, fmt: str = "csv"):
     """Result-set writers (rows, not triples) — the analog of the
     reference's SPARQL result-set serializers (riot/rowset/rw/,
-    RowSetWriterRegistry.java): any row-shaped Dataset to CSV / JSON."""
+    RowSetWriterRegistry.java): CSV / JSON / parquet stream distributed;
+    TSV / XML assemble one document (driver-scale result sets)."""
     if fmt == "csv":
         ds.write_csv(out_dir)
     elif fmt == "json":
         ds.write_json(out_dir)
     elif fmt == "parquet":
         ds.write_parquet(out_dir)
+    elif fmt in ("tsv", "xml"):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        text = results_tsv(ds) if fmt == "tsv" else results_xml(ds)
+        path = os.path.join(out_dir, f"results.{fmt}")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
     else:
         raise ValueError(f"unknown result format: {fmt!r}")
     return out_dir

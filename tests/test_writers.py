@@ -279,3 +279,45 @@ def test_inline_bnodes_literal_collision_direct():
     # literal untouched; structural ref replaced by the inlined block
     assert '"see _:x here"' in block, block
     assert '<http://ex/knows> [ <http://ex/name> "real" ]' in block, block
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rowset_tsv_and_xml_writers(tmp_path):
+    """SPARQL TSV/XML result-set writers (RowSetWriterTSV/XML.java):
+    term-typed bindings format as Turtle terms / typed XML bindings."""
+    import ray.data as rd
+
+    from jena_ray.stages.serialize import results_tsv, results_xml, write_results
+
+    tbl = pa.table(
+        {
+            "s": pa.array(["http://ex/a", "bnode7"], pa.large_string()),
+            "s__kind": pa.array([0, 1], pa.int8()),
+            "s__dt": pa.array(["", ""], pa.large_string()),
+            "s__lang": pa.array(["", ""], pa.large_string()),
+            "v": pa.array(["42", "hi"], pa.large_string()),
+            "v__kind": pa.array([2, 2], pa.int8()),
+            "v__dt": pa.array(
+                ["http://www.w3.org/2001/XMLSchema#integer", ""],
+                pa.large_string(),
+            ),
+            "v__lang": pa.array(["", "en"], pa.large_string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    tsv = results_tsv(ds)
+    lines = tsv.strip().split("\n")
+    assert lines[0] == "?s\t?v"
+    assert lines[1] == '<http://ex/a>\t"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert lines[2] == '_:bnode7\t"hi"@en'
+    xml = results_xml(ds)
+    assert '<variable name="s"/>' in xml and '<variable name="v"/>' in xml
+    assert "<uri>http://ex/a</uri>" in xml
+    assert "<bnode>bnode7</bnode>" in xml
+    assert ('<literal datatype="http://www.w3.org/2001/XMLSchema#integer">'
+            "42</literal>") in xml
+    assert '<literal xml:lang="en">hi</literal>' in xml
+    out = write_results(ds, str(tmp_path / "r"), fmt="xml")
+    import os
+
+    assert os.path.exists(os.path.join(out, "results.xml"))
