@@ -8,13 +8,19 @@ core, enough for schema-shaped KG QA at scale:
 - sh:property blocks: sh:path (IRI), sh:minCount, sh:maxCount,
   sh:datatype, sh:nodeKind (sh:IRI / sh:BlankNode / sh:Literal),
   sh:pattern, sh:minInclusive / sh:maxInclusive
+- sh:class (round 3): cross-node — the class-member sets are computed by
+  ONE distributed pass over the data (rdf:type scan for every class any
+  sh:class names) and broadcast into the per-focus validation, the same
+  conforming-set pattern as stages/shex.py shape refs. Partitioning
+  assumption (documented): class extents are broadcast-scale; swap for a
+  hash join on the object column at corpus scale.
+- sh:or / sh:and / sh:not (round 3): logical constraint components over
+  VALUE-level operand blocks inside a property shape
+  (jena-shacl engine/constraint/ShOr/ShAnd/ShNot), RDF-list operands.
 
 Execution shape: the (small) shapes graph is parsed with our own Turtle
 parser and broadcast; data triples are hash-grouped by subject so each
 focus node's triples are co-located, then validated vectorized-per-group.
-Partitioning assumption: constraints are evaluable from the focus node's
-OWN triples (no cross-node joins — sh:class would need the object's types
-and is not in this subset).
 """
 
 from __future__ import annotations
@@ -40,6 +46,11 @@ class PropertyShape:
     pattern: str | None = None
     min_inclusive: float | None = None
     max_inclusive: float | None = None
+    cls: str | None = None  # sh:class — value must be an instance of cls
+    # logical constraint components; operands are value-level blocks
+    ors: list = field(default_factory=list)   # list[list[PropertyShape]]
+    ands: list = field(default_factory=list)  # list[list[PropertyShape]]
+    nots: list = field(default_factory=list)  # list[PropertyShape]
 
 
 @dataclass
@@ -48,6 +59,23 @@ class NodeShape:
     target_classes: list[str] = field(default_factory=list)
     target_nodes: list[str] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _walk_list(spo, vals, head):
+    """RDF collection (rdf:first/rdf:rest) → list of (kind, value) items."""
+    items = []
+    node = head
+    while node and node[1] != RDF_NS + "nil":
+        first = vals(node, RDF_NS + "first")
+        if not first:
+            break
+        items.append(first[0])
+        rest = vals(node, RDF_NS + "rest")
+        node = rest[0] if rest else None
+    return items
 
 
 def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
@@ -60,6 +88,39 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
 
     def vals(node, p):
         return spo.get(node, {}).get(p, [])
+
+    def parse_block(bnode) -> PropertyShape:
+        """A value-level constraint block (the operand form of sh:or /
+        sh:and / sh:not — jena-shacl parser/ConstraintComponents): the
+        same facets as a property shape, without sh:path/counts."""
+        ps = PropertyShape(path="")
+        _fill_facets(ps, bnode, vals, parse_block)
+        return ps
+
+    def _fill_facets(ps, pnode, vals, parse_block):
+        for key, attr, conv in [
+            ("minInclusive", "min_inclusive", float),
+            ("maxInclusive", "max_inclusive", float),
+        ]:
+            v = vals(pnode, SH + key)
+            if v:
+                setattr(ps, attr, conv(v[0][1]))
+        for key, attr in [
+            ("datatype", "datatype"),
+            ("nodeKind", "node_kind"),
+            ("pattern", "pattern"),
+            ("class", "cls"),
+        ]:
+            v = vals(pnode, SH + key)
+            if v:
+                setattr(ps, attr, v[0][1])
+        for key, attr in [("or", "ors"), ("and", "ands")]:
+            for head in vals(pnode, SH + key):
+                getattr(ps, attr).append(
+                    [parse_block(item) for item in _walk_list(spo, vals, head)]
+                )
+        for neg in vals(pnode, SH + "not"):
+            ps.nots.append(parse_block(neg))
 
     shapes = []
     for node, props in spo.items():
@@ -74,30 +135,66 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
             if not paths:
                 continue
             ps = PropertyShape(path=paths[0][1])
-            for key, attr, conv in [
-                ("minCount", "min_count", int),
-                ("maxCount", "max_count", int),
-                ("minInclusive", "min_inclusive", float),
-                ("maxInclusive", "max_inclusive", float),
-            ]:
+            for key, attr in [("minCount", "min_count"), ("maxCount", "max_count")]:
                 v = vals(pnode, SH + key)
                 if v:
-                    setattr(ps, attr, conv(v[0][1]))
-            v = vals(pnode, SH + "datatype")
-            if v:
-                ps.datatype = v[0][1]
-            v = vals(pnode, SH + "nodeKind")
-            if v:
-                ps.node_kind = v[0][1]
-            v = vals(pnode, SH + "pattern")
-            if v:
-                ps.pattern = v[0][1]
+                    setattr(ps, attr, int(v[0][1]))
+            _fill_facets(ps, pnode, vals, parse_block)
             ns.properties.append(ps)
         shapes.append(ns)
     return shapes
 
 
-def _validate_focus(group: pd.DataFrame, shapes: list[NodeShape]):
+def _check_value(ps: PropertyShape, o_kind, o_lex, o_datatype, class_members):
+    """Violations of ONE value against a (property or operand) shape's
+    value-level facets, including the logical components. Empty list =
+    the value conforms (jena-shacl engine/constraint/* per-value eval)."""
+    out = []
+    if ps.node_kind == SH + "IRI" and o_kind != KIND_IRI:
+        out.append(("nodeKind", "not an IRI"))
+    if ps.node_kind == SH + "Literal" and o_kind != KIND_LITERAL:
+        out.append(("nodeKind", "not a literal"))
+    if ps.node_kind == SH + "BlankNode" and o_kind != KIND_BNODE:
+        out.append(("nodeKind", "not a bnode"))
+    if ps.datatype is not None and (
+        o_kind != KIND_LITERAL or o_datatype != ps.datatype
+    ):
+        out.append(("datatype", f"expected {ps.datatype}"))
+    if ps.pattern is not None and not re.search(ps.pattern, str(o_lex)):
+        out.append(("pattern", f"!~ /{ps.pattern}/"))
+    if ps.min_inclusive is not None or ps.max_inclusive is not None:
+        try:
+            x = float(o_lex)
+        except (TypeError, ValueError):
+            x = None
+            out.append(("range", "not numeric"))
+        if x is not None:
+            if ps.min_inclusive is not None and x < ps.min_inclusive:
+                out.append(("minInclusive", f"{x} < {ps.min_inclusive}"))
+            if ps.max_inclusive is not None and x > ps.max_inclusive:
+                out.append(("maxInclusive", f"{x} > {ps.max_inclusive}"))
+    if ps.cls is not None and o_lex not in class_members.get(ps.cls, ()):
+        out.append(("class", f"not an instance of {ps.cls}"))
+    for operands in ps.ors:
+        if all(
+            _check_value(op, o_kind, o_lex, o_datatype, class_members)
+            for op in operands
+        ):
+            out.append(("or", "no sh:or operand conforms"))
+    for operands in ps.ands:
+        if any(
+            _check_value(op, o_kind, o_lex, o_datatype, class_members)
+            for op in operands
+        ):
+            out.append(("and", "an sh:and operand fails"))
+    for neg in ps.nots:
+        if not _check_value(neg, o_kind, o_lex, o_datatype, class_members):
+            out.append(("not", "value conforms to the sh:not shape"))
+    return out
+
+
+def _validate_focus(group: pd.DataFrame, shapes: list[NodeShape],
+                    class_members):
     """All triples of ONE subject → violation rows."""
     focus = group["s_lex"].iloc[0]
     types = set(group.loc[group["p"] == RDF_TYPE, "o_lex"])
@@ -118,35 +215,92 @@ def _validate_focus(group: pd.DataFrame, shapes: list[NodeShape]):
                 out.append((focus, ps.path, "maxCount",
                             f"{n} > {ps.max_count}"))
             for _, row in vals.iterrows():
-                if ps.node_kind == SH + "IRI" and row["o_kind"] != KIND_IRI:
-                    out.append((focus, ps.path, "nodeKind", "not an IRI"))
-                if ps.node_kind == SH + "Literal" and row["o_kind"] != KIND_LITERAL:
-                    out.append((focus, ps.path, "nodeKind", "not a literal"))
-                if ps.node_kind == SH + "BlankNode" and row["o_kind"] != KIND_BNODE:
-                    out.append((focus, ps.path, "nodeKind", "not a bnode"))
-                if ps.datatype is not None and (
-                    row["o_kind"] != KIND_LITERAL or row["o_datatype"] != ps.datatype
-                ):
-                    out.append((focus, ps.path, "datatype",
-                                f"expected {ps.datatype}"))
-                if ps.pattern is not None and not re.search(
-                    ps.pattern, str(row["o_lex"])
-                ):
-                    out.append((focus, ps.path, "pattern",
-                                f"!~ /{ps.pattern}/"))
-                if ps.min_inclusive is not None or ps.max_inclusive is not None:
-                    try:
-                        x = float(row["o_lex"])
-                    except (TypeError, ValueError):
-                        out.append((focus, ps.path, "range", "not numeric"))
-                        continue
-                    if ps.min_inclusive is not None and x < ps.min_inclusive:
-                        out.append((focus, ps.path, "minInclusive",
-                                    f"{x} < {ps.min_inclusive}"))
-                    if ps.max_inclusive is not None and x > ps.max_inclusive:
-                        out.append((focus, ps.path, "maxInclusive",
-                                    f"{x} > {ps.max_inclusive}"))
+                out.extend(
+                    (focus, ps.path, c, d)
+                    for c, d in _check_value(
+                        ps, row["o_kind"], row["o_lex"],
+                        row["o_datatype"], class_members,
+                    )
+                )
     return out
+
+
+def _collect_classes(shapes: list[NodeShape]) -> set[str]:
+    """Every class an sh:class facet names, recursively through the
+    logical operands."""
+    classes: set[str] = set()
+
+    def walk(ps: PropertyShape):
+        if ps.cls:
+            classes.add(ps.cls)
+        for operands in ps.ors:
+            for op in operands:
+                walk(op)
+        for operands in ps.ands:
+            for op in operands:
+                walk(op)
+        for neg in ps.nots:
+            walk(neg)
+
+    for shape in shapes:
+        for ps in shape.properties:
+            walk(ps)
+    return classes
+
+
+def _class_extents(triples_ds, classes: set[str]) -> dict[str, set]:
+    """cls → set of instance IRIs, honoring rdfs:subClassOf closure in
+    the data graph (SHACL "SHACL instance" semantics). ONE distributed
+    filter pass over the data; the subClassOf triples (schema-scale) and
+    the named classes' extents (broadcast-scale by the documented
+    partitioning assumption) are collected."""
+    if not classes:
+        return {}
+    RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+    def _scan(pred_iri: str):
+        def fn(t):
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t.column("p"), pred_iri)).select(
+                ["s_lex", "o_lex"]
+            )
+
+        return fn
+
+    subs = triples_ds.map_batches(
+        _scan(RDFS_SUBCLASS), batch_format="pyarrow"
+    ).take_all()
+    # implies[t] = named classes that an instance of t belongs to
+    parents: dict[str, set[str]] = {}
+    for r in subs:
+        parents.setdefault(r["s_lex"], set()).add(r["o_lex"])
+    implies: dict[str, set[str]] = {}
+
+    def ancestors(t, seen):
+        if t in implies:
+            return implies[t]
+        seen.add(t)
+        acc = {t}
+        for p in parents.get(t, ()):
+            if p not in seen:
+                acc |= ancestors(p, seen)
+            else:
+                acc.add(p)
+        implies[t] = acc
+        return acc
+
+    for t in set(parents) | classes:
+        ancestors(t, set())
+    typed = triples_ds.map_batches(
+        _scan(RDF_TYPE), batch_format="pyarrow"
+    ).take_all()
+    members: dict[str, set] = {c: set() for c in classes}
+    for r in typed:
+        for c in implies.get(r["o_lex"], {r["o_lex"]}):
+            if c in members:
+                members[c].add(r["s_lex"])
+    return members
 
 
 def validate(triples_ds, shapes_ttl: str):
@@ -154,11 +308,12 @@ def validate(triples_ds, shapes_ttl: str):
     import ray
 
     shapes = parse_shapes(shapes_ttl)
-    shapes_ref = ray.put(shapes)
+    class_members = _class_extents(triples_ds, _collect_classes(shapes))
+    shapes_ref = ray.put((shapes, class_members))
 
     def check(group: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(shapes_ref)
-        rows = _validate_focus(group, sh)
+        sh, members = ray.get(shapes_ref)
+        rows = _validate_focus(group, sh, members)
         return pd.DataFrame(
             rows, columns=["focus", "path", "constraint", "detail"]
         )

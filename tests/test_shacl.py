@@ -78,3 +78,65 @@ def test_validate():
     assert E + "alice" not in by_focus
     assert by_focus[E + "bob"] == {"minCount", "maxInclusive", "nodeKind"}
     assert E + "carol" not in by_focus
+
+
+BOOL_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:ThingShape a sh:NodeShape ;
+  sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:id ;
+                sh:or ( [ sh:datatype xsd:integer ]
+                        [ sh:datatype xsd:string ] ) ] ;
+  sh:property [ sh:path ex:tag ;
+                sh:not [ sh:pattern "^bad" ] ] ;
+  sh:property [ sh:path ex:score ;
+                sh:and ( [ sh:datatype xsd:integer ]
+                         [ sh:minInclusive 0 ] ) ] ;
+  sh:property [ sh:path ex:owner ; sh:class ex:Agent ] .
+"""
+
+
+def test_parse_boolean_shapes():
+    shapes = parse_shapes(BOOL_SHAPES)
+    assert len(shapes) == 1
+    by_path = {p.path: p for p in shapes[0].properties}
+    assert len(by_path[E + "id"].ors[0]) == 2
+    assert by_path[E + "id"].ors[0][0].datatype == XSD + "integer"
+    assert by_path[E + "tag"].nots[0].pattern == "^bad"
+    assert len(by_path[E + "score"].ands[0]) == 2
+    assert by_path[E + "owner"].cls == E + "Agent"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_boolean_and_class():
+    """sh:or / sh:and / sh:not value composition + cross-node sh:class
+    with rdfs:subClassOf closure (jena-shacl ShOr/ShAnd/ShNot,
+    ClassConstraint)."""
+    import ray.data as rd
+
+    data = _data([
+        (E + "t1", TYPE, 0, E + "Thing", ""),
+        (E + "t1", E + "id", 2, "7", XSD + "integer"),        # or: ok
+        (E + "t1", E + "tag", 2, "good-tag", XSD + "string"),  # not: ok
+        (E + "t1", E + "score", 2, "3", XSD + "integer"),      # and: ok
+        (E + "t1", E + "owner", 0, E + "alice", ""),           # class via subclass
+        (E + "t2", TYPE, 0, E + "Thing", ""),
+        (E + "t2", E + "id", 2, "x", XSD + "date"),            # or: FAIL
+        (E + "t2", E + "tag", 2, "bad-tag", XSD + "string"),   # not: FAIL
+        (E + "t2", E + "score", 2, "-4", XSD + "integer"),     # and: FAIL
+        (E + "t2", E + "owner", 0, E + "rock", ""),            # class: FAIL
+        # the class extent: alice is a Person, Person ⊑ Agent
+        (E + "alice", TYPE, 0, E + "Person", ""),
+        (E + "Person", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+         0, E + "Agent", ""),
+        (E + "rock", TYPE, 0, E + "Mineral", ""),
+    ])
+    report = validate(rd.from_arrow(data), BOOL_SHAPES).take_all()
+    by_focus = {}
+    for r in report:
+        by_focus.setdefault(r["focus"], set()).add(r["constraint"])
+    assert E + "t1" not in by_focus
+    assert by_focus[E + "t2"] == {"or", "not", "and", "class"}
