@@ -313,7 +313,9 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
             else t,
             batch_format="pyarrow",
         )
-        merged = tag_old.union(tag_new).groupby(["start", "end"]).min("tag")
+        merged = compact_blocks(
+            tag_old.union(tag_new).groupby(["start", "end"]).min("tag")
+        )
 
         def only_new(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
@@ -324,7 +326,13 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
         frontier = compact_blocks(merged.map_batches(only_new, batch_format="pyarrow"))
         if frontier.count() == 0:
             break
-        acc = _distinct(acc.union(frontier))
+        # merged IS the distinct acc ∪ stepped (groupby keys) — reusing it
+        # as the accumulator saves a second full shuffle per round
+        acc = compact_blocks(
+            merged.map_batches(
+                lambda t: _as_pairs(t, "start", "end"), batch_format="pyarrow"
+            )
+        )
     return acc
 
 
@@ -403,7 +411,9 @@ def transitive_pairs(pairs_ds, max_rounds: int | None = None,
             else t,
             batch_format="pyarrow",
         )
-        merged = tag_old.union(tag_new).groupby(["start", "end"]).min("tag")
+        merged = compact_blocks(
+            tag_old.union(tag_new).groupby(["start", "end"]).min("tag")
+        )
 
         def only_new(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
@@ -414,7 +424,13 @@ def transitive_pairs(pairs_ds, max_rounds: int | None = None,
         frontier = compact_blocks(merged.map_batches(only_new, batch_format="pyarrow"))
         if frontier.count() == 0:
             break
-        acc = _distinct(acc.union(frontier))
+        # merged IS the distinct acc ∪ stepped — reuse it as the
+        # accumulator instead of paying another distinct shuffle
+        acc = compact_blocks(
+            merged.map_batches(
+                lambda t: _as_pairs(t, "start", "end"), batch_format="pyarrow"
+            )
+        )
     return acc
 
 
