@@ -296,6 +296,25 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
 
             nxt = nxt.map_batches(_drop_meta, batch_format="pyarrow")
         n_acc, n_nxt = acc.count(), nxt.count()
+        if min(n_acc, n_nxt) == 0:
+            # empty side ⇒ empty BGP, but an all-empty Dataset can lose
+            # its schema (Dataset.schema() → None) and poison downstream
+            # joins — rebuild a TYPED empty binding table over every
+            # variable seen so far
+            import ray.data as rd
+
+            all_vars = sorted(acc_vars | set(_pattern_vars(pat)) | gvars)
+            cols: dict[str, pa.Array] = {}
+            for v in all_vars:
+                cols[v] = pa.array([], pa.large_string())
+                if with_meta:
+                    kc, dc, lc = meta_cols_of(v)
+                    cols[kc] = pa.array([], pa.int8())
+                    cols[dc] = pa.array([], pa.large_string())
+                    cols[lc] = pa.array([], pa.large_string())
+            acc = rd.from_arrow(pa.table(cols))
+            acc_vars |= set(_pattern_vars(pat)) | gvars
+            continue
         if min(n_acc, n_nxt) <= BGP_BROADCAST_ROWS:
             big, small = (acc, nxt) if n_acc >= n_nxt else (nxt, acc)
             acc = _broadcast_join(big, small, shared)

@@ -1715,6 +1715,102 @@ FROM members JOIN nation ON members.n = 'n:' || n_nationkey
 """
 
 
+def q_rule_forward_chain(sf_dir: str):
+    """User-supplied forward rules (jena-core reasoner/rulesys/Rule.java
+    embedded syntax, BasicForwardRuleInfGraph closure) via
+    stages/rules.forward_chain: two subPropertyOf-style lifting rules, a
+    transitive rule, and a numeric-guard (``ge``) rule, over membership
+    edges + customer account-balance literals. Output: the derived
+    ('in' | 'rich') relation as (s, p, o)."""
+    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
+    from ..stages.rules import forward_chain
+
+    def to_schema9(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array([KIND_IRI] * n, pa.int8()),
+                t["s"].combine_chunks().cast(pa.large_string()),
+                t["p"].combine_chunks().cast(pa.large_string()),
+                pa.array([KIND_IRI] * n, pa.int8()),
+                t["o"].combine_chunks().cast(pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array(["m"] * n, pa.large_string()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    def acct_triples(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = pc.binary_join_element_wise(
+            pa.scalar("c:", pa.large_string()),
+            pc.cast(t["c_custkey"], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([KIND_IRI] * n, pa.int8()),
+                s,
+                pa.array(["acct"] * n, pa.large_string()),
+                pa.array([KIND_LITERAL] * n, pa.int8()),
+                pc.cast(t["c_acctbal"], pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array(["m"] * n, pa.large_string()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    edges = _membership_edges(sf_dir).map_batches(
+        to_schema9, batch_format="pyarrow"
+    )
+    acct = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        acct_triples, batch_format="pyarrow"
+    )
+    rules = """
+    [sub1: (?a <in_nation> ?b) -> (?a <in> ?b)]
+    [sub2: (?a <in_region> ?b) -> (?a <in> ?b)]
+    [trans: (?a <in> ?b) (?b <in> ?c) -> (?a <in> ?c)]
+    [rich: (?c <acct> ?b) ge(?b 7500) -> (?c <rich> '1')]
+    """
+    out = forward_chain(edges.union(acct), rules)
+
+    def project(t: pa.Table) -> pa.Table:
+        x = t.filter(
+            pc.is_in(t["p"], value_set=pa.array(["in", "rich"]))
+        )
+        return pa.table(
+            {
+                "s": x["s_lex"].combine_chunks().cast(pa.large_string()),
+                "p": x["p"].combine_chunks().cast(pa.large_string()),
+                "o": x["o_lex"].combine_chunks().cast(pa.large_string()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_RULE_FORWARD_CHAIN = """
+WITH RECURSIVE base AS (
+  SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS o FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+),
+closure(s, o) AS (
+  SELECT s, o FROM base
+  UNION
+  SELECT c.s, b.o FROM closure c JOIN base b ON c.o = b.s
+)
+SELECT DISTINCT s, 'in' AS p, o FROM closure
+UNION ALL
+SELECT DISTINCT 'c:' || c_custkey, 'rich', '1'
+FROM customer WHERE c_acctbal >= 7500
+"""
+
+
 def q_bgp_match(sf_dir: str):
     """BGP solve (OpExecutor.java:127, StageMatchTriple.java):
     { ?c in_nation ?n . ?n in_region ?r } with a constant-object filter —
@@ -1828,6 +1924,7 @@ REGISTRY: dict[str, tuple] = {
     "bgp_match": (q_bgp_match, SQL_BGP_MATCH),
     "bgp_star_join": (q_bgp_star_join, SQL_BGP_STAR_JOIN),
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
+    "rule_forward_chain": (q_rule_forward_chain, SQL_RULE_FORWARD_CHAIN),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
     "sparql_filter_typed": (q_sparql_filter_typed, SQL_SPARQL_FILTER_TYPED),

@@ -1,0 +1,156 @@
+"""Generic forward-rule engine tests (reasoner/rulesys/Rule.java syntax
+subset + BasicForwardRuleInfGraph forward closure)."""
+
+import pyarrow as pa
+import pytest
+
+from jena_ray.model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
+from jena_ray.stages.rules import Const, Var, forward_chain, parse_rules
+
+E = "http://e/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _triples(rows):
+    cols = {name: [] for name in TRIPLE_SCHEMA.names}
+    for (s, p, o_kind, o_lex, o_dt) in rows:
+        cols["s_kind"].append(KIND_IRI)
+        cols["s_lex"].append(s)
+        cols["p"].append(p)
+        cols["o_kind"].append(o_kind)
+        cols["o_lex"].append(o_lex)
+        cols["o_datatype"].append(o_dt)
+        cols["o_lang"].append("")
+        cols["g"].append("")
+        cols["doc_id"].append("d0")
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def test_parse_rules_syntax():
+    rules = parse_rules(
+        """
+        @prefix ex: <http://e/> .
+        # comment
+        // another comment
+        [trans: (?a ex:partOf ?b), (?b ex:partOf ?c) -> (?a ex:partOf ?c)]
+        [ (?p ex:age ?a) ge(?a 18)
+          -> (?p ex:isAdult 'true'^^<http://www.w3.org/2001/XMLSchema#boolean>) ] .
+        """
+    )
+    assert len(rules) == 2
+    assert rules[0].name == "trans"
+    assert rules[0].body[0] == (
+        Var("a"), Const("iri", E + "partOf"), Var("b")
+    )
+    assert rules[1].guards[0].name == "ge"
+    assert rules[1].head[0][2].dt == XSD + "boolean"
+
+
+def test_parse_rules_rejects():
+    with pytest.raises(ValueError):
+        parse_rules("[ (?a ex:p ?b) -> (?a ex:q ?b) ]")  # unknown prefix
+    with pytest.raises(ValueError):
+        parse_rules("@prefix ex: <http://e/> .\n[ (?a ex:p ?b) ]")  # no arrow
+    with pytest.raises(ValueError):
+        parse_rules("@include <other.rules>")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_forward_chain_transitive():
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", E + "partOf", KIND_IRI, E + "b", ""),
+        (E + "b", E + "partOf", KIND_IRI, E + "c", ""),
+        (E + "c", E + "partOf", KIND_IRI, E + "d", ""),
+    ])
+    out = forward_chain(
+        rd.from_arrow(data),
+        "@prefix ex: <http://e/> .\n"
+        "[trans: (?a ex:partOf ?b) (?b ex:partOf ?c) -> (?a ex:partOf ?c)]",
+    )
+    rows = out.take_all()
+    pairs = {(r["s_lex"], r["o_lex"]) for r in rows}
+    want = {
+        (E + x, E + y)
+        for i, x in enumerate("abcd")
+        for y in "abcd"[i + 1:]
+    }
+    assert pairs == want
+    # derived triples carry rule provenance; input rows keep theirs
+    by_pair = {(r["s_lex"], r["o_lex"]): r["doc_id"] for r in rows}
+    assert by_pair[(E + "a", E + "b")] == "d0"
+    assert by_pair[(E + "a", E + "d")] == "rule:trans"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_forward_chain_guard_and_literal_head():
+    import ray.data as rd
+
+    data = _triples([
+        (E + "p1", E + "age", KIND_LITERAL, "25", XSD + "integer"),
+        (E + "p2", E + "age", KIND_LITERAL, "11", XSD + "integer"),
+        (E + "p3", E + "age", KIND_LITERAL, "abc", XSD + "string"),
+    ])
+    out = forward_chain(
+        rd.from_arrow(data),
+        "@prefix ex: <http://e/> .\n"
+        "[adult: (?p ex:age ?a) ge(?a 18) -> "
+        "(?p ex:isAdult 'true'^^<http://www.w3.org/2001/XMLSchema#boolean>)]",
+    )
+    adults = [
+        r for r in out.take_all() if r["p"] == E + "isAdult"
+    ]
+    assert {r["s_lex"] for r in adults} == {E + "p1"}
+    assert adults[0]["o_kind"] == KIND_LITERAL
+    assert adults[0]["o_datatype"] == XSD + "boolean"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_forward_chain_matches_rdfs_stage():
+    """User-rule RDFS subclass closure == the built-in rdfs9/rdfs11
+    kernel on the same input (cross-validation of the two engines)."""
+    import ray.data as rd
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    data = _triples([
+        (E + "C1", RDFS + "subClassOf", KIND_IRI, E + "C2", ""),
+        (E + "C2", RDFS + "subClassOf", KIND_IRI, E + "C3", ""),
+        (E + "x", TYPE, KIND_IRI, E + "C1", ""),
+    ])
+    rules = (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "[rdfs11: (?a rdfs:subClassOf ?b) (?b rdfs:subClassOf ?c)"
+        " -> (?a rdfs:subClassOf ?c)]\n"
+        "[rdfs9: (?s rdfs:subClassOf ?c) (?x rdf:type ?s) -> (?x rdf:type ?c)]"
+    )
+    out = forward_chain(rd.from_arrow(data), rules)
+    types = {
+        r["o_lex"] for r in out.take_all()
+        if r["p"] == TYPE and r["s_lex"] == E + "x"
+    }
+    assert types == {E + "C1", E + "C2", E + "C3"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_forward_chain_round_cap_raises():
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", E + "p", KIND_IRI, E + "b", ""),
+        (E + "b", E + "p", KIND_IRI, E + "c", ""),
+        (E + "c", E + "p", KIND_IRI, E + "d", ""),
+        (E + "d", E + "p", KIND_IRI, E + "e", ""),
+    ])
+    with pytest.raises(RuntimeError, match="round cap"):
+        forward_chain(
+            rd.from_arrow(data),
+            "@prefix ex: <http://e/> .\n"
+            "[t: (?a ex:p ?b) (?b ex:p ?c) -> (?a ex:p ?c)]",
+            max_rounds=1,
+        )
