@@ -17,6 +17,11 @@ core, enough for schema-shaped KG QA at scale:
 - sh:or / sh:and / sh:not (round 3): logical constraint components over
   VALUE-level operand blocks inside a property shape
   (jena-shacl engine/constraint/ShOr/ShAnd/ShNot), RDF-list operands.
+- sh:node (round 3): cross-shape refs — each referenced node shape runs
+  one distributed per-focus pass in dependency order and its
+  (conforming, nonconforming, empty-conformance) verdict sets are
+  broadcast into the referring validation (ShNode.java re-enters the
+  validator; cyclic refs raise, as jena-shacl's re-entrancy check does).
 
 Execution shape: the (small) shapes graph is parsed with our own Turtle
 parser and broadcast; data triples are hash-grouped by subject so each
@@ -47,6 +52,7 @@ class PropertyShape:
     min_inclusive: float | None = None
     max_inclusive: float | None = None
     cls: str | None = None  # sh:class — value must be an instance of cls
+    node: str | None = None  # sh:node — value must conform to that shape
     # logical constraint components; operands are value-level blocks
     ors: list = field(default_factory=list)   # list[list[PropertyShape]]
     ands: list = field(default_factory=list)  # list[list[PropertyShape]]
@@ -110,6 +116,7 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
             ("nodeKind", "node_kind"),
             ("pattern", "pattern"),
             ("class", "cls"),
+            ("node", "node"),
         ]:
             v = vals(pnode, SH + key)
             if v:
@@ -145,10 +152,13 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
     return shapes
 
 
-def _check_value(ps: PropertyShape, o_kind, o_lex, o_datatype, class_members):
+def _check_value(ps: PropertyShape, o_kind, o_lex, o_datatype, ctx):
     """Violations of ONE value against a (property or operand) shape's
     value-level facets, including the logical components. Empty list =
-    the value conforms (jena-shacl engine/constraint/* per-value eval)."""
+    the value conforms (jena-shacl engine/constraint/* per-value eval).
+    ``ctx``: {"classes": cls → member set,
+    "nodes": shape IRI → (conf, nonconf, empty_ok)}."""
+    class_members = ctx["classes"]
     out = []
     if ps.node_kind == SH + "IRI" and o_kind != KIND_IRI:
         out.append(("nodeKind", "not an IRI"))
@@ -175,26 +185,32 @@ def _check_value(ps: PropertyShape, o_kind, o_lex, o_datatype, class_members):
                 out.append(("maxInclusive", f"{x} > {ps.max_inclusive}"))
     if ps.cls is not None and o_lex not in class_members.get(ps.cls, ()):
         out.append(("class", f"not an instance of {ps.cls}"))
+    if ps.node is not None:
+        conf, nonconf, empty_ok = ctx["nodes"][ps.node]
+        ok = o_lex in conf or (
+            empty_ok and o_lex not in conf and o_lex not in nonconf
+        )
+        if not ok:
+            out.append(("node", f"value does not conform to {ps.node}"))
     for operands in ps.ors:
         if all(
-            _check_value(op, o_kind, o_lex, o_datatype, class_members)
+            _check_value(op, o_kind, o_lex, o_datatype, ctx)
             for op in operands
         ):
             out.append(("or", "no sh:or operand conforms"))
     for operands in ps.ands:
         if any(
-            _check_value(op, o_kind, o_lex, o_datatype, class_members)
+            _check_value(op, o_kind, o_lex, o_datatype, ctx)
             for op in operands
         ):
             out.append(("and", "an sh:and operand fails"))
     for neg in ps.nots:
-        if not _check_value(neg, o_kind, o_lex, o_datatype, class_members):
+        if not _check_value(neg, o_kind, o_lex, o_datatype, ctx):
             out.append(("not", "value conforms to the sh:not shape"))
     return out
 
 
-def _validate_focus(group: pd.DataFrame, shapes: list[NodeShape],
-                    class_members):
+def _validate_focus(group: pd.DataFrame, shapes: list[NodeShape], ctx):
     """All triples of ONE subject → violation rows."""
     focus = group["s_lex"].iloc[0]
     types = set(group.loc[group["p"] == RDF_TYPE, "o_lex"])
@@ -219,33 +235,101 @@ def _validate_focus(group: pd.DataFrame, shapes: list[NodeShape],
                     (focus, ps.path, c, d)
                     for c, d in _check_value(
                         ps, row["o_kind"], row["o_lex"],
-                        row["o_datatype"], class_members,
+                        row["o_datatype"], ctx,
                     )
                 )
     return out
 
 
-def _collect_classes(shapes: list[NodeShape]) -> set[str]:
-    """Every class an sh:class facet names, recursively through the
-    logical operands."""
-    classes: set[str] = set()
+def _walk_blocks(shapes: list[NodeShape]):
+    """Every value-level constraint block reachable from the shapes
+    (property shapes + logical operands, recursively)."""
 
     def walk(ps: PropertyShape):
-        if ps.cls:
-            classes.add(ps.cls)
+        yield ps
         for operands in ps.ors:
             for op in operands:
-                walk(op)
+                yield from walk(op)
         for operands in ps.ands:
             for op in operands:
-                walk(op)
+                yield from walk(op)
         for neg in ps.nots:
-            walk(neg)
+            yield from walk(neg)
 
     for shape in shapes:
         for ps in shape.properties:
-            walk(ps)
-    return classes
+            yield from walk(ps)
+
+
+def _collect_classes(shapes: list[NodeShape]) -> set[str]:
+    """Every class an sh:class facet names, recursively through the
+    logical operands."""
+    return {ps.cls for ps in _walk_blocks(shapes) if ps.cls}
+
+
+def _node_conf_sets(triples_ds, all_shapes: list[NodeShape], ctx) -> dict:
+    """sh:node targets → (conforming subjects, nonconforming subjects,
+    empty_ok) — one distributed per-focus pass per referenced shape,
+    dependency-ordered (engine/constraint/ShNode.java re-enters the
+    validator on the value node; here the value-side verdicts are
+    precomputed and broadcast, the stages/shex.py conforming-set
+    pattern). Cyclic sh:node references raise (jena-shacl detects
+    re-entrant validation the same way)."""
+    import ray
+
+    by_name = {s.name: s for s in all_shapes}
+    refs = {ps.node for ps in _walk_blocks(all_shapes) if ps.node}
+    for r in refs:
+        if r not in by_name:
+            raise ValueError(f"sh:node reference to unknown shape {r!r}")
+
+    # dependency order (referenced-before-referring); cycles raise
+    order: list[str] = []
+    state: dict[str, int] = {}
+
+    def visit(name: str, chain: tuple):
+        if name in chain:
+            raise ValueError(f"cyclic sh:node references: {chain + (name,)}")
+        if state.get(name) == 1:
+            return
+        deps = {ps.node for ps in _walk_blocks([by_name[name]]) if ps.node}
+        for dep in sorted(deps):
+            visit(dep, chain + (name,))
+        state[name] = 1
+        order.append(name)
+
+    for r in sorted(refs):
+        visit(r, ())
+
+    out: dict[str, tuple] = {}
+    for name in order:
+        shape = by_name[name]
+        empty_ok = all(
+            not ps.min_count for ps in shape.properties
+        )
+        ref = ray.put((shape, {**ctx, "nodes": dict(out)}))
+
+        def check(g: pd.DataFrame) -> pd.DataFrame:
+            shape_, ctx_ = ray.get(ref)
+            focus = g["s_lex"].iloc[0]
+            probe = NodeShape(
+                name=shape_.name, target_nodes=[focus],
+                properties=shape_.properties,
+            )
+            bad = _validate_focus(g, [probe], ctx_)
+            return pd.DataFrame(
+                {"node": [focus], "ok": [0 if bad else 1]}
+            )
+
+        rows = (
+            triples_ds.groupby("s_lex")
+            .map_groups(check, batch_format="pandas")
+            .take_all()
+        )
+        conf = frozenset(r["node"] for r in rows if r["ok"])
+        nonconf = frozenset(r["node"] for r in rows if not r["ok"])
+        out[name] = (conf, nonconf, empty_ok)
+    return out
 
 
 def _class_extents(triples_ds, classes: set[str]) -> dict[str, set]:
@@ -308,12 +392,16 @@ def validate(triples_ds, shapes_ttl: str):
     import ray
 
     shapes = parse_shapes(shapes_ttl)
-    class_members = _class_extents(triples_ds, _collect_classes(shapes))
-    shapes_ref = ray.put((shapes, class_members))
+    ctx = {
+        "classes": _class_extents(triples_ds, _collect_classes(shapes)),
+        "nodes": {},
+    }
+    ctx["nodes"] = _node_conf_sets(triples_ds, shapes, ctx)
+    shapes_ref = ray.put((shapes, ctx))
 
     def check(group: pd.DataFrame) -> pd.DataFrame:
-        sh, members = ray.get(shapes_ref)
-        rows = _validate_focus(group, sh, members)
+        sh, ctx_ = ray.get(shapes_ref)
+        rows = _validate_focus(group, sh, ctx_)
         return pd.DataFrame(
             rows, columns=["focus", "path", "constraint", "detail"]
         )

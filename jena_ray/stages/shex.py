@@ -19,16 +19,24 @@ covers schema-shaped KG QA:
 - shape map:          ``<node>@<Shape>`` fixed entries and
   ``{FOCUS a <Class>}@<Shape>`` class selectors
 
-Shape references are evaluated in dependency (topological) order:
-referenced shapes run a full per-focus pass first and their CONFORMING
-NODE SET is broadcast to the referring shape's pass — one extra
-distributed pass per dependency level. Partitioning assumption
-(documented): a conformance set is focus-node-scale; at corpus scale
-swap the broadcast for a hash join on the object column. Recursive
-references are rejected (fixpoint semantics out of subset).
+Shape references are evaluated in dependency order of the ref graph's
+strongly-connected components: acyclic refs run a full per-focus pass
+first and their CONFORMING NODE SET is broadcast to the referring
+shape's pass — one extra distributed pass per dependency level.
+RECURSIVE references (round 3) are evaluated by greatest-fixpoint
+iteration over the cyclic SCC — the ShEx spec's maximal-typing
+(co-inductive) semantics, as jena-shex reaches via its stack of
+in-progress assumptions (ValidationContext.java startValidate/
+retractValidate): every candidate node is ASSUMED conformant, each
+iteration re-runs the SCC's per-focus passes under the current
+assumption sets, and nodes that fail drop out until the sets are
+stable. Iterations are bounded by total node-drops. Negation through
+a recursive cycle is rejected (non-stratified — also an error in the
+spec). Partitioning assumption (documented): a conformance set is
+focus-node-scale; at corpus scale swap the broadcast for a hash join
+on the object column.
 
-NOT in subset (documented): recursive shape references (fixpoint
-semantics), semantic actions, IMPORTs.
+NOT in subset (documented): semantic actions, IMPORTs.
 
 Execution shape (same as stages/shacl.py): the small schema + shape map
 broadcast; data hash-grouped by subject so every focus node's triples
@@ -435,31 +443,99 @@ def _shape_refs(expr) -> set:
     raise RDFParseError(f"ShEx: unknown shape expression {expr!r}")
 
 
-def _topo_ref_order(schema: ShexSchema) -> list[str]:
-    """Referenced shapes in dependency order; raises on reference cycles."""
-    order: list[str] = []
-    state: dict[str, int] = {}  # 0=visiting, 1=done
+def _ve_refs_signed(ve: tuple, neg: bool) -> set:
+    if ve[0] == "ref":
+        return {(ve[1], neg)}
+    if ve[0] == "not":
+        return _ve_refs_signed(ve[1], not neg)
+    if ve[0] in ("and", "or"):
+        out: set = set()
+        for a in ve[1]:
+            out |= _ve_refs_signed(a, neg)
+        return out
+    return set()
 
-    def visit(label: str, chain: tuple):
-        if label in chain:
-            raise RDFParseError(
-                f"ShEx: recursive shape reference {' -> '.join(chain + (label,))} "
-                "(fixpoint semantics out of subset)"
-            )
-        if state.get(label) == 1:
-            return
-        shp = schema.shapes.get(label)
-        if shp is None:
-            raise RDFParseError(f"ShEx: reference to unknown shape {label!r}")
-        for dep in sorted(_shape_refs(shp)):
-            visit(dep, chain + (label,))
-        state[label] = 1
-        order.append(label)
+
+def _shape_refs_signed(expr, neg: bool = False) -> set:
+    """(label, under-odd-NOTs) pairs for every @<ref> in the expression —
+    the polarity drives the stratified-negation check on cycles."""
+    tag = expr[0]
+    if tag == "shape":
+        out: set = set()
+        for c in expr[1].constraints:
+            out |= _ve_refs_signed(c.value_expr, neg)
+        return out
+    if tag == "ref":
+        return {(expr[1], neg)}
+    if tag in ("and", "or"):
+        out: set = set()
+        for arm in expr[1]:
+            out |= _shape_refs_signed(arm, neg)
+        return out
+    if tag == "not":
+        return _shape_refs_signed(expr[1], not neg)
+    raise RDFParseError(f"ShEx: unknown shape expression {expr!r}")
+
+
+def _ref_sccs(schema: ShexSchema) -> list[list[str]]:
+    """Strongly-connected components of the shape-reference graph, in
+    dependency order (referenced-before-referring). Unknown refs raise."""
+    deps: dict[str, set] = {}
+    for label in sorted(schema.shapes):
+        refs = _shape_refs(schema.shapes[label])
+        for dep in refs:
+            if dep not in schema.shapes:
+                raise RDFParseError(f"ShEx: reference to unknown shape {dep!r}")
+        deps[label] = refs
+    # iterative Tarjan (schema graphs are tiny — driver-side)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set = set()
+    stack: list[str] = []
+    sccs: list[list[str]] = []
+    counter = [0]
+
+    def strongconnect(v: str):
+        work = [(v, iter(sorted(deps[v])))]
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack.add(v)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(sorted(deps[w]))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == node:
+                        break
+                sccs.append(sorted(scc))
 
     for label in sorted(schema.shapes):
-        for dep in sorted(_shape_refs(schema.shapes[label])):
-            visit(dep, (label,))
-    return order
+        if label not in index:
+            strongconnect(label)
+    return sccs  # Tarjan emits components in reverse-topological order
+                 # of the condensation = dependencies first
 
 
 def _conforming_nodes(triples_ds, schema: ShexSchema, label: str,
@@ -486,6 +562,74 @@ def _conforming_nodes(triples_ds, schema: ShexSchema, label: str,
     return frozenset(r["node"] for r in rows)
 
 
+def _universe_nodes(triples_ds) -> frozenset:
+    """All IRI subject nodes — the gfp starting assumption for recursive
+    SCCs (same focus-node-scale broadcast assumption as conf sets)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def subj(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.equal(t["s_kind"], pa.scalar(KIND_IRI, pa.int8())))
+        return pa.table(
+            {"node": x["s_lex"].combine_chunks().cast(pa.large_string())}
+        )
+
+    rows = (
+        triples_ds.map_batches(subj, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .take_all()
+    )
+    return frozenset(r["node"] for r in rows)
+
+
+def _resolve_conf_sets(triples_ds, schema: ShexSchema) -> dict:
+    """Conformance sets for every referenced shape, SCC by SCC.
+
+    Acyclic SCCs: one distributed pass (the round-2 behavior). Cyclic
+    SCCs: greatest-fixpoint iteration — assume every IRI subject
+    conforms, re-run the component's passes under the assumptions, drop
+    failures, repeat until stable (maximal typing; see module
+    docstring). Negation into a cycle raises (non-stratified)."""
+    referenced: set = set()
+    for label in schema.shapes:
+        referenced |= _shape_refs(schema.shapes[label])
+
+    conf_sets: dict[str, frozenset] = {}
+    universe: frozenset | None = None
+    for scc in _ref_sccs(schema):
+        cyclic = len(scc) > 1 or scc[0] in _shape_refs(schema.shapes[scc[0]])
+        if not cyclic:
+            label = scc[0]
+            if label in referenced:
+                conf_sets[label] = _conforming_nodes(
+                    triples_ds, schema, label, conf_sets
+                )
+            continue
+        in_scc = set(scc)
+        for label in scc:
+            for dep, neg in _shape_refs_signed(schema.shapes[label]):
+                if neg and dep in in_scc:
+                    raise RDFParseError(
+                        f"ShEx: negated reference @{dep} inside recursive "
+                        f"cycle {scc} (non-stratified)"
+                    )
+        if universe is None:
+            universe = _universe_nodes(triples_ds)
+        for label in scc:
+            conf_sets[label] = universe
+        while True:
+            changed = False
+            for label in scc:
+                new = _conforming_nodes(triples_ds, schema, label, conf_sets)
+                if new != conf_sets[label]:
+                    conf_sets[label] = new
+                    changed = True
+            if not changed:
+                break
+    return conf_sets
+
+
 def validate_shex(triples_ds, schema_text: str, shape_map_text: str):
     """ShEx validation report Dataset: (focus, shape, status, reason).
 
@@ -498,9 +642,7 @@ def validate_shex(triples_ds, schema_text: str, shape_map_text: str):
     schema = parse_shexc(schema_text)
     entries = parse_shape_map(shape_map_text, schema)
 
-    conf_sets: dict[str, frozenset] = {}
-    for label in _topo_ref_order(schema):
-        conf_sets[label] = _conforming_nodes(triples_ds, schema, label, conf_sets)
+    conf_sets = _resolve_conf_sets(triples_ds, schema)
 
     state_ref = ray.put((schema, entries, conf_sets))
 

@@ -140,3 +140,44 @@ def test_validate_boolean_and_class():
         by_focus.setdefault(r["focus"], set()).add(r["constraint"])
     assert E + "t1" not in by_focus
     assert by_focus[E + "t2"] == {"or", "not", "and", "class"}
+
+
+NODE_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:AddrShape a sh:NodeShape ;
+  sh:property [ sh:path ex:city ; sh:minCount 1 ; sh:datatype xsd:string ] .
+
+ex:CompanyShape a sh:NodeShape ;
+  sh:targetClass ex:Company ;
+  sh:property [ sh:path ex:addr ; sh:node ex:AddrShape ] .
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_sh_node_cross_shape():
+    """sh:node re-validates the VALUE node against a referenced shape
+    (jena-shacl engine/constraint/ShNode.java) — precomputed verdict
+    sets, one distributed pass per referenced shape."""
+    import ray.data as rd
+
+    data = _data([
+        (E + "c1", TYPE, 0, E + "Company", ""),
+        (E + "c1", E + "addr", 0, E + "a1", ""),      # a1 conforms
+        (E + "c2", TYPE, 0, E + "Company", ""),
+        (E + "c2", E + "addr", 0, E + "a2", ""),      # a2 lacks city
+        (E + "c3", TYPE, 0, E + "Company", ""),
+        (E + "c3", E + "addr", 0, E + "ghost", ""),   # no triples at all
+        (E + "a1", E + "city", 2, "Springfield", XSD + "string"),
+        (E + "a2", E + "zip", 2, "12345", XSD + "string"),
+    ])
+    report = validate(rd.from_arrow(data), NODE_SHAPES).take_all()
+    by_focus = {}
+    for r in report:
+        by_focus.setdefault(r["focus"], set()).add(r["constraint"])
+    assert E + "c1" not in by_focus
+    assert by_focus[E + "c2"] == {"node"}
+    # AddrShape has a minCount, so a value with NO triples fails too
+    assert by_focus[E + "c3"] == {"node"}

@@ -125,18 +125,91 @@ def test_parse_shape_reference():
     assert c.value_expr == ("ref", "http://ex/AddrShape")
 
 
-def test_recursive_reference_rejected():
-    from jena_ray.stages.shex import _topo_ref_order
+def _triples(rows):
+    """rows: (s, p, o_kind, o_lex, o_dt) with IRI subjects."""
+    import pyarrow as pa
+    import ray.data as rd
 
-    s = parse_shexc(
-        """
-        PREFIX ex: <http://ex/>
-        <http://ex/A> { ex:p @<http://ex/B> }
-        <http://ex/B> { ex:q @<http://ex/A> }
-        """
+    from jena_ray.model import TRIPLE_SCHEMA
+
+    full = [[0, s, p, ok, ol, dt, "", "", "t"] for (s, p, ok, ol, dt) in rows]
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([fr[i] for fr in full], f.type)
+             for i, f in enumerate(TRIPLE_SCHEMA)],
+            schema=TRIPLE_SCHEMA,
+        )
     )
-    with pytest.raises(RDFParseError, match="recursive"):
-        _topo_ref_order(s)
+
+
+RECURSIVE_SCHEMA = """
+PREFIX ex: <http://ex/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+<http://ex/PersonShape> {
+  ex:name xsd:string ;
+  ex:knows @<http://ex/PersonShape> *
+}
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recursive_shape_cycle_conforms():
+    """a knows b, b knows a, both named — the greatest fixpoint keeps the
+    cycle conformant (maximal-typing semantics; jena-shex reaches the
+    same verdict via its in-progress assumption stack)."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    E = "http://ex/"
+    ds = _triples([
+        (E + "a", E + "name", 2, "A", XSD + "string"),
+        (E + "a", E + "knows", 0, E + "b", ""),
+        (E + "b", E + "name", 2, "B", XSD + "string"),
+        (E + "b", E + "knows", 0, E + "a", ""),
+    ])
+    report = validate_shex(
+        ds, RECURSIVE_SCHEMA,
+        f"<{E}a>@<{E}PersonShape>\n<{E}b>@<{E}PersonShape>\n",
+    ).take_all()
+    assert {r["status"] for r in report} == {"conformant"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recursive_failure_propagates():
+    """knows-chain a→b→c where c lacks a name: the fixpoint drops c, then
+    b (its knows-value fails @PersonShape), then a — 3 iterations."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    E = "http://ex/"
+    ds = _triples([
+        (E + "a", E + "name", 2, "A", XSD + "string"),
+        (E + "a", E + "knows", 0, E + "b", ""),
+        (E + "b", E + "name", 2, "B", XSD + "string"),
+        (E + "b", E + "knows", 0, E + "c", ""),
+        (E + "c", E + "age", 2, "9", XSD + "integer"),  # subject, no name
+    ])
+    report = validate_shex(
+        ds, RECURSIVE_SCHEMA,
+        f"<{E}a>@<{E}PersonShape>\n<{E}b>@<{E}PersonShape>\n"
+        f"<{E}c>@<{E}PersonShape>\n",
+    ).take_all()
+    by = {r["focus"]: r["status"] for r in report}
+    assert by == {
+        E + "a": "nonconformant",
+        E + "b": "nonconformant",
+        E + "c": "nonconformant",
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_negated_recursion_rejected():
+    s_text = """
+    PREFIX ex: <http://ex/>
+    <http://ex/A> { ex:p @<http://ex/B> }
+    <http://ex/B> NOT @<http://ex/A>
+    """
+    E = "http://ex/"
+    ds = _triples([(E + "x", E + "p", 0, E + "y", "")])
+    with pytest.raises(RDFParseError, match="non-stratified"):
+        validate_shex(ds, s_text, f"<{E}x>@<{E}A>\n")
 
 
 @pytest.mark.usefixtures("ray_session")
