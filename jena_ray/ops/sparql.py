@@ -16,6 +16,10 @@ onto the already-oracled Dataset operators:
     MINUS { ... }                       → marker left-join anti-semantics
                                           (OpMinus: drop bindings that
                                           join a right-side row)
+    FILTER [NOT] EXISTS { ... }         → marker semi/anti join on the
+                                          shared variables (E_Exists /
+                                          E_NotExists); with no shared
+                                          variables, a non-emptiness gate
     GROUP BY ?v ... + aggregates        → Dataset.groupby().aggregate
                                           (COUNT/SUM/MIN/MAX/AVG(?v),
                                           numeric coercion for SUM/AVG)
@@ -76,7 +80,7 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|EXISTS|NOT|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -274,11 +278,24 @@ class _Parser:
         self.expect("op", "{")
         elements: list = []
         filters: list = []
+        exists: list = []
         while self.peek() != ("op", "}"):
             if self.kw("FILTER"):
-                self.expect("op", "(")
-                filters.append(self.parse_or())
-                self.expect("op", ")")
+                # FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } are
+                # pattern-level gates (E_Exists/E_NotExists), collected
+                # apart from the row-wise expression filters
+                if self.kw("EXISTS"):
+                    exists.append((True, self.parse_group()))
+                elif self.kw("NOT"):
+                    if not self.kw("EXISTS"):
+                        raise RDFParseError(
+                            "SPARQL: FILTER NOT must be followed by EXISTS"
+                        )
+                    exists.append((False, self.parse_group()))
+                else:
+                    self.expect("op", "(")
+                    filters.append(self.parse_or())
+                    self.expect("op", ")")
             elif self.kw("OPTIONAL"):
                 elements.append(("optional", self.parse_group()))
             elif self.kw("MINUS"):
@@ -324,7 +341,7 @@ class _Parser:
             while self.peek() == ("op", "."):
                 self.next()
         self.next()  # }
-        return {"elements": elements, "filters": filters}
+        return {"elements": elements, "filters": filters, "exists": exists}
 
     def parse_values(self):
         """VALUES ?v { t ... }  |  VALUES (?v ?w) { (t t) ... }"""
@@ -1040,12 +1057,33 @@ def _join_bindings(left, left_vars, right, right_vars, how: str):
 def _minus_bindings(left, left_vars, right, right_vars):
     """OpMinus: drop left bindings compatible with ANY right binding on
     the shared variables — realized as a marker left join + null filter."""
-    from ..util import compact_blocks
-
     shared = sorted(set(left_vars) & set(right_vars))
     if not shared:
         # SPARQL: MINUS with disjoint domains removes nothing
         return left, left_vars
+    return _marker_semijoin(left, left_vars, right, shared,
+                            keep_matched=False), left_vars
+
+
+def _exists_bindings(left, left_vars, right, right_vars, positive: bool):
+    """FILTER [NOT] EXISTS { ... } (E_Exists/E_NotExists,
+    OpFilter over OpExists): keep left bindings that are (in)compatible
+    with some right binding on the shared variables — a semi/anti marker
+    join. With NO shared variables the inner pattern's solutions don't
+    depend on the current row, so the filter degenerates to a gate on
+    pattern non-emptiness (exactly the substitution semantics)."""
+    shared = sorted(set(left_vars) & set(right_vars))
+    if not shared:
+        nonempty = right.limit(1).count() > 0
+        return (left if nonempty == positive else left.limit(0)), left_vars
+    return _marker_semijoin(left, left_vars, right, shared,
+                            keep_matched=positive), left_vars
+
+
+def _marker_semijoin(left, left_vars, right, shared, keep_matched: bool):
+    """Distinct right-side keys on ``shared`` get a marker; a left-outer
+    join then keeps left rows whose marker is (non-)null."""
+    from ..util import compact_blocks
 
     def mark(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
@@ -1084,7 +1122,7 @@ def _minus_bindings(left, left_vars, right, right_vars):
     joined = lc.join(rkeys, join_type="left_outer", num_partitions=n_parts,
                      on=tuple(shared))
 
-    def keep_unmatched(t: pa.Table) -> pa.Table:
+    def sieve(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             from .bgp import meta_cols_of
 
@@ -1096,13 +1134,14 @@ def _minus_bindings(left, left_vars, right, right_vars):
                 cols[dc] = pa.array([], pa.large_string())
                 cols[lc] = pa.array([], pa.large_string())
             return pa.table(cols)
-        x = t.filter(pc.is_null(t["__minus"]))
+        m = pc.is_null(t["__minus"])
+        x = t.filter(pc.invert(m) if keep_matched else m)
         keep = [c for c in x.schema.names if c != "__minus"]
         return x.select(keep)
 
     return compact_blocks(
-        joined.map_batches(keep_unmatched, batch_format="pyarrow")
-    ), left_vars
+        joined.map_batches(sieve, batch_format="pyarrow")
+    )
 
 
 def _compile_group(triples_ds, group: dict, graph=None):
@@ -1264,6 +1303,10 @@ def _compile_group(triples_ds, group: dict, graph=None):
             return t.filter(mask)
 
         acc = acc.map_batches(kernel, batch_format="pyarrow")
+    for positive, sub in group.get("exists", ()):
+        rel, rel_vars = _compile_group(triples_ds, sub, graph=graph)
+        acc, acc_vars = _exists_bindings(acc, acc_vars, rel, rel_vars,
+                                         positive)
     return acc, acc_vars
 
 

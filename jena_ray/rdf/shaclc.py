@@ -201,7 +201,8 @@ def validate_shaclc(triples_ds, shaclc_text: str):
 
     def check(group: pd.DataFrame) -> pd.DataFrame:
         sh = ray.get(shapes_ref)
-        rows = _validate_focus(group, sh)
+        # SHACLC subset has no sh:class / sh:node facets — empty context
+        rows = _validate_focus(group, sh, {"classes": {}, "nodes": {}})
         return pd.DataFrame(rows, columns=["focus", "path", "constraint", "detail"])
 
     return triples_ds.groupby("s_lex").map_groups(check, batch_format="pandas")

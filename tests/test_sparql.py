@@ -624,3 +624,68 @@ def test_term_order_by_numeric_value_not_lexical():
     q2 = "SELECT ?s ?v WHERE { ?s <http://ex/n> ?v } ORDER BY DESC(?v) LIMIT 2"
     got2 = [r["v"] for r in sparql_select(_typed_triples(rows), q2).take_all()]
     assert got2 == ["100", "10"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_exists_semi_join():
+    """FILTER EXISTS keeps bindings compatible with the inner pattern
+    on the shared variables (E_Exists → semi join)."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p ?n WHERE {
+      ?p ex:age ?n .
+      FILTER EXISTS { ?p ex:knows ?q }
+    } ORDER BY ?p
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["p"], r["n"]) for r in rows] == [
+        ("http://ex/a", "42"), ("http://ex/b", "7"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_not_exists_anti_join():
+    """FILTER NOT EXISTS drops compatible bindings (E_NotExists)."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE {
+      ?p ex:age ?n .
+      FILTER NOT EXISTS { ?p ex:knows ?q }
+    }
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["p"] for r in rows] == ["http://ex/c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_exists_no_shared_vars_gates():
+    """With no shared variables the filter gates on the inner pattern's
+    non-emptiness — all rows survive or none do."""
+    q_hit = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n . FILTER EXISTS { ?x a ex:Person } }
+    """
+    assert len(sparql_select(G(ROWS), q_hit).take_all()) == 3
+    q_miss = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n . FILTER EXISTS { ?x a ex:Robot } }
+    """
+    assert sparql_select(G(ROWS), q_miss).take_all() == []
+    q_not = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n . FILTER NOT EXISTS { ?x a ex:Robot } }
+    """
+    assert len(sparql_select(G(ROWS), q_not).take_all()) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_not_exists_constant_pattern():
+    """NOT EXISTS over an all-constant pattern gates on that triple's
+    presence (needs the row-preserving zero-var binding table)."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE {
+      ?p ex:age ?n . FILTER NOT EXISTS { ex:a ex:knows ex:b }
+    }
+    """
+    assert sparql_select(G(ROWS), q).take_all() == []
