@@ -22,16 +22,28 @@ onto the already-oracled Dataset operators:
                                           variables, a non-emptiness gate
     GROUP BY ?v ... + aggregates        → Dataset.groupby().aggregate
                                           (COUNT/SUM/MIN/MAX/AVG(?v),
-                                          numeric coercion for SUM/AVG)
+                                          numeric coercion for SUM/AVG;
+                                          COUNT(DISTINCT ?v) and
+                                          GROUP_CONCAT(?v; SEPARATOR=..)
+                                          as distributed AggregateFn
+                                          folds, SAMPLE(?v) as the
+                                          deterministic min)
     FILTER(expr)                        → vectorized pyarrow.compute
     ORDER BY [ASC|DESC](?v) ...         → Dataset.sort
     LIMIT / OFFSET                      → Dataset.limit (+offset skip)
     PREFIX / a / IRIs / literals / vars
 
 Expression subset: comparisons (= != < <= > >=), && || !,
-REGEX(?v, "pat"), STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v),
-BOUND(?v), LANG(?v), DATATYPE(?v), LANGMATCHES(LANG(?v), "rng"),
-ISIRI/ISURI/ISLITERAL/ISBLANK(?v). Bindings are lexical forms plus
+arithmetic + - * / with unary minus (type-error rows → null → false),
+?v [NOT] IN (constants), REGEX(?v, "pat"),
+STRSTARTS/STRENDS/CONTAINS(?v, "s"), STRLEN(?v), BOUND(?v), LANG(?v),
+DATATYPE(?v), LANGMATCHES(LANG(?v), "rng"),
+ISIRI/ISURI/ISLITERAL/ISBLANK(?v), and the value builtins STR, UCASE,
+LCASE, CONCAT, SUBSTR(e, start[, len]) (constant bounds),
+REPLACE(e, "pat", "rep") ($N backrefs), STRBEFORE/STRAFTER(e, "s"),
+ABS/ROUND/CEIL/FLOOR, COALESCE, IF(cond, a, b) — all vectorized
+pyarrow.compute kernels. SELECT (expr AS ?v) projection expressions
+desugar to trailing BINDs. Bindings are lexical forms plus
 hidden term-metadata columns ({v}__kind/__dt/__lang, see ops/bgp.py);
 comparison is TERM-TYPED (NodeValue.java): in a numeric context (a
 numeric literal / STRLEN operand) rows compare in the numeric value
@@ -80,13 +92,13 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|AS|VALUES|BIND|EXISTS|NOT|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
         (?P<string>"(?:[^"\\]|\\.)*") |
-        (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;|/^+?]) |
+        (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;|/^+?-]) |
     )""",
     re.VERBOSE,
 )
@@ -207,28 +219,59 @@ class _Parser:
                     proj.append(("var", self.next()[1][1:]))
                 elif k == "op" and v == "(":
                     self.next()
-                    fn = self.next()[1].upper()
-                    if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
-                        raise RDFParseError(f"SPARQL: unknown aggregate {fn!r}")
-                    self.expect("op", "(")
-                    if self.peek() == ("op", "*"):
+                    kk, vv = self.peek()
+                    fn = vv.upper() if kk == "kw" else None
+                    if fn in ("COUNT", "SUM", "MIN", "MAX", "AVG",
+                              "SAMPLE", "GROUP_CONCAT"):
                         self.next()
-                        var = None
-                        if fn != "COUNT":
-                            raise RDFParseError("SPARQL: only COUNT(*) allowed")
+                        self.expect("op", "(")
+                        agg_distinct = self.kw("DISTINCT")
+                        if agg_distinct and fn != "COUNT":
+                            raise RDFParseError(
+                                "SPARQL: DISTINCT inside aggregates is "
+                                "supported for COUNT only"
+                            )
+                        if self.peek() == ("op", "*"):
+                            self.next()
+                            var = None
+                            if fn != "COUNT":
+                                raise RDFParseError("SPARQL: only COUNT(*) allowed")
+                        else:
+                            var = self.expect("var")[1:]
+                        # GROUP_CONCAT(?v ; SEPARATOR="..") — default " "
+                        # per AggGroupConcat; within-group order is
+                        # undefined in the spec, this engine sorts for
+                        # determinism
+                        sep = " "
+                        if fn == "GROUP_CONCAT" and self.peek() == ("op", ";"):
+                            self.next()
+                            self.expect("kw", "SEPARATOR")
+                            self.expect("op", "=")
+                            sep = self.expect("string")[1:-1]
+                        self.expect("op", ")")
+                        self.expect("kw", "AS")
+                        alias = self.expect("var")[1:]
+                        self.expect("op", ")")
+                        proj.append(("agg", fn, var, alias, agg_distinct, sep))
                     else:
-                        var = self.expect("var")[1:]
-                    self.expect("op", ")")
-                    self.expect("kw", "AS")
-                    alias = self.expect("var")[1:]
-                    self.expect("op", ")")
-                    proj.append(("agg", fn, var, alias))
+                        # SELECT (expr AS ?v) — a non-aggregate projection
+                        # expression, desugared into a trailing BIND
+                        expr = self.parse_or()
+                        self.expect("kw", "AS")
+                        alias = self.expect("var")[1:]
+                        self.expect("op", ")")
+                        proj.append(("exprbind", expr, alias))
                 else:
                     break
             if not proj:
                 raise RDFParseError("SPARQL: empty projection")
         self.expect("kw", "WHERE")
         group = self.parse_group()
+        if proj:
+            for i, p in enumerate(proj):
+                if p[0] == "exprbind":
+                    group["elements"].append(("bind", p[1], p[2]))
+                    proj[i] = ("var", p[2])
         group_by: list[str] = []
         having = None
         if self.kw("GROUP"):
@@ -308,7 +351,7 @@ class _Parser:
                 elements.append(self.parse_values())
             elif self.kw("BIND"):
                 self.expect("op", "(")
-                expr = self.parse_primary()
+                expr = self.parse_or()
                 self.expect("kw", "AS")
                 var = self.expect("var")[1:]
                 self.expect("op", ")")
@@ -536,6 +579,72 @@ class _Parser:
             rng = self.expect("string")[1:-1]
             self.expect("op", ")")
             return ("langmatches", var, rng)
+        U = v.upper() if k == "kw" else None
+        if U in ("STR", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("fn1", U, e)
+        if U in ("CONCAT", "COALESCE"):
+            self.next()
+            self.expect("op", "(")
+            args = [self.parse_add()]
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.parse_add())
+            self.expect("op", ")")
+            return ("concat" if U == "CONCAT" else "coalesce", args)
+        if U == "SUBSTR":
+            # SUBSTR(expr, start [, length]) — 1-based codepoints
+            # (E_StrSubstring / xpath fn:substring); start/length constant
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ",")
+            start = self.parse_add()
+            length = None
+            if self.peek() == ("op", ","):
+                self.next()
+                length = self.parse_add()
+            self.expect("op", ")")
+            if start[0] != "num" or (length is not None and length[0] != "num"):
+                raise RDFParseError(
+                    "SPARQL: SUBSTR start/length must be numeric constants"
+                )
+            return ("substr", e, int(start[1]),
+                    None if length is None else int(length[1]))
+        if U == "REPLACE":
+            # REPLACE(expr, "pattern", "replacement") — regex with $N
+            # backrefs (E_StrReplace)
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ",")
+            pat = self.expect("string")[1:-1]
+            self.expect("op", ",")
+            rep = self.expect("string")[1:-1]
+            self.expect("op", ")")
+            return ("replace", e, pat, rep)
+        if U in ("STRBEFORE", "STRAFTER"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ",")
+            s = self.expect("string")[1:-1]
+            self.expect("op", ")")
+            return (U.lower(), e, s)
+        if U == "IF":
+            # IF(cond, then, else) — E_Conditional
+            self.next()
+            self.expect("op", "(")
+            cond = self.parse_or()
+            self.expect("op", ",")
+            a = self.parse_add()
+            self.expect("op", ",")
+            b = self.parse_add()
+            self.expect("op", ")")
+            return ("ifexpr", cond, a, b)
         if k == "var":
             self.next()
             return ("var", v[1:])
@@ -551,13 +660,78 @@ class _Parser:
         raise RDFParseError(f"SPARQL: bad expression at {v!r}")
 
     def parse_cmp(self):
-        left = self.parse_primary()
+        left = self.parse_add()
         k, v = self.peek()
         if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            right = self.parse_primary()
+            right = self.parse_add()
             return ("cmp", v, left, right)
+        if k == "kw" and v.upper() == "IN":
+            self.next()
+            return ("inlist", left, self.parse_in_list(), True)
+        if k == "kw" and v.upper() == "NOT":
+            self.next()
+            if not self.kw("IN"):
+                raise RDFParseError(
+                    "SPARQL: NOT in an expression must be followed by IN"
+                )
+            return ("inlist", left, self.parse_in_list(), False)
         return left
+
+    def parse_in_list(self):
+        """'(' expr, expr, ... ')' — IN members restricted to constants."""
+        self.expect("op", "(")
+        vals: list = []
+        if self.peek() != ("op", ")"):
+            while True:
+                e = self.parse_add()
+                if e[0] not in ("lit", "num"):
+                    raise RDFParseError(
+                        "SPARQL: IN list members must be constants"
+                    )
+                vals.append(e)
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        self.expect("op", ")")
+        return vals
+
+    # arithmetic: cmp > add (+ -) > mul (* /) > unary (-) > primary
+    def parse_add(self):
+        left = self.parse_mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                left = ("arith", v, left, self.parse_mul())
+            elif k == "num" and v.startswith("-"):
+                # the tokenizer folds the sign into the number ("?n -1");
+                # re-read it as a subtraction
+                self.next()
+                left = ("arith", "+", left, ("num", float(v)))
+            else:
+                return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/"):
+                self.next()
+                left = ("arith", v, left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if k == "op" and v == "-":
+            self.next()
+            return ("arith", "-", ("num", 0.0), self.parse_unary())
+        if k == "op" and v == "+":
+            self.next()
+            return self.parse_unary()
+        return self.parse_primary()
 
 
 _CMP = {
@@ -571,6 +745,47 @@ _NUMERIC_DTS = frozenset(_XSD_INTS) | {
     for s in ("decimal", "double", "float")
 }
 _NUM_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
+
+_NUMERIC_FN1 = frozenset({"ABS", "ROUND", "CEIL", "FLOOR"})
+
+
+def _is_numeric_node(node) -> bool:
+    """Nodes whose value is already in the numeric value space — they put
+    a comparison into the engine's numeric context."""
+    tag = node[0] if node else None
+    return (tag in ("num", "strlen", "arith")
+            or (tag == "fn1" and node[1] in _NUMERIC_FN1))
+
+
+def _to_lexical(val, n_rows: int):
+    """Any value-expression result → large_string array/scalar with the
+    canonical numeric lexical form (integral floats print bare, matching
+    the BIND output convention)."""
+    if isinstance(val, pa.Scalar):
+        if pa.types.is_large_string(val.type):
+            return val
+        if pa.types.is_string(val.type):
+            return pa.scalar(val.as_py(), pa.large_string())
+        x = val.as_py()
+        if x is None:
+            return pa.scalar(None, pa.large_string())
+        if isinstance(x, float) and x == int(x):
+            x = int(x)
+        return pa.scalar(str(x), pa.large_string())
+    arr = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr.cast(pa.large_string())
+    as_int = pc.cast(arr, pa.int64(), safe=False)
+    integral = pc.all(
+        pc.equal(pc.cast(as_int, pa.float64()), pc.cast(arr, pa.float64()))
+    ).as_py()
+    return pc.cast(as_int if integral else arr, pa.large_string())
+
+
+def _eval_num(node, t: pa.Table):
+    """Evaluate a value expression in the numeric context → float64 with
+    null where the row has no numeric value."""
+    return _num_or_null(node, t, _eval_value(node, t), strict=True)
 
 
 def _num_or_null(node, t: pa.Table, val, strict: bool):
@@ -587,7 +802,7 @@ def _num_or_null(node, t: pa.Table, val, strict: bool):
     compare): a var row is numeric ONLY when its datatype is in the
     numeric value space — plain "42" stays a string."""
     tag = node[0] if node else None
-    if tag in ("num", "strlen"):
+    if _is_numeric_node(node):
         return val if not isinstance(val, pa.ChunkedArray) else val.combine_chunks()
     if tag == "lit":
         if strict:
@@ -681,6 +896,102 @@ def _eval_value(node, t: pa.Table):
             pc.equal(kind, pa.scalar(KIND_LITERAL, pa.int8())), True
         )
         return pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
+    if tag == "arith":
+        # numeric operators with SPARQL's type-error-is-null semantics:
+        # a non-numeric operand row yields null (E_Add .. E_Divide)
+        op, l, r = node[1], node[2], node[3]
+        ln, rn = _eval_num(l, t), _eval_num(r, t)
+        if op == "/":
+            # guard integer-style checked division: null out zero divisors
+            zero = pc.equal(rn, 0.0)
+            if isinstance(zero, pa.Scalar):
+                if zero.as_py():
+                    rn = pa.scalar(None, pa.float64())
+            else:
+                rn = pc.if_else(pc.fill_null(zero, False),
+                                pa.scalar(None, pa.float64()), rn)
+        f = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+             "/": pc.divide}[op]
+        return f(ln, rn)
+    if tag == "fn1":
+        fn, e = node[1], node[2]
+        if fn == "STR":
+            return _to_lexical(_eval_value(e, t), t.num_rows)
+        if fn == "UCASE":
+            return pc.utf8_upper(_to_lexical(_eval_value(e, t), t.num_rows))
+        if fn == "LCASE":
+            return pc.utf8_lower(_to_lexical(_eval_value(e, t), t.num_rows))
+        num = _eval_num(e, t)
+        if fn == "ABS":
+            return pc.abs(num)
+        if fn == "CEIL":
+            return pc.ceil(num)
+        if fn == "FLOOR":
+            return pc.floor(num)
+        # ROUND: xpath fn:round — ties toward positive infinity
+        return pc.round(num, 0, round_mode="half_up")
+    if tag == "concat":
+        parts = [_to_lexical(_eval_value(e, t), t.num_rows) for e in node[1]]
+        return pc.binary_join_element_wise(
+            *parts, pa.scalar("", pa.large_string())
+        )
+    if tag == "coalesce":
+        out = None
+        for e in node[1]:
+            v = _to_lexical(_eval_value(e, t), t.num_rows)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, pa.large_string())
+            out = v if out is None else pc.coalesce(out, v)
+        return out
+    if tag == "substr":
+        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        start, length = node[2], node[3]
+        stop = None if length is None else start - 1 + length
+        return pc.utf8_slice_codeunits(arr, max(start - 1, 0), stop)
+    if tag == "replace":
+        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        # SPARQL backrefs are $N; RE2 replacement wants \N
+        rep = re.sub(r"\$(\d)", r"\\\1", node[3])
+        return pc.replace_substring_regex(
+            arr, pattern=node[2], replacement=rep
+        )
+    if tag in ("strbefore", "strafter"):
+        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        s = node[2]
+        if s == "":
+            # STRBEFORE(x, "") = "", STRAFTER(x, "") = x (spec)
+            return (pa.array([""] * t.num_rows, pa.large_string())
+                    if tag == "strbefore" else arr)
+        found = pc.greater_equal(pc.find_substring(arr, s), 0)
+        # replace the FIRST occurrence with a sentinel, append one more
+        # sentinel, split once: [before, after + NUL] when found,
+        # [x, ""] when not — all rows have exactly two parts
+        sent = "\x00"
+        y = pc.binary_join_element_wise(
+            pc.replace_substring(arr, pattern=s, replacement=sent,
+                                 max_replacements=1),
+            pa.scalar(sent, pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        parts = pc.split_pattern(y, pattern=sent, max_splits=1)
+        empty = pa.scalar("", pa.large_string())
+        if tag == "strbefore":
+            return pc.if_else(found, pc.list_element(parts, 0), empty)
+        after = pc.utf8_rtrim(
+            pc.list_element(parts, 1).cast(pa.large_string()),
+            characters=sent,
+        )
+        return pc.if_else(found, after, empty)
+    if tag == "ifexpr":
+        cond = _eval_bool(node[1], t)
+        if isinstance(cond, pa.Scalar):
+            cond = pa.array([bool(cond.as_py())] * t.num_rows)
+        cond = pc.fill_null(cond, False)
+        a = _to_lexical(_eval_value(node[2], t), t.num_rows)
+        b = _to_lexical(_eval_value(node[3], t), t.num_rows)
+        return pc.if_else(cond, a, b)
     raise RDFParseError(f"SPARQL: not a value expression: {node!r}")
 
 
@@ -728,13 +1039,29 @@ def _eval_bool(node, t: pa.Table):
             ),
             False,
         )
+    if tag == "inlist":
+        _, e, vals, positive = node
+        v = _to_lexical(_eval_value(e, t), t.num_rows)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * t.num_rows, pa.large_string())
+        lex = []
+        for x in vals:
+            if x[0] == "lit":
+                lex.append(x[1])
+            else:  # num → canonical lexical (ints bare)
+                n = x[1]
+                lex.append(str(int(n)) if n == int(n) else str(n))
+        m = pc.fill_null(
+            pc.is_in(v, value_set=pa.array(lex, pa.large_string())), False
+        )
+        return m if positive else pc.invert(m)
     if tag == "cmp":
         op, l, r = node[1], node[2], node[3]
         lv, rv = _eval_value(l, t), _eval_value(r, t)
-        # numeric CONTEXT (a numeric literal / STRLEN operand): compare in
-        # the numeric value space, ill-typed/unparseable rows → false
-        strict = (l[0] == "num" or r[0] == "num"
-                  or l[0] == "strlen" or r[0] == "strlen")
+        # numeric CONTEXT (a numeric literal / STRLEN / arithmetic
+        # operand): compare in the numeric value space,
+        # ill-typed/unparseable rows → false
+        strict = _is_numeric_node(l) or _is_numeric_node(r)
         ln = _num_or_null(l, t, lv, strict=strict)
         rn = _num_or_null(r, t, rv, strict=strict)
         both_num = pc.and_(pc.is_valid(ln), pc.is_valid(rn))
@@ -1411,6 +1738,49 @@ def sparql_select(triples_ds, query_text: str):
     return out
 
 
+def _block_col_values(blk, col: str) -> list:
+    """Column values of an aggregate block (arrow Table or pandas frame)."""
+    if isinstance(blk, pa.Table):
+        return blk[col].to_pylist()
+    return list(blk[col])
+
+
+def _agg_group_concat(col: str, alias: str, sep: str):
+    """GROUP_CONCAT as a distributed AggregateFn: per-block value lists,
+    concatenated at merge, sorted+joined at finalize (the sort pins the
+    spec's undefined within-group order to a deterministic one). Group
+    state is O(group size) strings — the same bound any exact
+    GROUP_CONCAT carries."""
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=lambda a, blk: a + [
+            x for x in _block_col_values(blk, col) if x is not None
+        ],
+        finalize=lambda a: sep.join(sorted(a)),
+        name=alias,
+    )
+
+
+def _agg_count_distinct(col: str, alias: str):
+    """COUNT(DISTINCT ?v) as a distributed AggregateFn: per-group value
+    SETS merged across blocks (exact distinct needs the set; state is
+    O(distinct values in the group))."""
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: set(),
+        merge=lambda a, b: a | b,
+        accumulate_block=lambda a, blk: a | {
+            x for x in _block_col_values(blk, col) if x is not None
+        },
+        finalize=lambda a: len(a),
+        name=alias,
+    )
+
+
 def _exec_select(triples_ds, q: dict):
     """Execute a parsed SELECT dict → (Dataset, projected column names).
     Shared by the top-level form and { SELECT ... } subqueries."""
@@ -1438,17 +1808,32 @@ def _exec_select(triples_ds, q: dict):
                 )
         from ray.data.aggregate import Max, Mean, Min, Sum
 
+        def _is_string_agg(item) -> bool:
+            _, fn, _var, _al, distinct_i, _sep = item
+            return fn in ("SAMPLE", "GROUP_CONCAT") or (
+                fn == "COUNT" and distinct_i
+            )
+
         def prep(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
                 cols = {k: pa.array([], pa.large_string()) for k in keys}
-                for i, (_, fn, _var, _al) in enumerate(agg_items):
-                    cols[f"__a{i}"] = pa.array(
-                        [], pa.int64() if fn == "COUNT" else pa.float64()
-                    )
+                for i, item in enumerate(agg_items):
+                    fn = item[1]
+                    if _is_string_agg(item):
+                        typ = pa.large_string()
+                    elif fn == "COUNT":
+                        typ = pa.int64()
+                    else:
+                        typ = pa.float64()
+                    cols[f"__a{i}"] = pa.array([], typ)
                 return pa.table(cols)
             cols = {k: t[k].combine_chunks() for k in keys}
-            for i, (_, fn, var, _al) in enumerate(agg_items):
-                if fn == "COUNT":
+            for i, item in enumerate(agg_items):
+                _, fn, var, _al, _d, _s = item
+                if _is_string_agg(item):
+                    # the value itself travels to the aggregate
+                    col = t[var].combine_chunks().cast(pa.large_string())
+                elif fn == "COUNT":
                     col = (
                         pa.array([1] * t.num_rows, pa.int64())
                         if var is None
@@ -1462,10 +1847,20 @@ def _exec_select(triples_ds, q: dict):
 
         prepped = bindings.map_batches(prep, batch_format="pyarrow")
         agg_cls = {"COUNT": Sum, "SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}
-        aggs = [
-            agg_cls[fn](f"__a{i}", alias_name=alias)
-            for i, (_, fn, _var, alias) in enumerate(agg_items)
-        ]
+        aggs = []
+        for i, item in enumerate(agg_items):
+            _, fn, _var, alias, distinct_i, sep = item
+            col = f"__a{i}"
+            if fn == "COUNT" and distinct_i:
+                aggs.append(_agg_count_distinct(col, alias))
+            elif fn == "GROUP_CONCAT":
+                aggs.append(_agg_group_concat(col, alias, sep))
+            elif fn == "SAMPLE":
+                # deterministic SAMPLE: the minimum term (AggSample leaves
+                # the choice open; min makes runs reproducible)
+                aggs.append(Min(col, alias_name=alias))
+            else:
+                aggs.append(agg_cls[fn](col, alias_name=alias))
         if keys:
             grouped = prepped.groupby(keys).aggregate(*aggs)
             if q.get("having") is not None:
@@ -1498,7 +1893,7 @@ def _exec_select(triples_ds, q: dict):
             # SPARQL defines COUNT/SUM over the empty group as 0;
             # MIN/MAX/AVG stay unbound (None)
             zero_fns = {"COUNT", "SUM"}
-            fn_by_alias = {al: fn for (_, fn, _v, al) in agg_items}
+            fn_by_alias = {p[3]: p[1] for p in agg_items}
             vals = {
                 n: (0 if row.get(n) is None and fn_by_alias.get(n) in zero_fns
                     else row.get(n))

@@ -1648,6 +1648,114 @@ FROM nation LEFT JOIN suppliers ON nk = n_nationkey
 """
 
 
+def q_sparql_exists(sf_dir: str):
+    """FILTER EXISTS / NOT EXISTS through the text front-end (E_Exists /
+    E_NotExists over OpFilter, ExprTransformSubstitute semantics):
+    members of region-1 nations (semi join on ?n), excluding the nation
+    customer 5 lives in (anti join on ?n)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?m ?n WHERE {
+          ?m <in_nation> ?n .
+          FILTER EXISTS { ?n <in_region> "r:1" }
+          FILTER NOT EXISTS { <c:5> <in_nation> ?n }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_EXISTS = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m, n FROM members
+WHERE EXISTS (SELECT 1 FROM nation
+              WHERE 'n:' || n_nationkey = members.n AND n_regionkey = 1)
+  AND NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = 5 AND 'n:' || c_nationkey = members.n)
+"""
+
+
+def _name_triples(sf_dir: str):
+    """customer → (s_lex='c:<key>', p='name', o_lex=c_name) triple table
+    for the string-builtin front-door queries."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.scalar("c:", pa.large_string()),
+            pc.cast(t["c_custkey"], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        return pa.table(
+            {"s_lex": s,
+             "p": pa.array(["name"] * t.num_rows, pa.large_string()),
+             "o_lex": t["c_name"].combine_chunks().cast(pa.large_string())}
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_sparql_expr_funcs(sf_dir: str):
+    """Scalar-function expressions through the text front-end (E_StrUpperCase,
+    E_StrConcat, E_StrSubstring, E_StrAfter, E_Conditional, E_Multiply):
+    SELECT (expr AS ?v) projections computed as vectorized BIND columns."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _name_triples(sf_dir),
+        """
+        SELECT ?c (UCASE(?n) AS ?u) (CONCAT(?n, "!") AS ?x)
+               (SUBSTR(?n, 10) AS ?tail) (STRAFTER(?n, "#") AS ?num)
+               (IF(CONTAINS(?n, "11"), "yes", "no") AS ?has11)
+        WHERE { ?c <name> ?n . FILTER(STRENDS(?n, "1")) }
+        """,
+    )
+
+
+SQL_SPARQL_EXPR_FUNCS = """
+SELECT 'c:' || c_custkey AS c,
+       upper(c_name) AS u,
+       c_name || '!' AS x,
+       substr(c_name, 10) AS tail,
+       split_part(c_name, '#', 2) AS num,
+       CASE WHEN position('11' IN c_name) > 0 THEN 'yes' ELSE 'no' END AS has11
+FROM customer WHERE c_name LIKE '%1'
+"""
+
+
+def q_sparql_group_concat(sf_dir: str):
+    """GROUP_CONCAT + COUNT(DISTINCT) aggregates through the text
+    front-end (AggGroupConcat / AggCountVarDistinct), both as distributed
+    AggregateFn folds; within-group order pinned by sorting."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?n (GROUP_CONCAT(?m ; SEPARATOR=",") AS ?members)
+               (COUNT(DISTINCT ?m) AS ?k)
+        WHERE { ?m <in_nation> ?n . FILTER(STRSTARTS(?m, "s:")) }
+        GROUP BY ?n
+        """,
+    )
+
+
+SQL_SPARQL_GROUP_CONCAT = """
+WITH members AS (
+  SELECT 's:' || s_suppkey AS m, 'n:' || s_nationkey AS n FROM supplier
+)
+SELECT n, string_agg(m, ',' ORDER BY m) AS members,
+       CAST(count(DISTINCT m) AS BIGINT) AS k
+FROM members GROUP BY n
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -1932,6 +2040,9 @@ REGISTRY: dict[str, tuple] = {
     "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
+    "sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),
+    "sparql_expr_funcs": (q_sparql_expr_funcs, SQL_SPARQL_EXPR_FUNCS),
+    "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

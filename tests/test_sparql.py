@@ -689,3 +689,135 @@ def test_filter_not_exists_constant_pattern():
     }
     """
     assert sparql_select(G(ROWS), q).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_arithmetic_and_select_expr():
+    """E_Add/E_Multiply + SELECT (expr AS ?v) projection expressions."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p (?n * 2 + 1 AS ?m) WHERE { ?p ex:age ?n } ORDER BY ?p
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [(r["p"], r["m"]) for r in rows] == [
+        ("http://ex/a", "85"), ("http://ex/b", "15"), ("http://ex/c", "39"),
+    ]
+    q2 = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n . FILTER(?n - 50 > -10) }
+    """
+    assert [r["p"] for r in sparql_select(G(ROWS), q2).take_all()] == [
+        "http://ex/a"
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_string_builtins():
+    """UCASE/LCASE/CONCAT/SUBSTR/REPLACE/STRBEFORE/STRAFTER (E_Str*)."""
+    rows = [("http://ex/a", "http://ex/name", "Alice Smith")]
+    q = """
+    SELECT ?u ?c ?sub ?rep ?bef ?aft WHERE {
+      ?s <http://ex/name> ?v .
+      BIND(UCASE(?v) AS ?u)
+      BIND(CONCAT("x-", LCASE(?v)) AS ?c)
+      BIND(SUBSTR(?v, 7) AS ?sub)
+      BIND(REPLACE(?v, "([A-Z])", "_$1") AS ?rep)
+      BIND(STRBEFORE(?v, " ") AS ?bef)
+      BIND(STRAFTER(?v, " ") AS ?aft)
+    }
+    """
+    r = sparql_select(G(rows), q).take_all()[0]
+    assert r == {"u": "ALICE SMITH", "c": "x-alice smith", "sub": "Smith",
+                 "rep": "_Alice _Smith", "bef": "Alice", "aft": "Smith"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strbefore_strafter_absent_and_empty_arg():
+    """Spec edge cases: separator absent → "", STRAFTER(x, "") → x."""
+    rows = [("http://ex/a", "http://ex/name", "abc")]
+    q = """
+    SELECT ?bef ?aft ?bempty ?aempty WHERE {
+      ?s <http://ex/name> ?v .
+      BIND(STRBEFORE(?v, "-") AS ?bef)
+      BIND(STRAFTER(?v, "-") AS ?aft)
+      BIND(STRBEFORE(?v, "") AS ?bempty)
+      BIND(STRAFTER(?v, "") AS ?aempty)
+    }
+    """
+    r = sparql_select(G(rows), q).take_all()[0]
+    assert r == {"bef": "", "aft": "", "bempty": "", "aempty": "abc"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_coalesce_and_if():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p ?cls WHERE {
+      ?p ex:age ?n .
+      BIND(IF(?n > 18, "adult", "minor") AS ?cls)
+    } ORDER BY ?p
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["cls"] for r in rows] == ["adult", "minor", "adult"]
+    q2 = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p ?x WHERE {
+      ?p ex:age ?n .
+      OPTIONAL { ?p ex:knows ?k }
+      BIND(COALESCE(?k, "nobody") AS ?x)
+    } ORDER BY ?p
+    """
+    rows2 = sparql_select(G(ROWS), q2).take_all()
+    assert [r["x"] for r in rows2] == [
+        "http://ex/b", "http://ex/c", "nobody",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_in_and_not_in():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n . FILTER(?n IN ("42", "19")) } ORDER BY ?p
+    """
+    assert [r["p"] for r in sparql_select(G(ROWS), q).take_all()] == [
+        "http://ex/a", "http://ex/c",
+    ]
+    q2 = """
+    PREFIX ex: <http://ex/>
+    SELECT ?p WHERE { ?p ex:age ?n . FILTER(?n NOT IN ("42", "19")) }
+    """
+    assert [r["p"] for r in sparql_select(G(ROWS), q2).take_all()] == [
+        "http://ex/b"
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_numeric_builtins_via_select_expr():
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT (ROUND(2.5) AS ?r) (FLOOR(2.7) AS ?f) (CEIL(2.1) AS ?c)
+           (ABS(-3) AS ?a) (STR(7) AS ?s)
+    WHERE { <http://ex/a> ex:age ?n }
+    """
+    r = sparql_select(G(ROWS), q).take_all()[0]
+    assert r == {"r": "3", "f": "2", "c": "3", "a": "3", "s": "7"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_concat_sample_count_distinct():
+    rows = [
+        ("a", "http://ex/in", "n1"), ("b", "http://ex/in", "n1"),
+        ("c", "http://ex/in", "n2"), ("a", "http://ex/in", "n1"),
+    ]
+    q = """
+    SELECT ?nt (GROUP_CONCAT(?m ; SEPARATOR=",") AS ?members)
+           (SAMPLE(?m) AS ?one) (COUNT(DISTINCT ?m) AS ?k)
+    WHERE { ?m <http://ex/in> ?nt } GROUP BY ?nt ORDER BY ?nt
+    """
+    got = sparql_select(G(rows), q).take_all()
+    assert got == [
+        {"nt": "n1", "members": "a,a,b", "one": "a", "k": 2},
+        {"nt": "n2", "members": "c", "one": "c", "k": 1},
+    ]
+    q2 = "SELECT (COUNT(DISTINCT ?nt) AS ?k) WHERE { ?m <http://ex/in> ?nt }"
+    assert sparql_select(G(rows), q2).take_all() == [{"k": 2}]
