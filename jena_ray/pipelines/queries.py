@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..model import RDF_TYPE
+
 
 def _rd():
     import ray.data as rd
@@ -1756,6 +1758,67 @@ FROM members GROUP BY n
 """
 
 
+def q_shacl_sparql(sf_dir: str):
+    """SHACL SPARQL-based constraint (SHACL §5; jena-shacl
+    engine/SparqlConstraints.java): customers become rdf:type-tagged
+    focus nodes with an <acctbal> literal; the sh:sparql SELECT runs
+    ONCE distributed through the ops/sparql front door and an inner
+    hash join against the focus set yields one violation row per
+    negative balance."""
+    from ..stages.shacl import validate
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = pc.binary_join_element_wise(
+            pa.scalar("c:", pa.large_string()),
+            pc.cast(t["c_custkey"], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        bal = pc.cast(t["c_acctbal"], pa.large_string())
+        ls = pa.large_string()
+        typ = pa.table({
+            "s_kind": pa.array([0] * n, pa.int8()),
+            "s_lex": s,
+            "p": pa.array([RDF_TYPE] * n, ls),
+            "o_kind": pa.array([0] * n, pa.int8()),
+            "o_lex": pa.array(["http://x/Customer"] * n, ls),
+            "o_datatype": pa.array([""] * n, ls),
+            "o_lang": pa.array([""] * n, ls),
+        })
+        dat = pa.table({
+            "s_kind": pa.array([0] * n, pa.int8()),
+            "s_lex": s,
+            "p": pa.array(["http://x/acctbal"] * n, ls),
+            "o_kind": pa.array([2] * n, pa.int8()),
+            "o_lex": bal,
+            "o_datatype": pa.array(
+                ["http://www.w3.org/2001/XMLSchema#decimal"] * n, ls),
+            "o_lang": pa.array([""] * n, ls),
+        })
+        return pa.concat_tables([typ, dat])
+
+    triples = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    <http://x/S> a sh:NodeShape ;
+      sh:targetClass <http://x/Customer> ;
+      sh:sparql [
+        sh:message "negative balance" ;
+        sh:select "SELECT $this WHERE { $this <http://x/acctbal> ?v . FILTER(?v < 0) }" ;
+      ] .
+    """
+    return validate(triples, shapes)
+
+
+SQL_SHACL_SPARQL = """
+SELECT 'c:' || c_custkey AS focus, '' AS path, 'sparql' AS "constraint",
+       'negative balance' AS detail
+FROM customer WHERE c_acctbal < 0
+"""
+
+
 def q_owl_transitive_in(sf_dir: str):
     """RDFS subPropertyOf + owl:TransitiveProperty combined (rulesys
     owl-fb.rules): in_nation ⊑ in, in_region ⊑ in, in transitive — the
@@ -2043,6 +2106,7 @@ REGISTRY: dict[str, tuple] = {
     "sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),
     "sparql_expr_funcs": (q_sparql_expr_funcs, SQL_SPARQL_EXPR_FUNCS),
     "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
+    "shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),

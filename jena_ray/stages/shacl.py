@@ -17,6 +17,14 @@ core, enough for schema-shaped KG QA at scale:
 - sh:or / sh:and / sh:not (round 3): logical constraint components over
   VALUE-level operand blocks inside a property shape
   (jena-shacl engine/constraint/ShOr/ShAnd/ShNot), RDF-list operands.
+- sh:sparql (round 3): SPARQL-based constraints (SHACL §5;
+  engine/SparqlConstraints.java, constraint/SparqlConstraint.java) —
+  sh:select with $this, sh:message, sh:prefixes/sh:declare,
+  sh:deactivated. Redesigned for scale: instead of the reference's
+  per-focus-node query re-execution, each constraint query runs ONCE
+  distributed through the ops/sparql front door with ?this free, and an
+  inner hash join against the shape's distinct focus-node Dataset keeps
+  exactly the targeted solutions; every surviving row is a violation.
 - sh:node (round 3): cross-shape refs — each referenced node shape runs
   one distributed per-focus pass in dependency order and its
   (conforming, nonconforming, empty-conformance) verdict sets are
@@ -34,11 +42,25 @@ import re
 from dataclasses import dataclass, field
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL, RDF_TYPE
 from ..rdf.turtle import parse_turtle
 
 SH = "http://www.w3.org/ns/shacl#"
+
+
+@dataclass
+class SparqlConstraint:
+    """An sh:sparql SELECT constraint (SHACL §5, SPARQL-based
+    Constraints; jena-shacl engine/constraint/SparqlConstraint.java).
+    ``query`` is the full SELECT text with PREFIX lines already
+    prepended from sh:prefixes/sh:declare and ``$var`` rewritten to
+    ``?var``; every solution row is a violation for its ?this focus."""
+
+    query: str
+    message: str | None = None
 
 
 @dataclass
@@ -65,6 +87,7 @@ class NodeShape:
     target_classes: list[str] = field(default_factory=list)
     target_nodes: list[str] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
+    sparql: list[SparqlConstraint] = field(default_factory=list)
 
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -148,8 +171,42 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
                     setattr(ps, attr, int(v[0][1]))
             _fill_facets(ps, pnode, vals, parse_block)
             ns.properties.append(ps)
+        for ck, cv in vals(node, SH + "sparql"):
+            sc = _parse_sparql_constraint(spo, vals, (ck, cv))
+            if sc is not None:
+                ns.sparql.append(sc)
         shapes.append(ns)
     return shapes
+
+
+def _parse_sparql_constraint(spo, vals, cnode):
+    """sh:sparql block → SparqlConstraint
+    (engine/SparqlConstraints.parseSparqlConstraint +
+    lib/ShLib.extractSPARQLQuery): sh:select holds the query text,
+    sh:prefixes names a resource whose sh:declare blocks
+    (sh:prefix/sh:namespace) become PREFIX lines, sh:deactivated true
+    skips the constraint, ``$this``-style pre-bound variables are
+    rewritten to plain ``?this`` (the engine runs the query ONCE with
+    ?this free and semi-joins against the focus set, instead of
+    re-executing per focus node)."""
+    deact = vals(cnode, SH + "deactivated")
+    if deact and deact[0][1] == "true":
+        return None
+    sel = vals(cnode, SH + "select")
+    if not sel:
+        raise ValueError("sh:sparql block without sh:select")
+    query = sel[0][1]
+    prefix_lines = []
+    for pk, pv in vals(cnode, SH + "prefixes"):
+        for dk, dv in vals((pk, pv), SH + "declare"):
+            dnode = (dk, dv)
+            pfx = vals(dnode, SH + "prefix")
+            ns_ = vals(dnode, SH + "namespace")
+            if pfx and ns_:
+                prefix_lines.append(f"PREFIX {pfx[0][1]}: <{ns_[0][1]}>")
+    query = "\n".join(prefix_lines + [re.sub(r"\$([A-Za-z_]\w*)", r"?\1", query)])
+    msg = vals(cnode, SH + "message")
+    return SparqlConstraint(query=query, message=msg[0][1] if msg else None)
 
 
 def _check_value(ps: PropertyShape, o_kind, o_lex, o_datatype, ctx):
@@ -387,6 +444,128 @@ def _class_extents(triples_ds, classes: set[str]) -> dict[str, set]:
     return members
 
 
+def _focus_dataset(triples_ds, shape: NodeShape):
+    """Distinct focus nodes of a shape as a 1-column Dataset (``this``):
+    subjects rdf:type'd with a target class (one distributed filter
+    pass) unioned with the explicit sh:targetNode list. Stays a Dataset
+    end to end — the focus set of a targetClass over a 100 TB graph is
+    not driver-sized."""
+    import ray
+
+    parts = []
+    if shape.target_classes:
+        classes = pa.array(shape.target_classes, pa.large_string())
+
+        def scan(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(t.column("p"), RDF_TYPE),
+                pc.is_in(t.column("o_lex").cast(pa.large_string()),
+                         value_set=classes),
+            )
+            return pa.table(
+                {"this": t.filter(m).column("s_lex").combine_chunks()
+                 .cast(pa.large_string())}
+            )
+
+        parts.append(triples_ds.map_batches(scan, batch_format="pyarrow"))
+    if shape.target_nodes:
+        parts.append(ray.data.from_arrow(pa.table(
+            {"this": pa.array(shape.target_nodes, pa.large_string())}
+        )))
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def _sparql_violations(triples_ds, shapes: list[NodeShape]):
+    """All sh:sparql constraint violations as ONE Dataset with the
+    validate() schema, or None if no shape has SPARQL constraints.
+
+    Execution shape (redesigned from jena-shacl's
+    SparqlValidation.validate per-focus-node loop): each constraint
+    query runs ONCE over the whole data Dataset with ?this as a free
+    variable, then an inner hash join on ``this`` against the shape's
+    distinct focus-node Dataset keeps exactly the solutions whose focus
+    is targeted — every surviving row is a violation (SHACL §5.3)."""
+    from ..util import compact_blocks
+
+    per_constraint = []
+    for shape in shapes:
+        if not shape.sparql:
+            continue
+        focus = _focus_dataset(triples_ds, shape)
+        if focus is None:
+            continue
+        # distinct focus keys with a marker (min = dedup)
+        fkeys = compact_blocks(
+            focus.map_batches(
+                lambda t: t.append_column(
+                    "__f", pa.array([1] * t.num_rows, pa.int8())
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("this")
+            .min("__f")
+            .map_batches(
+                lambda t: pa.table(
+                    {"this": t.column("this").combine_chunks()
+                     .cast(pa.large_string()),
+                     "__f": t.column(1).combine_chunks().cast(pa.int8())}
+                )
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+        )
+        for sc in shape.sparql:
+            from ..ops.sparql import sparql_select
+
+            res = compact_blocks(sparql_select(triples_ds, sc.query))
+            if "this" not in res.schema().names:
+                raise ValueError(
+                    "sh:sparql SELECT must project $this: " + sc.query
+                )
+            n_parts = max(1, min(64, res.count() // 2_000_000))
+            joined = res.join(
+                fkeys, join_type="inner", num_partitions=n_parts,
+                on=("this",),
+            )
+            msg = sc.message or "sh:sparql constraint violation"
+
+            def to_viol(t: pa.Table, _msg=msg) -> pa.Table:
+                n = t.num_rows
+                names = t.schema.names
+                if "path" in names:
+                    path = pc.coalesce(
+                        t.column("path").combine_chunks()
+                        .cast(pa.large_string()),
+                        pa.scalar("", pa.large_string()),
+                    )
+                else:
+                    path = pa.array([""] * n, pa.large_string())
+                return pa.table({
+                    "focus": t.column("this").combine_chunks()
+                    .cast(pa.large_string()),
+                    "path": path,
+                    "constraint": pa.array(["sparql"] * n,
+                                           pa.large_string()),
+                    "detail": pa.array([_msg] * n, pa.large_string()),
+                })
+
+            per_constraint.append(
+                joined.map_batches(to_viol, batch_format="pyarrow")
+            )
+    if not per_constraint:
+        return None
+    out = per_constraint[0]
+    for p in per_constraint[1:]:
+        out = out.union(p)
+    return out
+
+
 def validate(triples_ds, shapes_ttl: str):
     """Violations Dataset (focus, path, constraint, detail)."""
     import ray
@@ -406,4 +585,6 @@ def validate(triples_ds, shapes_ttl: str):
             rows, columns=["focus", "path", "constraint", "detail"]
         )
 
-    return triples_ds.groupby("s_lex").map_groups(check, batch_format="pandas")
+    base = triples_ds.groupby("s_lex").map_groups(check, batch_format="pandas")
+    sv = _sparql_violations(triples_ds, shapes)
+    return base.union(sv) if sv is not None else base

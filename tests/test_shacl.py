@@ -181,3 +181,81 @@ def test_validate_sh_node_cross_shape():
     assert by_focus[E + "c2"] == {"node"}
     # AddrShape has a minCount, so a value with NO triples fails too
     assert by_focus[E + "c3"] == {"node"}
+
+
+SPARQL_SHAPES = '''
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+
+ex:prefixes sh:declare [ sh:prefix "ex" ; sh:namespace "http://e/" ] .
+
+ex:AccountShape a sh:NodeShape ;
+  sh:targetClass ex:Account ;
+  sh:sparql [
+    a sh:SPARQLConstraint ;
+    sh:message "negative balance" ;
+    sh:prefixes ex:prefixes ;
+    sh:select """
+      SELECT $this ?value WHERE {
+        $this ex:balance ?value .
+        FILTER(?value < 0)
+      }
+    """ ;
+  ] ;
+  sh:sparql [
+    sh:message "deactivated never fires" ;
+    sh:deactivated true ;
+    sh:select "SELECT $this WHERE { $this ?p ?o }" ;
+  ] .
+'''
+
+
+def test_parse_sparql_constraint():
+    shapes = parse_shapes(SPARQL_SHAPES)
+    (s,) = [sh for sh in shapes if sh.sparql]
+    assert len(s.sparql) == 1  # deactivated one dropped
+    sc = s.sparql[0]
+    assert "PREFIX ex: <http://e/>" in sc.query
+    assert "?this" in sc.query and "$this" not in sc.query
+    assert sc.message == "negative balance"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_sparql_constraint():
+    import ray.data as rd
+
+    data = _data([
+        (E + "a1", TYPE, 0, E + "Account", ""),
+        (E + "a1", E + "balance", 2, "100", XSD + "integer"),
+        (E + "a2", TYPE, 0, E + "Account", ""),
+        (E + "a2", E + "balance", 2, "-5", XSD + "integer"),
+        # not an Account: same violation pattern but untargeted
+        (E + "x1", E + "balance", 2, "-9", XSD + "integer"),
+    ])
+    report = validate(rd.from_arrow(data), SPARQL_SHAPES).take_all()
+    rows = [(r["focus"], r["constraint"], r["detail"]) for r in report]
+    assert rows == [(E + "a2", "sparql", "negative balance")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_sparql_target_node_and_path():
+    import ray.data as rd
+
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://e/> .
+    ex:S a sh:NodeShape ;
+      sh:targetNode ex:n1, ex:n2 ;
+      sh:sparql [ sh:select
+        "SELECT ?this WHERE { ?this <http://e/flag> ?v }" ] .
+    """
+    data = _data([
+        (E + "n1", E + "flag", 2, "1", ""),
+        (E + "n3", E + "flag", 2, "1", ""),  # untargeted
+        (E + "n2", E + "other", 2, "1", ""),  # no match
+    ])
+    report = validate(rd.from_arrow(data), shapes).take_all()
+    assert [(r["focus"], r["constraint"]) for r in report] == [
+        (E + "n1", "sparql")
+    ]
+    assert report[0]["detail"] == "sh:sparql constraint violation"
