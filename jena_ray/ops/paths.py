@@ -254,14 +254,43 @@ def _check_rounds(rounds: int, max_rounds, what: str) -> None:
         )
 
 
-def _step_contains_seq(p: Path) -> bool:
-    if isinstance(p, Seq):
+def _step_needs_seeding(p: Path) -> bool:
+    """True when a closure step must be RE-EVALUATED seeded by the
+    current frontier each round instead of being materialized once as a
+    pair relation: it contains a Seq (unseeded p∘q joins can explode
+    quadratically) or a nested closure (Star/Plus/Opt refuse to
+    evaluate unseeded at all), e.g. (p/q)*, (p*|q)+, ((p*)/q)+."""
+    if isinstance(p, (Seq, Star, Plus, Opt)):
         return True
     if isinstance(p, Inv):
-        return _step_contains_seq(p.path)
+        return _step_needs_seeding(p.path)
     if isinstance(p, Alt):
-        return any(_step_contains_seq(x) for x in p.paths)
+        return any(_step_needs_seeding(x) for x in p.paths)
     return False
+
+
+def _inv_push(p: Path) -> Path:
+    """Push an inversion through a compound path (P_Inverse algebra:
+    (p*)⁻¹=(p⁻¹)*, (p/q)⁻¹=q⁻¹/p⁻¹, (p|q)⁻¹=p⁻¹|q⁻¹, (p⁻¹)⁻¹=p,
+    !(F|^I)⁻¹=!(I|^F)). Lets ^(p*) evaluate as the seeded closure
+    (^p)* instead of demanding an unseeded inner closure."""
+    if isinstance(p, Link):
+        return Inv(p)
+    if isinstance(p, Inv):
+        return p.path
+    if isinstance(p, Alt):
+        return Alt(*[_inv_push(x) for x in p.paths])
+    if isinstance(p, Seq):
+        return Seq(*[_inv_push(x) for x in reversed(p.paths)])
+    if isinstance(p, Star):
+        return Star(_inv_push(p.path))
+    if isinstance(p, Plus):
+        return Plus(_inv_push(p.path))
+    if isinstance(p, Opt):
+        return Opt(_inv_push(p.path))
+    if isinstance(p, NegSet):
+        return NegSet(fwd=p.inv, inv=p.fwd)
+    raise TypeError(f"unknown path node {p!r}")
 
 
 def _closure(edges_ds, step: Path, seeds, include_zero: bool,
@@ -273,7 +302,7 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
     (p/q)*) is instead RE-EVALUATED seeded by the current frontier each
     round: materializing p∘q unseeded is a join whose size is unrelated
     to the reachable set and can explode quadratically."""
-    seeded_step = _step_contains_seq(step)
+    seeded_step = _step_needs_seeding(step)
     step_pairs = None if seeded_step else eval_path(edges_ds, step)
 
     def apply_step(frontier_pairs):
@@ -447,12 +476,22 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
 
         out = compact_blocks(edges_ds.map_batches(f, batch_format="pyarrow"))
     elif isinstance(path, Inv):
-        inner = eval_path(edges_ds, path.path, max_rounds=max_rounds)
-        out = compact_blocks(
-            inner.map_batches(
-                lambda t: _as_pairs(t, "end", "start"), batch_format="pyarrow"
+        if isinstance(path.path, Link):
+            inner = eval_path(edges_ds, path.path, max_rounds=max_rounds)
+            out = compact_blocks(
+                inner.map_batches(
+                    lambda t: _as_pairs(t, "end", "start"),
+                    batch_format="pyarrow",
+                )
             )
-        )
+        else:
+            # compound inverse: push the ^ down so nested closures
+            # evaluate seeded — ^(p*) becomes (^p)*, ^(p/q) becomes
+            # ^q/^p (P_Inverse algebra, see _inv_push)
+            return eval_path(
+                edges_ds, _inv_push(path.path), seeds=seeds,
+                max_rounds=max_rounds,
+            )
     elif isinstance(path, Alt):
         # with seeds each arm evaluates SEEDED (closures inside Alt work)
         parts = [

@@ -1226,9 +1226,10 @@ def _compile_path_pattern(triples_ds, pat):
     """(s, Path, o) → binding relation. Closure operators (* + ?) need a
     constant endpoint in this subset (seeded evaluation — the shape
     SPARQL engines use; an unseeded closure is O(V²)). Seeds propagate
-    through Seq and Alt (PathEval.java), so p/q*, (p/q)* and (p*|q) all
-    evaluate seeded; a closure nested inside ANOTHER closure's step is
-    out of subset (eval_path raises)."""
+    through Seq and Alt (PathEval.java), so p/q*, (p/q)* and (p*|q)
+    evaluate seeded, and closures nested inside another closure's step
+    ((p*/q)+, (p*|q)+, ^(p*)) re-evaluate the step seeded per round
+    (eval_path's _step_needs_seeding / _inv_push)."""
     s, path, o = pat
 
     def to_edges(t: pa.Table) -> pa.Table:

@@ -1274,6 +1274,48 @@ SELECT DISTINCT start, "end" FROM reach
 """
 
 
+def q_path_nested_closure(sf_dir: str):
+    """(in_nation*/in_region)+ from seed customers — a closure whose
+    step CONTAINS another closure (P_OneOrMore1 over P_Seq over
+    P_ZeroOrMore1): the step is re-evaluated seeded by the frontier
+    each round (_closure/_step_needs_seeding) instead of materializing
+    the inner closure unseeded."""
+    from ..ops.paths import Link, Plus, Seq, Star, eval_path
+
+    seeds = [f"c:{k}" for k in range(20)]
+    return eval_path(
+        _membership_edges(sf_dir),
+        Plus(Seq(Star(Link("in_nation")), Link("in_region"))),
+        seeds=seeds,
+    )
+
+
+SQL_PATH_NESTED_CLOSURE = """
+WITH RECURSIVE cn AS (
+  SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS o FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+),
+nr AS (
+  SELECT 'n:' || n_nationkey AS s, 'r:' || n_regionkey AS o FROM nation
+),
+-- the step relation in_nation*/in_region: zero in_nation hops (nr
+-- directly) or one+ (the data is bipartite, so * collapses to 0-or-1)
+step AS (
+  SELECT s, o FROM nr
+  UNION SELECT cn.s, nr.o FROM cn JOIN nr ON cn.o = nr.s
+),
+seeds AS (
+  SELECT 'c:' || c_custkey AS v FROM customer WHERE c_custkey < 20
+),
+reach(start, "end") AS (
+  SELECT seeds.v, step.o FROM seeds JOIN step ON step.s = seeds.v
+  UNION
+  SELECT r.start, step.o FROM reach r JOIN step ON step.s = r."end"
+)
+SELECT DISTINCT start, "end" FROM reach
+"""
+
+
 def q_path_inverse_seq(sf_dir: str):
     """^in_region/^in_nation from region seeds — P_Seq of two P_Inverse
     links (PathEval.java evalInverse): region → its nations → their
@@ -2088,6 +2130,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "path_2hop": (q_path_2hop, SQL_PATH_2HOP),
     "path_star_alt": (q_path_star_alt, SQL_PATH_STAR_ALT),
+    "path_nested_closure": (q_path_nested_closure, SQL_PATH_NESTED_CLOSURE),
     "path_star_seq": (q_path_star_seq, SQL_PATH_STAR_SEQ),
     "path_seq_star": (q_path_seq_star, SQL_PATH_SEQ_STAR),
     "path_inverse_seq": (q_path_inverse_seq, SQL_PATH_INVERSE_SEQ),

@@ -167,3 +167,27 @@ def test_star_of_seq_and_alt_of_closure():
     # (q|r)* from a: a-r->x; x has nothing; a-q->? none → {a, x}
     got2 = _pairs(eval_path(g, Star(Alt(Link("q"), Link("r"))), seeds=["a"]))
     assert got2 == {("a", "a"), ("a", "x")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_closure_nested_in_closure_step():
+    """A closure whose step contains another closure re-evaluates the
+    step seeded per round (_step_needs_seeding): (p*/q)+ and (p*|q)+."""
+    g = _graph()
+    # step p*/q from a: p* reaches {a,b,c,d}, only c has q (c-q->a)
+    got = _pairs(eval_path(g, Plus(Seq(Star(Link("p")), Link("q"))), seeds=["a"]))
+    assert got == {("a", "a")}
+    # (p*|q)+ from a: p* zero-length puts a in the step's range too
+    got2 = _pairs(eval_path(g, Plus(Alt(Star(Link("p")), Link("q"))), seeds=["a"]))
+    assert got2 == {("a", "a"), ("a", "b"), ("a", "c"), ("a", "d")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverse_of_compound_paths_pushed_down():
+    """^(P) for compound P rewrites via _inv_push so nested closures
+    stay seeded: ^(p*) == (^p)*, ^(p/q) == ^q/^p."""
+    g = _graph()
+    got = _pairs(eval_path(g, Inv(Star(Link("p"))), seeds=["d"]))
+    assert got == {("d", "d"), ("d", "c"), ("d", "b"), ("d", "a")}
+    got2 = _pairs(eval_path(g, Inv(Seq(Link("p"), Link("q")))))
+    assert got2 == {("a", "b")}

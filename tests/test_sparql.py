@@ -821,3 +821,29 @@ def test_group_concat_sample_count_distinct():
     ]
     q2 = "SELECT (COUNT(DISTINCT ?nt) AS ?k) WHERE { ?m <http://ex/in> ?nt }"
     assert sparql_select(G(rows), q2).take_all() == [{"k": 2}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_nested_closure_in_pattern():
+    """(knows*|age)+ — a closure inside another closure's step through
+    the front door (step re-evaluated seeded per round)."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?y WHERE { ex:a (ex:knows*|ex:age)+ ?y } ORDER BY ?y
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["y"] for r in rows] == [
+        "19", "42", "7", "http://ex/a", "http://ex/b", "http://ex/c",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_inverse_of_closure_in_pattern():
+    """^(knows+) with a constant subject: pushed down to (^knows)+ and
+    evaluated seeded from that end."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?y WHERE { ex:c ^(ex:knows+) ?y } ORDER BY ?y
+    """
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert [r["y"] for r in rows] == ["http://ex/a", "http://ex/b"]
