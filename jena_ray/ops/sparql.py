@@ -1509,7 +1509,7 @@ def _compile_group(triples_ds, group: dict, graph=None):
             rel, rel_vars = _compile_path_pattern(scoped, el[1])
             how = "inner"
         elif el[0] == "subquery":
-            rel, rel_vars = _exec_select(triples_ds, el[1])
+            rel, rel_vars = _exec_select(triples_ds, el[1], graph=graph)
             how = "inner"
         elif el[0] == "optional":
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
@@ -1782,11 +1782,23 @@ def _agg_count_distinct(col: str, alias: str):
     )
 
 
-def _exec_select(triples_ds, q: dict):
+def _exec_select(triples_ds, q: dict, graph=None):
     """Execute a parsed SELECT dict → (Dataset, projected column names).
-    Shared by the top-level form and { SELECT ... } subqueries."""
-    bindings, all_vars = _compile_group(triples_ds, q["group"])
+    Shared by the top-level form and { SELECT ... } subqueries; ``graph``
+    propagates an enclosing GRAPH scope into the subquery's patterns
+    (SPARQL 1.1 §13.3.1 — the active graph applies inside subqueries)."""
+    bindings, all_vars = _compile_group(triples_ds, q["group"], graph=graph)
     proj_items = q["project"] or [("var", v) for v in all_vars]
+    if isinstance(graph, Var) and graph.name in all_vars:
+        # GRAPH ?g { SELECT ... }: the subquery evaluates once per named
+        # graph, so the graph var rides along — implicitly projected and
+        # (when aggregating) an implicit GROUP BY key, making aggregates
+        # per-active-graph (SPARQL 1.1 §13.3 Graph(?g, P) semantics)
+        if not any(p[0] == "var" and p[1] == graph.name for p in proj_items):
+            proj_items = proj_items + [("var", graph.name)]
+        has_aggs = any(p[0] == "agg" for p in proj_items)
+        if (has_aggs or q["group_by"]) and graph.name not in q["group_by"]:
+            q = {**q, "group_by": q["group_by"] + [graph.name]}
     agg_items = [p for p in proj_items if p[0] == "agg"]
     var_items = [p[1] for p in proj_items if p[0] == "var"]
     aliases = [p[3] for p in agg_items]

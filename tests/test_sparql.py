@@ -847,3 +847,34 @@ def test_path_inverse_of_closure_in_pattern():
     """
     rows = sparql_select(G(ROWS), q).take_all()
     assert [r["y"] for r in rows] == ["http://ex/a", "http://ex/b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_scope_propagates_into_subquery():
+    """GRAPH <g> { { SELECT ... } }: the active graph applies inside the
+    subquery (SPARQL 1.1 §13.3.1)."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s ?v WHERE {
+      GRAPH <http://ex/g1> { { SELECT ?s ?v WHERE { ?s ex:p ?v } } }
+    }
+    """
+    rows = sparql_select(_quads(QROWS), q).take_all()
+    assert [(r["s"], r["v"]) for r in rows] == [("http://ex/a", "v2")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_var_subquery_aggregates_per_graph():
+    """GRAPH ?g { SELECT (COUNT(*) AS ?c) ... }: the subquery evaluates
+    once per named graph — the graph var is an implicit group key and
+    rides through the projection."""
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?g ?c WHERE {
+      GRAPH ?g { { SELECT (COUNT(*) AS ?c) WHERE { ?s ?p ?o } } }
+    } ORDER BY ?g
+    """
+    rows = sparql_select(_quads(QROWS), q).take_all()
+    assert [(r["g"], r["c"]) for r in rows] == [
+        ("http://ex/g1", 3), ("http://ex/g2", 1),
+    ]
