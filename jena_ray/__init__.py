@@ -42,3 +42,15 @@ def query(source, query_text: str):
     if isinstance(source, (str, list, tuple)):
         source = read(source)
     return sparql_query(source, query_text)
+
+
+def update(source, update_text: str):
+    """Apply a SPARQL 1.1 Update request (INSERT/DELETE DATA,
+    DELETE/INSERT WHERE, CLEAR — see ops/sparql.sparql_update) to a
+    triple Dataset or RDF file path(s) → the updated Dataset (the
+    UpdateAction.execute analog; the input is never mutated)."""
+    from .ops.sparql import sparql_update
+
+    if isinstance(source, (str, list, tuple)):
+        source = read(source)
+    return sparql_update(source, update_text)

@@ -92,7 +92,7 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|a)\b) |
+        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
@@ -201,6 +201,95 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return q
+
+    def parse_update(self) -> list[dict]:
+        """SPARQL 1.1 Update request → list of operation dicts
+        (jena-arq modify/UpdateRequest / lang/UpdateParser analog).
+        Subset: INSERT DATA, DELETE DATA, DELETE WHERE,
+        DELETE {} INSERT {} WHERE {} (either template optional),
+        CLEAR [ALL | DEFAULT | GRAPH <g>]; operations separated by ';'
+        apply sequentially. GRAPH blocks inside templates/data are not
+        in the subset (default-graph updates)."""
+        while self.kw("PREFIX"):
+            k, v = self.next()
+            pfx = v.partition(":")[0] if k == "pname" else ""
+            self.prefixes[pfx] = self.expect("iri")[1:-1]
+        ops: list[dict] = []
+        while self.peek()[0] != "eof":
+            if self.kw("CLEAR"):
+                if self.kw("ALL"):
+                    ops.append({"op": "clear", "what": "all"})
+                elif self.kw("DEFAULT"):
+                    ops.append({"op": "clear", "what": "default"})
+                elif self.kw("GRAPH"):
+                    k, v = self.next()
+                    ops.append({"op": "clear", "what": self.expand(k, v)})
+                else:
+                    raise RDFParseError(
+                        "SPARQL update: CLEAR needs ALL / DEFAULT / GRAPH <g>"
+                    )
+            elif self.kw("INSERT"):
+                if self.kw("DATA"):
+                    ops.append({"op": "insert_data",
+                                "triples": self._parse_template_block(
+                                    constant=True)})
+                else:
+                    tmpl = self._parse_template_block()
+                    self.expect("kw", "WHERE")
+                    ops.append({"op": "modify", "delete": None,
+                                "insert": tmpl, "group": self.parse_group()})
+            elif self.kw("DELETE"):
+                if self.kw("DATA"):
+                    ops.append({"op": "delete_data",
+                                "triples": self._parse_template_block(
+                                    constant=True)})
+                elif self.kw("WHERE"):
+                    grp = self.parse_group()
+                    tmpl = [pat for el in grp["elements"] if el[0] == "bgp"
+                            for pat in el[1]]
+                    if not tmpl:
+                        raise RDFParseError(
+                            "SPARQL update: DELETE WHERE needs triple "
+                            "patterns")
+                    ops.append({"op": "modify", "delete": tmpl,
+                                "insert": None, "group": grp})
+                else:
+                    dt = self._parse_template_block()
+                    ins = None
+                    if self.kw("INSERT"):
+                        ins = self._parse_template_block()
+                    self.expect("kw", "WHERE")
+                    ops.append({"op": "modify", "delete": dt, "insert": ins,
+                                "group": self.parse_group()})
+            else:
+                raise RDFParseError(
+                    f"SPARQL update: unexpected token {self.peek()[1]!r}")
+            if self.peek() == ("op", ";"):
+                self.next()
+        if not ops:
+            raise RDFParseError("SPARQL update: empty request")
+        return ops
+
+    def _parse_template_block(self, constant: bool = False) -> list:
+        """{ pattern . pattern . } — a quad-free triple template
+        (UpdateDataInsert/QuadDataAcc analog). With ``constant=True``
+        variables are rejected (INSERT/DELETE DATA takes ground
+        triples)."""
+        self.expect("op", "{")
+        template = []
+        while self.peek() != ("op", "}"):
+            pat = self.parse_pattern()
+            if isinstance(pat[1], _paths.Path):
+                raise RDFParseError(
+                    "SPARQL update: property paths not allowed in templates")
+            if constant and any(isinstance(x, Var) for x in pat):
+                raise RDFParseError(
+                    "SPARQL update: INSERT/DELETE DATA takes ground triples")
+            template.append(pat)
+            while self.peek() == ("op", "."):
+                self.next()
+        self.next()
+        return template
 
     def parse_select_rest(self) -> dict:
         """SELECT ... WHERE ... [GROUP BY/HAVING/ORDER/LIMIT/OFFSET] —
@@ -1658,7 +1747,20 @@ def sparql_construct(triples_ds, query_text: str):
     if q["form"] != "construct":
         raise RDFParseError("sparql_construct: not a CONSTRUCT query")
     bindings, all_vars = _compile_group(triples_ds, q["group"])
-    template = q["template"]
+    out = _instantiate_template(bindings, all_vars, q["template"], "construct")
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def _instantiate_template(bindings, all_vars, template, doc_id: str):
+    """Binding relation × triple template → TRIPLE_SCHEMA Dataset
+    (shared by CONSTRUCT and the update INSERT/DELETE templates; the
+    reference's TemplateLib.subst). Template constants are IRIs; bound
+    values whose lexical form is not IRI-shaped become plain literals;
+    rows with an unbound template var emit no triple."""
+    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
+
     for pat in template:
         for x in pat:
             if isinstance(x, Var) and x.name not in all_vars:
@@ -1687,16 +1789,150 @@ def sparql_construct(triples_ds, query_text: str):
                     cols["o_datatype"].append("" if o_is_iri else XSD_STRING)
                     cols["o_lang"].append("")
                     cols["g"].append("")
-                    cols["doc_id"].append("construct")
+                    cols["doc_id"].append(doc_id)
         return pa.Table.from_arrays(
             [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
             schema=TRIPLE_SCHEMA,
         )
 
-    out = bindings.map_batches(emit, batch_format="pyarrow")
-    if q["limit"] is not None:
-        out = out.limit(q["limit"])
-    return out
+    return bindings.map_batches(emit, batch_format="pyarrow")
+
+
+def _ground_triples_table(template) -> pa.Table:
+    """Ground INSERT/DELETE DATA triples → TRIPLE_SCHEMA arrow table."""
+    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
+
+    cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
+    for s, p, o in template:
+        o_is_iri = isinstance(o, str) and o.startswith(
+            ("http://", "https://", "urn:", "file://")
+        )
+        cols["s_kind"].append(KIND_IRI)
+        cols["s_lex"].append(s)
+        cols["p"].append(p)
+        cols["o_kind"].append(KIND_IRI if o_is_iri else KIND_LITERAL)
+        cols["o_lex"].append(o)
+        cols["o_datatype"].append("" if o_is_iri else XSD_STRING)
+        cols["o_lang"].append("")
+        cols["g"].append("")
+        cols["doc_id"].append("update")
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+_DEL_KEY = ["s_lex", "p", "o_lex"]
+
+
+def _delete_triples(store, del_ds):
+    """Remove every store row whose (s_lex, p, o_lex) key appears in
+    ``del_ds`` — a distributed marker anti-join (set-semantics DELETE:
+    all copies of a matched triple go, whatever their doc_id/graph).
+    The delete side is deduped to distinct keys first so the join
+    can't fan out."""
+    from ..util import compact_blocks
+
+    keys = compact_blocks(
+        del_ds.map_batches(
+            lambda t: pa.table(
+                {**{c: t[c].combine_chunks().cast(pa.large_string())
+                    for c in _DEL_KEY}}
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .groupby(_DEL_KEY)
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {**{c: t[c].combine_chunks().cast(pa.large_string())
+                    for c in _DEL_KEY},
+                 "__del": pa.array([1] * t.num_rows, pa.int8())}
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+    left = compact_blocks(store)
+    if keys.count() == 0 or left.count() == 0:
+        return left
+    n_parts = max(1, min(64, left.count() // 2_000_000))
+    joined = left.join(keys, join_type="left_outer",
+                       num_partitions=n_parts, on=tuple(_DEL_KEY))
+
+    def sieve(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        keep = t.filter(pc.is_null(t["__del"]))
+        return keep.drop_columns(["__del"])
+
+    return joined.map_batches(sieve, batch_format="pyarrow")
+
+
+def sparql_update(triples_ds, update_text: str):
+    """SPARQL 1.1 Update over the triple Dataset → updated Dataset
+    (jena-arq UpdateAction.execute / modify/UpdateEngineWorker rebuilt on
+    Dataset algebra). Subset: INSERT DATA / DELETE DATA (ground,
+    default graph), DELETE WHERE, DELETE {} INSERT {} WHERE {}, CLEAR;
+    ';'-separated operations apply sequentially, each seeing its
+    predecessors' effects (§3.1.3: within one modify, WHERE evaluates
+    against the pre-state, deletes apply before inserts).
+
+    Execution shape: INSERT = union + hash-partitioned exact dedup
+    (set semantics); DELETE = distinct-key marker anti-join; templates
+    instantiate over the WHERE bindings with the CONSTRUCT machinery.
+    Everything stays a Dataset — no driver-sized state."""
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+
+    ops = _Parser(update_text).parse_update()
+    store = triples_ds
+    for op in ops:
+        if op["op"] == "clear":
+            what = op["what"]
+            if what == "all":
+                from ..model import TRIPLE_SCHEMA
+
+                store = rd.from_arrow(TRIPLE_SCHEMA.empty_table())
+            elif what == "default":
+                store = store.map_batches(
+                    lambda t: t.filter(pc.not_equal(t["g"], ""))
+                    if t.num_columns
+                    else t,
+                    batch_format="pyarrow",
+                )
+            else:
+                store = store.map_batches(
+                    lambda t, _g=what: t.filter(pc.not_equal(t["g"], _g))
+                    if t.num_columns
+                    else t,
+                    batch_format="pyarrow",
+                )
+        elif op["op"] == "insert_data":
+            add = rd.from_arrow(_ground_triples_table(op["triples"]))
+            store = exact_dedup(store.union(add))
+        elif op["op"] == "delete_data":
+            dels = rd.from_arrow(_ground_triples_table(op["triples"]))
+            store = _delete_triples(store, dels)
+        elif op["op"] == "modify":
+            bindings, all_vars = _compile_group(store, op["group"])
+            pre = store
+            if op["delete"]:
+                dels = _instantiate_template(
+                    bindings, all_vars, op["delete"], "update")
+                store = _delete_triples(store, dels)
+            if op["insert"]:
+                ins = _instantiate_template(
+                    bindings, all_vars, op["insert"], "update")
+                store = exact_dedup(store.union(ins))
+            del pre
+        else:  # pragma: no cover
+            raise RDFParseError(f"SPARQL update: unknown op {op['op']!r}")
+    return store
 
 
 def sparql_describe(triples_ds, query_text: str):

@@ -1800,6 +1800,63 @@ FROM members GROUP BY n
 """
 
 
+def q_sparql_update(sf_dir: str):
+    """SPARQL 1.1 Update through the front door (UpdateEngineWorker
+    analog): suppliers' in_nation edges are rewritten to moved_to via
+    DELETE/INSERT WHERE — a distributed marker anti-join for the delete
+    half and union + hash-partitioned exact dedup for the insert half."""
+    from ..model import TRIPLE_SCHEMA
+    from ..ops.sparql import sparql_update
+
+    def widen(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ls = pa.large_string()
+        return pa.Table.from_arrays(
+            [
+                pa.array([0] * n, pa.int8()),
+                t["s"].combine_chunks().cast(ls),
+                t["p"].combine_chunks().cast(ls),
+                pa.array([2] * n, pa.int8()),
+                t["o"].combine_chunks().cast(ls),
+                pa.array([""] * n, ls),
+                pa.array([""] * n, ls),
+                pa.array([""] * n, ls),
+                pa.array(["d0"] * n, ls),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    store = _membership_edges(sf_dir).map_batches(widen, batch_format="pyarrow")
+    out = sparql_update(
+        store,
+        """
+        DELETE { ?m <in_nation> ?n } INSERT { ?m <moved_to> ?n }
+        WHERE { ?m <in_nation> ?n . FILTER(STRSTARTS(?m, "s:")) }
+        """,
+    )
+    return out.map_batches(
+        lambda t: t.select(["s_lex", "p", "o_lex"]) if t.num_columns else t,
+        batch_format="pyarrow",
+    )
+
+
+SQL_SPARQL_UPDATE = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+),
+base AS (
+  SELECT m AS s_lex, 'in_nation' AS p, n AS o_lex FROM members
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey FROM nation
+)
+SELECT s_lex, p, o_lex FROM base
+WHERE NOT (p = 'in_nation' AND s_lex LIKE 's:%')
+UNION ALL
+SELECT m, 'moved_to', n FROM members WHERE m LIKE 's:%'
+"""
+
+
 def q_shacl_sparql(sf_dir: str):
     """SHACL SPARQL-based constraint (SHACL §5; jena-shacl
     engine/SparqlConstraints.java): customers become rdf:type-tagged
@@ -2150,6 +2207,7 @@ REGISTRY: dict[str, tuple] = {
     "sparql_expr_funcs": (q_sparql_expr_funcs, SQL_SPARQL_EXPR_FUNCS),
     "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
     "shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
+    "sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
