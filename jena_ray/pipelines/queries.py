@@ -2081,6 +2081,80 @@ FROM customer WHERE c_acctbal >= 7500
 """
 
 
+def q_rule_builtins(sf_dir: str):
+    """Binder + noValue builtins in the forward-rule engine
+    (reasoner/rulesys/builtins/ Sum.java, StrConcat.java, NoValue.java):
+    per customer, sum the custkey and nationkey literals into a derived
+    integer triple, tag nation-0 customers, and derive a default tag via
+    negation-as-failure for everyone else."""
+    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
+    from ..stages.rules import forward_chain
+
+    def lit_triples(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = pc.binary_join_element_wise(
+            pa.scalar("c:", pa.large_string()),
+            pc.cast(t["c_custkey"], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        ls = pa.large_string()
+
+        def one(pred, col):
+            return pa.Table.from_arrays(
+                [
+                    pa.array([KIND_IRI] * n, pa.int8()),
+                    s,
+                    pa.array([pred] * n, ls),
+                    pa.array([KIND_LITERAL] * n, pa.int8()),
+                    pc.cast(t[col], ls),
+                    pa.array(
+                        ["http://www.w3.org/2001/XMLSchema#integer"] * n, ls),
+                    pa.array([""] * n, ls),
+                    pa.array([""] * n, ls),
+                    pa.array(["m"] * n, ls),
+                ],
+                schema=TRIPLE_SCHEMA,
+            )
+
+        return pa.concat_tables(
+            [one("key", "c_custkey"), one("nk", "c_nationkey")]
+        )
+
+    triples = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lit_triples, batch_format="pyarrow"
+    )
+    rules = """
+    [tot: (?c <key> ?k) (?c <nk> ?n) sum(?k ?n ?t) -> (?c <tot> ?t)]
+    [z: (?c <nk> '0'^^<http://www.w3.org/2001/XMLSchema#integer>)
+        -> (?c <tag> 'zero')]
+    [d: (?c <key> ?k) noValue(?c <nk> '0') -> (?c <tag> 'other')]
+    """
+    out = forward_chain(triples, rules)
+
+    def project(t: pa.Table) -> pa.Table:
+        x = t.filter(pc.is_in(t["p"], value_set=pa.array(["tot", "tag"])))
+        return pa.table(
+            {
+                "s": x["s_lex"].combine_chunks().cast(pa.large_string()),
+                "p": x["p"].combine_chunks().cast(pa.large_string()),
+                "o": x["o_lex"].combine_chunks().cast(pa.large_string()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_RULE_BUILTINS = """
+SELECT 'c:' || c_custkey AS s, 'tot' AS p,
+       CAST(c_custkey + c_nationkey AS VARCHAR) AS o
+FROM customer
+UNION ALL
+SELECT 'c:' || c_custkey, 'tag',
+       CASE WHEN c_nationkey = 0 THEN 'zero' ELSE 'other' END
+FROM customer
+"""
+
+
 def q_bgp_match(sf_dir: str):
     """BGP solve (OpExecutor.java:127, StageMatchTriple.java):
     { ?c in_nation ?n . ?n in_region ?r } with a constant-object filter —
@@ -2196,6 +2270,7 @@ REGISTRY: dict[str, tuple] = {
     "bgp_star_join": (q_bgp_star_join, SQL_BGP_STAR_JOIN),
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
     "rule_forward_chain": (q_rule_forward_chain, SQL_RULE_FORWARD_CHAIN),
+    "rule_builtins": (q_rule_builtins, SQL_RULE_BUILTINS),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
     "sparql_filter_typed": (q_sparql_filter_typed, SQL_SPARQL_FILTER_TYPED),

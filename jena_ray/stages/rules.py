@@ -9,11 +9,19 @@ Implemented subset:
   bodies and heads, optional rule name, commas-as-whitespace
 - terms: ``?var``, ``<iri>``, ``prefix:local``, quoted literals with
   optional ``^^dt`` / ``@lang``, bare integers/decimals
-- builtin guards evaluated vectorized on the binding table:
-  ``equal / notEqual`` (lexical), ``lessThan / greaterThan / le / ge``
-  (numeric) — the most-used slice of reasoner/rulesys/builtins/
+- builtin clauses evaluated vectorized on the binding table, in file
+  order (reasoner/rulesys/builtins/):
+  - filters: ``equal notEqual`` (lexical), ``lessThan greaterThan le
+    ge`` (numeric), ``isLiteral notLiteral isBNode notBNode isURI
+    notURI isIRI`` (term-kind masks), ``regex`` (constant pattern)
+  - binders (bind their LAST arg; ``makeSkolem`` its first): ``sum
+    difference product quotient min max addOne`` (integer-preserving),
+    ``strConcat uriConcat``, ``makeSkolem`` (deterministic hash IRI)
+  - ``noValue(s, p, o)`` — negation as failure via a distinct-key
+    marker anti-join against the current graph, per round
 - NOT in subset (documented): functors, backward (``<-``) rules,
-  embedded rules, ``@include``, the remaining builtin library
+  embedded rules, ``@include``, head-position builtins, ``table``/
+  ``tableAll`` hints (no RETE memories to hint)
 
 Ray realization: each round evaluates every rule body as a BGP over the
 current graph (ops/bgp.match_bgp — chained hash joins with the planner's
@@ -75,7 +83,22 @@ class Rule:
     head: list = field(default_factory=list)  # [(term, term, term)]
 
 
-BUILTINS = {"equal", "notEqual", "lessThan", "greaterThan", "le", "ge"}
+# filter builtins: vectorized row masks over the binding table
+FILTER_BUILTINS = {
+    "equal", "notEqual", "lessThan", "greaterThan", "le", "ge",
+    "isLiteral", "notLiteral", "isBNode", "notBNode", "isURI", "notURI",
+    "isIRI", "regex",
+}
+# binder builtins: append a NEW bound column (last arg is the target,
+# except makeSkolem which binds its first — reasoner/rulesys/builtins/
+# Sum.java, AddOne.java, StrConcat.java, MakeSkolem.java)
+BINDER_BUILTINS = {
+    "sum", "addOne", "difference", "product", "quotient", "min", "max",
+    "strConcat", "uriConcat", "makeSkolem",
+}
+# graph-context builtins: need an anti-join against the current graph
+GRAPH_BUILTINS = {"noValue"}
+BUILTINS = FILTER_BUILTINS | BINDER_BUILTINS | GRAPH_BUILTINS
 
 _TOKEN = re.compile(
     r"""
@@ -254,26 +277,59 @@ def parse_rules(text: str) -> list[Rule]:
 # --------------------------------------------------------------------------
 
 
-def _guard_mask(t: pa.Table, g: Builtin):
-    def col(arg, numeric: bool):
-        if isinstance(arg, Var):
-            c = t[arg.name].combine_chunks().cast(pa.large_string())
-        else:
-            c = pa.array([arg.lex] * t.num_rows, pa.large_string())
-        if numeric:
-            # invalid lexicals → null (Arrow cast would raise), so a
-            # numeric guard over a non-numeric binding fails, not crashes
-            valid = pc.match_substring_regex(
-                c, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
-            )
-            return pc.cast(
-                pc.if_else(valid, c, pa.scalar(None, pa.large_string())),
-                pa.float64(),
-            )
-        return c
+_NUM_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+_INT_RE = r"^[+-]?\d+$"
 
+
+def _lex_col(t: pa.Table, arg):
+    if isinstance(arg, Var):
+        return t[arg.name].combine_chunks().cast(pa.large_string())
+    return pa.array([arg.lex] * t.num_rows, pa.large_string())
+
+
+def _num_col(t: pa.Table, arg):
+    """Lexical → float64; invalid lexicals → null (a numeric builtin
+    over a non-numeric binding fails the clause, not crashes)."""
+    c = _lex_col(t, arg)
+    valid = pc.match_substring_regex(c, _NUM_RE)
+    return pc.cast(
+        pc.if_else(valid, c, pa.scalar(None, pa.large_string())),
+        pa.float64(),
+    )
+
+
+def _kind_col(t: pa.Table, arg):
+    if isinstance(arg, Var):
+        kc = meta_cols_of(arg.name)[0]
+        if kc in t.schema.names:
+            return t[kc].combine_chunks().cast(pa.int8())
+        return pa.array([KIND_IRI] * t.num_rows, pa.int8())
+    kv = KIND_IRI if arg.kind == IRI else KIND_LITERAL
+    return pa.array([kv] * t.num_rows, pa.int8())
+
+
+def _guard_mask(t: pa.Table, g: Builtin):
+    from ..model import KIND_BNODE
+
+    if g.name in ("isLiteral", "notLiteral", "isBNode", "notBNode",
+                  "isURI", "notURI", "isIRI"):
+        k = _kind_col(t, g.args[0])
+        want = {"isLiteral": KIND_LITERAL, "notLiteral": KIND_LITERAL,
+                "isBNode": KIND_BNODE, "notBNode": KIND_BNODE,
+                "isURI": KIND_IRI, "notURI": KIND_IRI,
+                "isIRI": KIND_IRI}[g.name]
+        m = pc.equal(k, pa.scalar(want, pa.int8()))
+        return pc.invert(m) if g.name.startswith("not") else m
+    if g.name == "regex":
+        if not isinstance(g.args[1], Const):
+            raise ValueError("regex: pattern must be a constant")
+        return pc.fill_null(
+            pc.match_substring_regex(_lex_col(t, g.args[0]), g.args[1].lex),
+            False,
+        )
     numeric = g.name in ("lessThan", "greaterThan", "le", "ge")
-    a, b = col(g.args[0], numeric), col(g.args[1], numeric)
+    col = _num_col if numeric else _lex_col
+    a, b = col(t, g.args[0]), col(t, g.args[1])
     op = {
         "equal": pc.equal,
         "notEqual": pc.not_equal,
@@ -286,20 +342,184 @@ def _guard_mask(t: pa.Table, g: Builtin):
     return pc.fill_null(op(a, b), False)
 
 
-def _apply_guards(bindings_ds, guards: list[Builtin]):
+def _append_binding(t: pa.Table, var: Var, lex, kind_val: int, dt: str):
+    """Append the 4 columns of a freshly bound var; rows where the
+    computed value is null are dropped (clause failure, Jena-style)."""
+    n = t.num_rows
+    t = t.append_column(var.name, lex)
+    kc, dc, lc = meta_cols_of(var.name)
+    t = t.append_column(kc, pa.array([kind_val] * n, pa.int8()))
+    t = t.append_column(dc, pa.array([dt] * n, pa.large_string()))
+    t = t.append_column(lc, pa.array([""] * n, pa.large_string()))
+    return t.filter(pc.is_valid(t[var.name]))
+
+
+def _bind_builtin(t: pa.Table, g: Builtin):
+    """Binder builtins (Sum.java family): compute a new column from the
+    argument columns. Numeric results stay integer-typed when every
+    numeric operand is integer-lexical (Jena's promoted-type rule)."""
+    if g.name == "makeSkolem":
+        # makeSkolem(?out, ?a, ?b ...) — deterministic skolem IRI from
+        # the argument lexicals (MakeSkolem.java uses a BLAKE digest of
+        # the same inputs)
+        import hashlib
+
+        target = g.args[0]
+        if not isinstance(target, Var):
+            raise ValueError("makeSkolem: first arg must be a variable")
+        parts = [_lex_col(t, a).to_pylist() for a in g.args[1:]]
+        out = [
+            "urn:skolem:" + hashlib.sha1("\x1f".join(row).encode()).hexdigest()
+            for row in zip(*parts)
+        ] if parts else []
+        return _append_binding(
+            t, target, pa.array(out, pa.large_string()), KIND_IRI, "")
+    target = g.args[-1]
+    if not isinstance(target, Var):
+        raise ValueError(f"{g.name}: last arg must be the target variable")
+    srcs = g.args[:-1]
+    if g.name in ("strConcat", "uriConcat"):
+        cols = [_lex_col(t, a) for a in srcs]
+        lex = pc.binary_join_element_wise(
+            *cols, pa.scalar("", pa.large_string()))
+        if g.name == "uriConcat":
+            return _append_binding(t, target, lex, KIND_IRI, "")
+        return _append_binding(
+            t, target, lex, KIND_LITERAL, XSD + "string")
+    # numeric family
+    if g.name == "addOne":
+        a = _num_col(t, srcs[0])
+        val = pc.add(a, pa.scalar(1.0))
+        all_int = pc.match_substring_regex(_lex_col(t, srcs[0]), _INT_RE)
+    else:
+        a, b = _num_col(t, srcs[0]), _num_col(t, srcs[1])
+        val = {
+            "sum": pc.add, "difference": pc.subtract,
+            "product": pc.multiply, "quotient": pc.divide,
+            "min": pc.min_element_wise, "max": pc.max_element_wise,
+        }[g.name](a, b)
+        all_int = pc.and_(
+            pc.match_substring_regex(_lex_col(t, srcs[0]), _INT_RE),
+            pc.match_substring_regex(_lex_col(t, srcs[1]), _INT_RE),
+        )
+    if g.name == "quotient":
+        all_int = pa.array([False] * t.num_rows)
+    int_lex = pc.cast(pc.cast(val, pa.int64(), safe=False), pa.large_string())
+    dec_lex = pc.cast(val, pa.large_string())
+    lex = pc.if_else(pc.fill_null(all_int, False), int_lex, dec_lex)
+    lex = pc.if_else(pc.is_valid(val), lex, pa.scalar(None, pa.large_string()))
+    dt_int = pc.fill_null(all_int, False)
+    # datatype column must be per-row; _append_binding takes one dt, so
+    # split is avoided by picking integer iff every row is integer —
+    # mixed batches fall back to decimal for all rows (documented)
+    dt = XSD + ("integer" if pc.all(dt_int).as_py() and t.num_rows else "decimal")
+    return _append_binding(t, target, lex, KIND_LITERAL, dt)
+
+
+def _novalue(bindings_ds, g: Builtin, graph):
+    """noValue(s, p, o) — negation as failure (NoValue.java): keep
+    bindings for which the graph holds NO matching triple. A distinct
+    instantiated key table is marker-anti-joined against the graph."""
+    from ..util import compact_blocks
+
+    if len(g.args) != 3:
+        raise ValueError("noValue takes (s, p, o) in this subset")
+
+    left = compact_blocks(bindings_ds)
+    if left.count() == 0:
+        return left
+    gkeys = compact_blocks(
+        graph.map_batches(
+            lambda t: pa.table({
+                "__nv_s": t["s_lex"].combine_chunks().cast(pa.large_string()),
+                "__nv_p": t["p"].combine_chunks().cast(pa.large_string()),
+                "__nv_o": t["o_lex"].combine_chunks().cast(pa.large_string()),
+            })
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        .groupby(["__nv_s", "__nv_p", "__nv_o"])
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "__nv_s": t["__nv_s"].combine_chunks().cast(pa.large_string()),
+                "__nv_p": t["__nv_p"].combine_chunks().cast(pa.large_string()),
+                "__nv_o": t["__nv_o"].combine_chunks().cast(pa.large_string()),
+                "__hit": pa.array([1] * t.num_rows, pa.int8()),
+            })
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    )
+
+    def with_keys(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        t = t.append_column("__nv_s", _lex_col(t, g.args[0]))
+        t = t.append_column("__nv_p", _lex_col(t, g.args[1]))
+        return t.append_column("__nv_o", _lex_col(t, g.args[2]))
+
+    keyed = compact_blocks(left.map_batches(with_keys, batch_format="pyarrow"))
+    if gkeys.count() == 0:
+        return keyed.map_batches(
+            lambda t: t.drop_columns(["__nv_s", "__nv_p", "__nv_o"])
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+    n_parts = max(1, min(64, keyed.count() // 2_000_000))
+    joined = keyed.join(gkeys, join_type="left_outer",
+                        num_partitions=n_parts,
+                        on=("__nv_s", "__nv_p", "__nv_o"))
+
+    def sieve(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        keep = t.filter(pc.is_null(t["__hit"]))
+        return keep.drop_columns(["__nv_s", "__nv_p", "__nv_o", "__hit"])
+
+    return joined.map_batches(sieve, batch_format="pyarrow")
+
+
+def _apply_guards(bindings_ds, guards: list[Builtin], graph=None):
+    """Fold the rule's builtin clauses over the binding table in file
+    order: filters mask rows, binders append columns, noValue breaks the
+    vectorized run with a graph anti-join."""
     if not guards:
         return bindings_ds
 
-    def kern(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or t.num_rows == 0:
+    def fused(run):
+        def kern(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return t
+            for g in run:
+                if g.name in BINDER_BUILTINS:
+                    t = _bind_builtin(t, g)
+                else:
+                    t = t.filter(_guard_mask(t, g))
+                if t.num_rows == 0:
+                    break
             return t
-        mask = None
-        for g in guards:
-            m = _guard_mask(t, g)
-            mask = m if mask is None else pc.and_(mask, m)
-        return t.filter(mask)
 
-    return bindings_ds.map_batches(kern, batch_format="pyarrow")
+        return kern
+
+    ds = bindings_ds
+    run: list[Builtin] = []
+    for g in guards:
+        if g.name in GRAPH_BUILTINS:
+            if run:
+                ds = ds.map_batches(fused(run), batch_format="pyarrow")
+                run = []
+            if graph is None:
+                raise ValueError("noValue needs the graph context")
+            ds = _novalue(ds, g, graph)
+        else:
+            run.append(g)
+    if run:
+        ds = ds.map_batches(fused(run), batch_format="pyarrow")
+    return ds
 
 
 def _instantiate(head: list, rule_name: str):
@@ -400,7 +620,7 @@ def forward_chain(triples_ds, rules, *, max_rounds: int | None = None):
         cands = []
         for idx, rule in enumerate(rules):
             b = match_bgp(graph, [bgp_pat(p) for p in rule.body], with_meta=True)
-            b = _apply_guards(b, rule.guards)
+            b = _apply_guards(b, rule.guards, graph=graph)
             # compact: drop empty pass-through blocks that kept the
             # BINDING schema (map_batches skips empty blocks without
             # invoking the UDF — they would poison the union/groupby)

@@ -154,3 +154,74 @@ def test_forward_chain_round_cap_raises():
             "[t: (?a ex:p ?b) (?b ex:p ?c) -> (?a ex:p ?c)]",
             max_rounds=1,
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binder_builtins_numeric_and_string():
+    """sum/product bind their last arg (integer-preserving); strConcat /
+    uriConcat / makeSkolem produce derived terms (Sum.java family)."""
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", E + "w", KIND_LITERAL, "3", XSD + "integer"),
+        (E + "a", E + "h", KIND_LITERAL, "4", XSD + "integer"),
+    ])
+    rules = """
+    @prefix ex: <http://e/> .
+    [area: (?x ex:w ?w) (?x ex:h ?h) product(?w ?h ?a) -> (?x ex:area ?a)]
+    [lbl: (?x ex:w ?w) strConcat("w=" ?w ?s) -> (?x ex:label ?s)]
+    [sk: (?x ex:w ?w) makeSkolem(?n ?x ?w) -> (?x ex:node ?n)]
+    """
+    out = forward_chain(rd.from_arrow(data), rules)
+    rows = {(r["p"], r["o_lex"]) for r in out.take_all()
+            if r["s_lex"] == E + "a"}
+    assert (E + "area", "12") in rows
+    assert (E + "label", "w=3") in rows
+    skolems = [o for p, o in rows if p == E + "node"]
+    assert len(skolems) == 1 and skolems[0].startswith("urn:skolem:")
+    # derived area is integer-typed (both operands integer lexicals)
+    area = [r for r in out.take_all() if r["p"] == E + "area"]
+    assert area[0]["o_datatype"] == XSD + "integer"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kind_filters_and_regex():
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", E + "v", KIND_LITERAL, "hello", ""),
+        (E + "b", E + "v", KIND_IRI, E + "thing", ""),
+    ])
+    rules = """
+    @prefix ex: <http://e/> .
+    [l: (?x ex:v ?v) isLiteral(?v) regex(?v "^h") -> (?x ex:lit "y")]
+    [u: (?x ex:v ?v) isURI(?v) -> (?x ex:uri "y")]
+    """
+    out = forward_chain(rd.from_arrow(data), rules)
+    got = {(r["s_lex"], r["p"]) for r in out.take_all()
+           if r["p"] in (E + "lit", E + "uri")}
+    assert got == {(E + "a", E + "lit"), (E + "b", E + "uri")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_novalue_negation_as_failure():
+    """noValue guards derive defaults only where the graph lacks the
+    triple (NoValue.java) — and the fixpoint stays stable because the
+    derived triple satisfies the guard in the next round."""
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", TYPE, KIND_IRI, E + "Person", ""),
+        (E + "b", TYPE, KIND_IRI, E + "Person", ""),
+        (E + "a", E + "status", KIND_LITERAL, "vip", ""),
+    ])
+    rules = """
+    @prefix ex: <http://e/> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    [d: (?x rdf:type ex:Person) noValue(?x ex:status "vip")
+        -> (?x ex:status "default")]
+    """
+    out = forward_chain(rd.from_arrow(data), rules)
+    status = {(r["s_lex"], r["o_lex"]) for r in out.take_all()
+              if r["p"] == E + "status"}
+    assert status == {(E + "a", "vip"), (E + "b", "default")}
