@@ -80,6 +80,9 @@ def run_bench(sf_dir: str, num_cpus: int, reps: int) -> dict:
         "sparql_select",
         "path_star_alt",
         "owl_transitive_in",
+        # round-3 operator families
+        "sparql_update",
+        "rule_forward_chain",
     ):
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()

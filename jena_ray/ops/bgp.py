@@ -63,8 +63,11 @@ def _pattern_vars(pat) -> list[str]:
 
 def _order_patterns(patterns):
     """Greedy connected ordering: seed = most constants; each next pattern
-    must share a variable with the prefix. Raises on disconnected BGPs
-    (a cartesian product — express it as two BGPs + a driver combine)."""
+    must share a variable with the prefix when possible. A disconnected
+    BGP (no pattern shares a variable — a cartesian product, which
+    SPARQL permits) appends the most-constant remaining pattern and the
+    join chain cross-joins it; scale note: the product is the query's
+    own semantics, output size multiplies."""
     pats = list(patterns)
     if not pats:
         return []
@@ -78,10 +81,8 @@ def _order_patterns(patterns):
                 bound |= set(_pattern_vars(ordered[-1]))
                 break
         else:
-            raise ValueError(
-                "disconnected BGP (cartesian product): no pattern shares a "
-                f"variable with the prefix; remaining {pats!r}"
-            )
+            ordered.append(pats.pop(0))
+            bound |= set(_pattern_vars(ordered[-1]))
     return ordered
 
 
@@ -315,7 +316,30 @@ def match_bgp(triples_ds, patterns, *, distinct: bool = False,
             acc = rd.from_arrow(pa.table(cols))
             acc_vars |= set(_pattern_vars(pat)) | gvars
             continue
-        if min(n_acc, n_nxt) <= BGP_BROADCAST_ROWS:
+        if not shared:
+            # disconnected component: cartesian product via a constant
+            # join key (SPARQL permits it; the multiply is the query's
+            # own semantics)
+            def _tag_cross(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0:
+                    return t
+                return t.append_column(
+                    "__cross", pa.array([1] * t.num_rows, pa.int8()))
+
+            lc = compact_blocks(acc.map_batches(
+                _tag_cross, batch_format="pyarrow"))
+            rc = compact_blocks(nxt.map_batches(
+                _tag_cross, batch_format="pyarrow"))
+            acc = compact_blocks(
+                lc.join(rc, join_type="inner", num_partitions=1,
+                        on=("__cross",))
+            ).map_batches(
+                lambda t: t.drop_columns(["__cross"])
+                if t.num_columns and "__cross" in t.schema.names
+                else t,
+                batch_format="pyarrow",
+            )
+        elif min(n_acc, n_nxt) <= BGP_BROADCAST_ROWS:
             big, small = (acc, nxt) if n_acc >= n_nxt else (nxt, acc)
             acc = _broadcast_join(big, small, shared)
         else:

@@ -135,8 +135,9 @@ def _n_parts(ds) -> int:
     return max(1, min(64, ds.count() // 2_000_000))
 
 
-def _join_seq(left_ds, right_ds):
-    """(start, end) ⋈ (start', end') on end == start' → (start, end')."""
+def _join_seq(left_ds, right_ds, distinct: bool = True):
+    """(start, end) ⋈ (start', end') on end == start' → (start, end');
+    ``distinct=False`` keeps multiplicities (bag-semantics Seq)."""
     mid_l = left_ds.map_batches(
         lambda t: t.rename_columns(["start", "mid"]) if t.num_columns else t,
         batch_format="pyarrow",
@@ -152,10 +153,9 @@ def _join_seq(left_ds, right_ds):
     joined = left_c.join(
         right_c, join_type="inner", num_partitions=_n_parts(left_c), on=("mid",)
     )
-    return _distinct(
-        joined.map_batches(lambda t: _as_pairs(t, "start", "end"),
-                           batch_format="pyarrow")
-    )
+    pairs = joined.map_batches(lambda t: _as_pairs(t, "start", "end"),
+                               batch_format="pyarrow")
+    return compact_blocks(pairs) if not distinct else _distinct(pairs)
 
 
 def _is_ds(x) -> bool:
@@ -463,11 +463,18 @@ def transitive_pairs(pairs_ds, max_rounds: int | None = None,
     return acc
 
 
-def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
-    """Evaluate `path` over an (s, p, o) edge Dataset → distinct
-    (start, end) pairs. `seeds` (iterable of node strings) is REQUIRED
-    for Star/Plus/Opt at the top level and restricts results to paths
-    starting in the seed set."""
+def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None,
+              bag: bool = False):
+    """Evaluate `path` over an (s, p, o) edge Dataset → (start, end)
+    pairs. `seeds` (iterable of node strings) is REQUIRED for
+    Star/Plus/Opt at the top level and restricts results to paths
+    starting in the seed set.
+
+    ``bag=False`` (default) returns DISTINCT pairs — the engine's
+    operator form. ``bag=True`` preserves multiplicities for the
+    non-closure operators (SPARQL §18.4 path semantics: Alt is multiset
+    union, Seq multiplies multiplicities — W3C pp31); the closure forms
+    * + ? are distinct by definition (ZeroOrMorePath etc.) either way."""
     if isinstance(path, Link):
         lit = path.p
 
@@ -477,7 +484,8 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
         out = compact_blocks(edges_ds.map_batches(f, batch_format="pyarrow"))
     elif isinstance(path, Inv):
         if isinstance(path.path, Link):
-            inner = eval_path(edges_ds, path.path, max_rounds=max_rounds)
+            inner = eval_path(edges_ds, path.path, max_rounds=max_rounds,
+                              bag=bag)
             out = compact_blocks(
                 inner.map_batches(
                     lambda t: _as_pairs(t, "end", "start"),
@@ -490,18 +498,19 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
             # ^q/^p (P_Inverse algebra, see _inv_push)
             return eval_path(
                 edges_ds, _inv_push(path.path), seeds=seeds,
-                max_rounds=max_rounds,
+                max_rounds=max_rounds, bag=bag,
             )
     elif isinstance(path, Alt):
         # with seeds each arm evaluates SEEDED (closures inside Alt work)
         parts = [
-            eval_path(edges_ds, p, seeds=seeds, max_rounds=max_rounds)
+            eval_path(edges_ds, p, seeds=seeds, max_rounds=max_rounds,
+                      bag=bag)
             for p in path.paths
         ]
         ds = parts[0]
         for p in parts[1:]:
             ds = ds.union(p)
-        return _distinct(ds)
+        return ds if bag else _distinct(ds)
     elif isinstance(path, Seq):
         if seeds is not None:
             # seed PROPAGATION through the sequence (PathEval.java shape):
@@ -513,14 +522,18 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
             for p in path.paths:
                 sub_seeds = _ends_as_seeds(acc)
                 step = eval_path(
-                    edges_ds, p, seeds=sub_seeds, max_rounds=max_rounds
+                    edges_ds, p, seeds=sub_seeds, max_rounds=max_rounds,
+                    bag=bag,
                 )
-                acc = _join_seq(acc, step)
+                acc = _join_seq(acc, step, distinct=not bag)
             return acc
-        parts = [eval_path(edges_ds, p, max_rounds=max_rounds) for p in path.paths]
+        parts = [
+            eval_path(edges_ds, p, max_rounds=max_rounds, bag=bag)
+            for p in path.paths
+        ]
         ds = parts[0]
         for p in parts[1:]:
-            ds = _join_seq(ds, p)
+            ds = _join_seq(ds, p, distinct=not bag)
         out = ds
     elif isinstance(path, NegSet):
         fwd_excl = frozenset(path.fwd)
@@ -545,7 +558,8 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None):
         # !(...) with only forward members matches forward edges only;
         # ^-members additionally admit the inverse direction (spec: the
         # negated set partitions into forward and inverse halves)
-        out = _distinct(edges_ds.map_batches(f, batch_format="pyarrow"))
+        neg = edges_ds.map_batches(f, batch_format="pyarrow")
+        out = compact_blocks(neg) if bag else _distinct(neg)
     elif isinstance(path, (Star, Plus, Opt)):
         if seeds is None:
             raise ValueError(

@@ -92,10 +92,10 @@ from .bgp import Var, match_bgp, select
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<kw>(?i:PREFIX|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|a)\b) |
+        (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:|:) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
-        (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
         (?P<string>"(?:[^"\\]|\\.)*") |
         (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;|/^+?-]) |
@@ -119,11 +119,17 @@ def _tokenize(text: str):
     return out
 
 
+def _unesc(s: str) -> str:
+    """SPARQL string-literal escapes (\\n \\t \\" \\\\ \\uXXXX)."""
+    return s.encode("utf-8").decode("unicode_escape").encode("latin-1", "backslashreplace").decode("utf-8", "replace") if "\\" in s else s
+
+
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, base: str = ""):
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base = base
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -148,7 +154,14 @@ class _Parser:
 
     def expand(self, kind, val) -> str:
         if kind == "iri":
-            return val[1:-1]
+            iri = val[1:-1]
+            # relative reference (no scheme) + a known base → resolve
+            # (RFC 3986 §4.2; Jena resolves against the query's base IRI)
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+                from ..rdf.iri import resolve
+
+                return resolve(self.base, iri)
+            return iri
         if kind == "pname":
             pfx, _, local = val.partition(":")
             if pfx not in self.prefixes:
@@ -159,10 +172,7 @@ class _Parser:
     # --- grammar ----------------------------------------------------------
 
     def parse(self) -> dict:
-        while self.kw("PREFIX"):
-            k, v = self.next()
-            pfx = v.partition(":")[0] if k == "pname" else ""
-            self.prefixes[pfx] = self.expect("iri")[1:-1]
+        self.parse_prologue()
         if self.kw("ASK"):
             group = self.parse_group()
             if self.peek()[0] != "eof":
@@ -202,6 +212,18 @@ class _Parser:
             raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return q
 
+    def parse_prologue(self) -> None:
+        """PREFIX / BASE declarations, any order, repeatable."""
+        while True:
+            if self.kw("PREFIX"):
+                k, v = self.next()
+                pfx = v.partition(":")[0] if k == "pname" else ""
+                self.prefixes[pfx] = self.expand("iri", self.expect("iri"))
+            elif self.kw("BASE"):
+                self.base = self.expect("iri")[1:-1]
+            else:
+                return
+
     def parse_update(self) -> list[dict]:
         """SPARQL 1.1 Update request → list of operation dicts
         (jena-arq modify/UpdateRequest / lang/UpdateParser analog).
@@ -210,10 +232,7 @@ class _Parser:
         CLEAR [ALL | DEFAULT | GRAPH <g>]; operations separated by ';'
         apply sequentially. GRAPH blocks inside templates/data are not
         in the subset (default-graph updates)."""
-        while self.kw("PREFIX"):
-            k, v = self.next()
-            pfx = v.partition(":")[0] if k == "pname" else ""
-            self.prefixes[pfx] = self.expect("iri")[1:-1]
+        self.parse_prologue()
         ops: list[dict] = []
         while self.peek()[0] != "eof":
             if self.kw("CLEAR"):
@@ -336,7 +355,7 @@ class _Parser:
                             self.next()
                             self.expect("kw", "SEPARATOR")
                             self.expect("op", "=")
-                            sep = self.expect("string")[1:-1]
+                            sep = _unesc(self.expect("string")[1:-1])
                         self.expect("op", ")")
                         self.expect("kw", "AS")
                         alias = self.expect("var")[1:]
@@ -354,7 +373,7 @@ class _Parser:
                     break
             if not proj:
                 raise RDFParseError("SPARQL: empty projection")
-        self.expect("kw", "WHERE")
+        self.kw("WHERE")  # the WHERE keyword is optional (SELECT * { })
         group = self.parse_group()
         if proj:
             for i, p in enumerate(proj):
@@ -424,10 +443,14 @@ class _Parser:
                             "SPARQL: FILTER NOT must be followed by EXISTS"
                         )
                     exists.append((False, self.parse_group()))
-                else:
-                    self.expect("op", "(")
+                elif self.peek() == ("op", "("):
+                    self.next()
                     filters.append(self.parse_or())
                     self.expect("op", ")")
+                else:
+                    # FILTER Constraint may be a bare BuiltInCall /
+                    # FunctionCall without outer parens (FILTER regex(..))
+                    filters.append(self.parse_primary())
             elif self.kw("OPTIONAL"):
                 elements.append(("optional", self.parse_group()))
             elif self.kw("MINUS"):
@@ -639,10 +662,22 @@ class _Parser:
             fn = v.upper()
             self.next()
             self.expect("op", "(")
-            var = self.expect("var")[1:]
+            via_str = False
+            if self.peek() == ("kw", "STR") or self.peek()[1].upper() == "STR":
+                # REGEX(STR(?v), ...) — lexical form of ANY term, so the
+                # literal-only type check is waived (E_Str wrapping)
+                self.next()
+                self.expect("op", "(")
+                var = self.expect("var")[1:]
+                self.expect("op", ")")
+                via_str = True
+            else:
+                var = self.expect("var")[1:]
             self.expect("op", ",")
-            arg = self.expect("string")[1:-1]
+            arg = _unesc(self.expect("string")[1:-1])
             self.expect("op", ")")
+            if fn == "REGEX" and via_str:
+                return ("regex_str", var, arg)
             return (fn.lower(), var, arg)
         if k == "kw" and v.upper() in ("STRLEN", "BOUND", "LANG", "DATATYPE",
                                        "ISIRI", "ISURI", "ISLITERAL",
@@ -665,7 +700,7 @@ class _Parser:
             var = self.expect("var")[1:]
             self.expect("op", ")")
             self.expect("op", ",")
-            rng = self.expect("string")[1:-1]
+            rng = _unesc(self.expect("string")[1:-1])
             self.expect("op", ")")
             return ("langmatches", var, rng)
         U = v.upper() if k == "kw" else None
@@ -710,9 +745,9 @@ class _Parser:
             self.expect("op", "(")
             e = self.parse_add()
             self.expect("op", ",")
-            pat = self.expect("string")[1:-1]
+            pat = _unesc(self.expect("string")[1:-1])
             self.expect("op", ",")
-            rep = self.expect("string")[1:-1]
+            rep = _unesc(self.expect("string")[1:-1])
             self.expect("op", ")")
             return ("replace", e, pat, rep)
         if U in ("STRBEFORE", "STRAFTER"):
@@ -720,7 +755,7 @@ class _Parser:
             self.expect("op", "(")
             e = self.parse_add()
             self.expect("op", ",")
-            s = self.expect("string")[1:-1]
+            s = _unesc(self.expect("string")[1:-1])
             self.expect("op", ")")
             return (U.lower(), e, s)
         if U == "IF":
@@ -739,7 +774,7 @@ class _Parser:
             return ("var", v[1:])
         if k == "string":
             self.next()
-            return ("lit", v[1:-1])
+            return ("lit", _unesc(v[1:-1]))
         if k == "num":
             self.next()
             return ("num", float(v))
@@ -935,16 +970,26 @@ def _num_or_null(node, t: pa.Table, val, strict: bool):
         return pa.scalar(None, pa.float64())
 
 
+def _var_col(t: pa.Table, name: str):
+    """Column of ?name, or an all-null column when the var is not in
+    scope of this relation (unbound reference = type error per row)."""
+    if name in t.schema.names:
+        return t[name].combine_chunks()
+    return pa.array([None] * t.num_rows, pa.large_string())
+
+
 def _eval_value(node, t: pa.Table):
     tag = node[0]
     if tag == "var":
-        return t[node[1]].combine_chunks()
+        # out-of-scope vars yield nulls (bottom-up semantics: an
+        # inner-group FILTER naming an outer var sees it unbound)
+        return _var_col(t, node[1])
     if tag == "lit":
         return pa.scalar(node[1], pa.large_string())
     if tag == "num":
         return pa.scalar(node[1], pa.float64())
     if tag == "strlen":
-        return pc.cast(pc.utf8_length(t[node[1]].combine_chunks()), pa.float64())
+        return pc.cast(pc.utf8_length(_var_col(t, node[1])), pa.float64())
     if tag == "lang":
         col = t[node[1] + "__lang"] if node[1] + "__lang" in t.schema.names else None
         if col is None:
@@ -984,6 +1029,9 @@ def _eval_value(node, t: pa.Table):
         is_lit = pc.fill_null(
             pc.equal(kind, pa.scalar(KIND_LITERAL, pa.int8())), True
         )
+        # an unbound var (or out-of-scope reference) is a type error →
+        # null, never xsd:string
+        is_lit = pc.and_(is_lit, pc.is_valid(_var_col(t, node[1])))
         return pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
     if tag == "arith":
         # numeric operators with SPARQL's type-error-is-null semantics:
@@ -1081,6 +1129,19 @@ def _eval_value(node, t: pa.Table):
         a = _to_lexical(_eval_value(node[2], t), t.num_rows)
         b = _to_lexical(_eval_value(node[3], t), t.num_rows)
         return pc.if_else(cond, a, b)
+    if tag in ("cmp", "and", "or", "not", "bound", "regex", "strstarts",
+               "strends", "contains", "langmatches", "isiri", "isliteral",
+               "isblank", "in", "notin"):
+        # a boolean expression used as a VALUE, e.g. BIND((?y = ?z) AS
+        # ?eq): xsd:boolean lexical forms; evaluation errors stay null
+        m = _eval_bool(node, t)
+        if isinstance(m, pa.Scalar):
+            m = pa.array([m.as_py()] * t.num_rows)
+        return pc.if_else(
+            m,
+            pa.scalar("true", pa.large_string()),
+            pa.scalar("false", pa.large_string()),
+        )
     raise RDFParseError(f"SPARQL: not a value expression: {node!r}")
 
 
@@ -1093,15 +1154,28 @@ def _eval_bool(node, t: pa.Table):
     if tag == "not":
         return pc.invert(_eval_bool(node[1], t))
     if tag == "bound":
-        return pc.is_valid(t[node[1]].combine_chunks())
+        return pc.is_valid(_var_col(t, node[1]))
+    if tag == "regex_str":
+        # REGEX(STR(?v), pat): lexical form of any term kind
+        return pc.match_substring_regex(_var_col(t, node[1]), node[2])
     if tag == "regex":
-        return pc.match_substring_regex(t[node[1]].combine_chunks(), node[2])
+        m = pc.match_substring_regex(_var_col(t, node[1]), node[2])
+        kc = node[1] + "__kind"
+        if kc in t.schema.names:
+            # REGEX requires a string literal arg — an IRI/bnode binding
+            # is a type error → effective false (E_Regex/XSDFuncOp)
+            from ..model import KIND_LITERAL
+
+            m = pc.and_(m, pc.fill_null(pc.equal(
+                t[kc].combine_chunks(),
+                pa.scalar(KIND_LITERAL, pa.int8())), True))
+        return m
     if tag == "strstarts":
-        return pc.starts_with(t[node[1]].combine_chunks(), node[2])
+        return pc.starts_with(_var_col(t, node[1]), node[2])
     if tag == "strends":
-        return pc.ends_with(t[node[1]].combine_chunks(), node[2])
+        return pc.ends_with(_var_col(t, node[1]), node[2])
     if tag == "contains":
-        return pc.match_substring(t[node[1]].combine_chunks(), node[2])
+        return pc.match_substring(_var_col(t, node[1]), node[2])
     if tag in ("isiri", "isliteral", "isblank"):
         from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL
 
@@ -1345,7 +1419,10 @@ def _compile_path_pattern(triples_ds, pat):
                 "SPARQL: a closure path (*, +, ?) needs a constant subject "
                 "or object in this subset (seeded evaluation)"
             )
-    pairs = _paths.eval_path(edges, path, seeds=seeds)
+    # bag semantics: non-closure path operators preserve multiplicities
+    # (SPARQL §18.4 — Alt is multiset union, Seq multiplies; the closure
+    # forms * + ? stay distinct by definition)
+    pairs = _paths.eval_path(edges, path, seeds=seeds, bag=True)
 
     out_cols: list[tuple[str, str]] = []
     filt = []
@@ -1460,8 +1537,40 @@ def _join_bindings(left, left_vars, right, right_vars, how: str):
         return t.select(keep)
 
     right = right.map_batches(_drop_meta, batch_format="pyarrow")
+
+    def _lexicalize_keys(t: pa.Table) -> pa.Table:
+        # a subquery aggregate alias is numeric (double/int64); joining
+        # it against a lexical binding column needs one type — cast to
+        # the lexical form (Arrow renders integral doubles without .0)
+        if t.num_columns == 0:
+            return t
+        for v in shared:
+            if v in t.schema.names and not pa.types.is_large_string(
+                t.schema.field(v).type
+            ):
+                idx = t.schema.get_field_index(v)
+                t = t.set_column(
+                    idx, v,
+                    t[v].combine_chunks().cast(pa.string())
+                    .cast(pa.large_string()),
+                )
+        return t
+
+    left = left.map_batches(_lexicalize_keys, batch_format="pyarrow")
+    right = right.map_batches(_lexicalize_keys, batch_format="pyarrow")
     lc = compact_blocks(left)
     rc = compact_blocks(right)
+    out_vars_all = sorted(set(left_vars) | set(right_vars))
+    if rc.count() == 0:
+        # empty right side: Ray's hash join can't resolve key fields on
+        # a blockless dataset. inner → empty; left_outer (OPTIONAL that
+        # matched nothing) → left rows with the right-only vars null
+        if how == "left_outer":
+            return _align_columns(lc, left_vars, out_vars_all), out_vars_all
+        return _align_columns(lc.limit(0), left_vars,
+                              out_vars_all), out_vars_all
+    if how == "left_outer" and lc.count() == 0:
+        return _align_columns(lc, left_vars, out_vars_all), out_vars_all
     n_parts = max(1, min(64, lc.count() // 2_000_000))
     joined = lc.join(rc, join_type=how, num_partitions=n_parts,
                      on=tuple(shared))
@@ -1472,14 +1581,92 @@ def _join_bindings(left, left_vars, right, right_vars, how: str):
 
 
 def _minus_bindings(left, left_vars, right, right_vars):
-    """OpMinus: drop left bindings compatible with ANY right binding on
-    the shared variables — realized as a marker left join + null filter."""
+    """OpMinus (§8.3.3): drop a left binding μ when SOME right binding
+    μ' is compatible with it (agrees on every var bound in BOTH) and
+    dom(μ)∩dom(μ') is non-empty.
+
+    When every shared var is bound on both sides this is one marker
+    anti-join. With OPTIONAL-produced nulls the commonly-bound var set
+    differs per row pair, so the relation is partitioned by each side's
+    bound-mask over the shared vars (≤2^k masks, k = |shared|, and only
+    masks actually present — two tiny aggregations); each (L, B) mask
+    pair with a non-empty intersection contributes one distinct-key
+    anti-join on exactly the commonly bound vars."""
     shared = sorted(set(left_vars) & set(right_vars))
     if not shared:
         # SPARQL: MINUS with disjoint domains removes nothing
         return left, left_vars
-    return _marker_semijoin(left, left_vars, right, shared,
-                            keep_matched=False), left_vars
+
+    from ..util import compact_blocks
+
+    def mask_kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t.append_column("__mask", pa.array([], pa.int64()))
+        m = None
+        for i, v in enumerate(shared):
+            bit = pc.if_else(
+                pc.is_valid(t[v].combine_chunks())
+                if v in t.schema.names
+                else pa.array([False] * t.num_rows),
+                pa.scalar(1 << i, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            m = bit if m is None else pc.add(m, bit)
+        return t.append_column("__mask", m)
+
+    lm = compact_blocks(left.map_batches(mask_kernel, batch_format="pyarrow"))
+    rm = compact_blocks(right.map_batches(mask_kernel, batch_format="pyarrow"))
+
+    def masks_of(ds):
+        rows = ds.groupby("__mask").count().take_all()
+        return sorted(r["__mask"] for r in rows)
+
+    right_masks = [b for b in masks_of(rm) if b] if rm.count() else []
+    left_masks = masks_of(lm) if lm.count() else []
+    full = (1 << len(shared)) - 1
+    if right_masks == [full] and left_masks in ([], [full]):
+        # fast path: everything fully bound — single anti-join
+        out = _marker_semijoin(left, left_vars, right, shared,
+                               keep_matched=False)
+        return out, left_vars
+
+    acc = lm
+    for B in right_masks:
+        r_sub = rm.map_batches(
+            lambda t, _b=B: t.filter(pc.equal(t["__mask"], _b))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        )
+        for L in left_masks:
+            common = L & B
+            if not common:
+                continue  # disjoint domains: not removed by this pair
+            keys = [v for i, v in enumerate(shared) if common & (1 << i)]
+            part = acc.map_batches(
+                lambda t, _l=L: t.filter(pc.equal(t["__mask"], _l))
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+            rest = acc.map_batches(
+                lambda t, _l=L: t.filter(pc.not_equal(t["__mask"], _l))
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+            survived = _marker_semijoin(
+                compact_blocks(part), left_vars + ["__mask"],
+                r_sub, keys, keep_matched=False,
+            )
+            acc = compact_blocks(compact_blocks(rest).union(survived))
+    out = acc.map_batches(
+        lambda t: t.drop_columns(["__mask"])
+        if t.num_columns and "__mask" in t.schema.names
+        else t,
+        batch_format="pyarrow",
+    )
+    return out, left_vars
 
 
 def _exists_bindings(left, left_vars, right, right_vars, positive: bool):
@@ -1535,6 +1722,12 @@ def _marker_semijoin(left, left_vars, right, shared, keep_matched: bool):
         )
     )
     lc = compact_blocks(left)
+    if lc.count() == 0:
+        return lc
+    if rkeys.count() == 0:
+        # empty right side: Ray's hash join can't key a blockless
+        # dataset. Semi join → nothing survives; anti join → all do
+        return lc.limit(0) if keep_matched else lc
     n_parts = max(1, min(64, lc.count() // 2_000_000))
     joined = lc.join(rkeys, join_type="left_outer", num_partitions=n_parts,
                      on=tuple(shared))
@@ -1598,7 +1791,38 @@ def _compile_group(triples_ds, group: dict, graph=None):
             rel, rel_vars = _compile_path_pattern(scoped, el[1])
             how = "inner"
         elif el[0] == "subquery":
-            rel, rel_vars = _exec_select(triples_ds, el[1], graph=graph)
+            proj_spec = el[1].get("project")
+            projects_g = isinstance(graph, Var) and (
+                proj_spec is None  # SELECT * projects every inner var
+                or any(p[0] == "var" and p[1] == graph.name
+                       for p in proj_spec)
+            )
+            if isinstance(graph, Var) and not projects_g:
+                # subquery scoping: an inner var spelled like the outer
+                # GRAPH var is a DIFFERENT variable (only projected vars
+                # escape) — propagate the scope under a hidden name and
+                # rename the graph column afterwards
+                hidden = "__graph_scope"
+                rel, rel_vars = _exec_select(
+                    triples_ds, el[1], graph=Var(hidden))
+                from .bgp import meta_cols_of
+
+                ren = {hidden: graph.name}
+                for a, b in zip(meta_cols_of(hidden),
+                                meta_cols_of(graph.name)):
+                    ren[a] = b
+
+                def _ren(t: pa.Table, _m=dict(ren)) -> pa.Table:
+                    if t.num_columns == 0:
+                        return t
+                    return t.rename_columns(
+                        [_m.get(c, c) for c in t.schema.names])
+
+                rel = rel.map_batches(_ren, batch_format="pyarrow")
+                rel_vars = sorted(
+                    graph.name if v == hidden else v for v in rel_vars)
+            else:
+                rel, rel_vars = _exec_select(triples_ds, el[1], graph=graph)
             how = "inner"
         elif el[0] == "optional":
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
@@ -1727,23 +1951,23 @@ def _compile_group(triples_ds, group: dict, graph=None):
     return acc, acc_vars
 
 
-def sparql_ask(triples_ds, query_text: str) -> bool:
+def sparql_ask(triples_ds, query_text: str, base: str = "") -> bool:
     """ASK { ... } → does any solution exist (OpSlice 1 + nonempty)."""
-    q = _Parser(query_text).parse()
+    q = _Parser(query_text, base=base).parse()
     if q["form"] != "ask":
         raise RDFParseError("sparql_ask: not an ASK query")
     bindings, _ = _compile_group(triples_ds, q["group"])
     return len(bindings.limit(1).take(1)) > 0
 
 
-def sparql_construct(triples_ds, query_text: str):
+def sparql_construct(triples_ds, query_text: str, base: str = ""):
     """CONSTRUCT { template } WHERE { ... } → triple-table Dataset
     (TRIPLE_SCHEMA; bnodes/paths not allowed in the template subset).
     Template constants are IRIs; bound values whose lexical form is not
     an IRI-shaped string become plain literals."""
     from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
 
-    q = _Parser(query_text).parse()
+    q = _Parser(query_text, base=base).parse()
     if q["form"] != "construct":
         raise RDFParseError("sparql_construct: not a CONSTRUCT query")
     bindings, all_vars = _compile_group(triples_ds, q["group"])
@@ -1965,10 +2189,10 @@ def sparql_query(triples_ds, query_text: str):
     return sparql_select(triples_ds, query_text)
 
 
-def sparql_select(triples_ds, query_text: str):
+def sparql_select(triples_ds, query_text: str, base: str = ""):
     """Parse + compile + execute a SELECT query over the triple Dataset.
     Returns a binding Dataset (one large_string column per projected var)."""
-    q = _Parser(query_text).parse()
+    q = _Parser(query_text, base=base).parse()
     if q["form"] != "select":
         raise RDFParseError("sparql_select: not a SELECT query")
     out, _cols = _exec_select(triples_ds, q)
@@ -2047,7 +2271,18 @@ def _exec_select(triples_ds, q: dict, graph=None):
             raise RDFParseError(f"SPARQL: unbound variable ?{v}")
 
     proj = [p[1] if p[0] == "var" else p[3] for p in proj_items]
-    if agg_items or q["group_by"]:
+    if q["group_by"] and not agg_items:
+        # GROUP BY with no aggregates in the projection: one solution
+        # per group — distinct over the group keys (OpGroup with an
+        # empty aggregator list)
+        for v in var_items:
+            if v not in q["group_by"]:
+                raise RDFParseError(
+                    f"SPARQL: projected ?{v} is neither aggregated nor a "
+                    "GROUP BY key"
+                )
+        q = {**q, "distinct": True}
+    if agg_items:
         keys = q["group_by"]
         for v in var_items:
             if v not in keys:
@@ -2139,9 +2374,9 @@ def _exec_select(triples_ds, q: dict, graph=None):
             import ray.data as rd
 
             row = prepped.aggregate(*aggs) or {}
-            # SPARQL defines COUNT/SUM over the empty group as 0;
-            # MIN/MAX/AVG stay unbound (None)
-            zero_fns = {"COUNT", "SUM"}
+            # SPARQL defines COUNT/SUM/AVG over the empty group as 0
+            # (§18.5.1.4 Avg(∅)=0); MIN/MAX/SAMPLE stay unbound (None)
+            zero_fns = {"COUNT", "SUM", "AVG"}
             fn_by_alias = {p[3]: p[1] for p in agg_items}
             vals = {
                 n: (0 if row.get(n) is None and fn_by_alias.get(n) in zero_fns
@@ -2159,9 +2394,36 @@ def _exec_select(triples_ds, q: dict, graph=None):
         else:
             out = select(bindings, proj)
     if q["distinct"]:
-        from .bgp import _dedup
+        from .bgp import _dedup, meta_cols_of
 
-        out = _dedup(out, proj)
+        if not (agg_items or q["group_by"]):
+            # distinct over TERMS: include each var's kind/dt/lang
+            # metadata in the dedup key ("1"^^xsd:integer and
+            # "1"^^xsd:decimal are different terms with one lexical)
+            meta_sel = [m for v in proj for m in meta_cols_of(v)]
+
+            def keep_meta(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0:
+                    return t
+                names = set(t.schema.names)
+                cols = {c: t[c].combine_chunks() for c in proj}
+                for m in meta_sel:
+                    if m in names:
+                        cols[m] = t[m].combine_chunks()
+                return pa.table(cols)
+
+            wide = bindings.map_batches(keep_meta, batch_format="pyarrow")
+            first = wide.take(1)
+            dedup_cols = list(first[0].keys()) if first else proj
+            out = _dedup(wide, dedup_cols).map_batches(
+                lambda t: pa.table(
+                    {c: t[c].combine_chunks() for c in proj})
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+        else:
+            out = _dedup(out, proj)
     if q["order"] and ((agg_items or q["group_by"]) or q["distinct"]):
         # aggregate aliases / post-DISTINCT output carry no term metadata
         # — plain column sort (aggregates are numeric already)

@@ -1,0 +1,311 @@
+"""W3C SPARQL test-suite manifest reader + result-set comparison.
+
+Counterpart of the reference's manifest-driven SPARQL runner
+(jena-arq/src/test/java/org/apache/jena/arq/junit/sparql/
+SparqlTests.java + QueryEvalTest.java) for the vendored
+rdf-tests-cg/sparql/ suites. The manifest is Turtle, bootstrap-parsed
+with our own parser; expected results are SPARQL-XML (.srx), JSON
+(.srj) or Turtle graphs (CONSTRUCT golden).
+
+Comparison semantics (documented weakening vs ResultSetCompare.java):
+the engine's SELECT projection yields lexical forms without datatype
+metadata, so terms compare in VALUE SPACE — numeric-typed literals
+numerically, everything else by lexical form; blank nodes match under
+a consistent bijection (backtracking, result sets are test-sized).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from ..model import KIND_IRI, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
+from .turtle import parse_turtle
+
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+EVAL_TYPES = {MF + "QueryEvaluationTest"}
+SYNTAX_POS = {MF + "PositiveSyntaxTest", MF + "PositiveSyntaxTest11"}
+SYNTAX_NEG = {MF + "NegativeSyntaxTest", MF + "NegativeSyntaxTest11"}
+
+_NUMERIC_DTS = {
+    XSD + s
+    for s in ("integer", "decimal", "double", "float", "long", "int",
+              "short", "byte", "nonNegativeInteger", "positiveInteger",
+              "nonPositiveInteger", "negativeInteger", "unsignedLong",
+              "unsignedInt", "unsignedShort", "unsignedByte")
+}
+
+
+@dataclass
+class SparqlTest:
+    name: str
+    kind: str            # "eval" | "syntax+" | "syntax-" | other type IRI
+    query: str           # absolute path to the .rq file
+    data: list = field(default_factory=list)        # default-graph files
+    graph_data: list = field(default_factory=list)  # named-graph files
+    result: str | None = None
+
+
+def read_sparql_manifest(manifest_path: str) -> list[SparqlTest]:
+    manifest_path = os.path.abspath(manifest_path)
+    dir_path = os.path.dirname(manifest_path)
+    base = "file://" + manifest_path
+    triples = parse_turtle(
+        open(manifest_path, encoding="utf-8").read(), base=base)
+
+    idx: dict[tuple, dict[str, list[tuple]]] = {}
+    for t in triples:
+        idx.setdefault((t[0], t[1]), {}).setdefault(t[2], []).append(
+            (t[3], t[4]))
+
+    def get1(node, p):
+        v = idx.get(node, {}).get(p)
+        return v[0] if v else None
+
+    def getall(node, p):
+        return idx.get(node, {}).get(p, [])
+
+    def to_path(iri: str) -> str:
+        if iri.startswith("file://"):
+            return iri[len("file://"):]
+        return os.path.join(dir_path, iri.rsplit("/", 1)[-1])
+
+    root = (KIND_IRI, base)
+    if MF + "entries" not in idx.get(root, {}):
+        for node, props in idx.items():
+            if MF + "entries" in props:
+                root = node
+                break
+
+    out: list[SparqlTest] = []
+    node = get1(root, MF + "entries")
+    while node is not None and not (node[0] == KIND_IRI and node[1] == RDF_NIL):
+        entry = get1(node, RDF_FIRST)
+        node = get1(node, RDF_REST)
+        if entry is None:
+            break
+        ttype = get1(entry, RDF_TYPE)
+        action = get1(entry, MF + "action")
+        if ttype is None or action is None:
+            continue
+        t = ttype[1]
+        name_t = get1(entry, MF + "name")
+        name = name_t[1] if name_t else entry[1].rsplit("#", 1)[-1]
+        if t in EVAL_TYPES:
+            q = get1(action, QT + "query")
+            if q is None:
+                continue
+            data = [to_path(o) for _, o in getall(action, QT + "data")]
+            gdata = [to_path(o) for _, o in getall(action, QT + "graphData")]
+            res = get1(entry, MF + "result")
+            out.append(SparqlTest(
+                name=name, kind="eval", query=to_path(q[1]), data=data,
+                graph_data=gdata,
+                result=to_path(res[1]) if res else None,
+            ))
+        elif t in SYNTAX_POS or t in SYNTAX_NEG:
+            out.append(SparqlTest(
+                name=name,
+                kind="syntax+" if t in SYNTAX_POS else "syntax-",
+                query=to_path(action[1]),
+            ))
+        else:
+            out.append(SparqlTest(name=name, kind=t, query=""))
+    return out
+
+
+# --- expected-result readers ------------------------------------------------
+
+_SRX_NS = "{http://www.w3.org/2005/sparql-results#}"
+
+
+def read_srx(text: str):
+    """SPARQL-XML results → ("ask", bool) or ("rows", vars, solutions)
+    where a solution maps var → (type, value, datatype, lang)."""
+    root = ET.fromstring(text)
+    boolean = root.find(_SRX_NS + "boolean")
+    if boolean is not None:
+        return ("ask", boolean.text.strip() == "true")
+    head = root.find(_SRX_NS + "head")
+    vars_ = [v.get("name") for v in head.findall(_SRX_NS + "variable")] \
+        if head is not None else []
+    sols = []
+    results = root.find(_SRX_NS + "results")
+    for res in (results.findall(_SRX_NS + "result") if results is not None
+                else []):
+        sol = {}
+        for b in res.findall(_SRX_NS + "binding"):
+            var = b.get("name")
+            for child in b:
+                tag = child.tag.replace(_SRX_NS, "")
+                if tag == "uri":
+                    sol[var] = ("uri", child.text or "", None, None)
+                elif tag == "bnode":
+                    sol[var] = ("bnode", child.text or "", None, None)
+                elif tag == "literal":
+                    sol[var] = (
+                        "literal", child.text or "",
+                        child.get("datatype"),
+                        child.get("{http://www.w3.org/XML/1998/namespace}lang"),
+                    )
+        sols.append(sol)
+    return ("rows", vars_, sols)
+
+
+def read_srj(text: str):
+    doc = json.loads(text)
+    if "boolean" in doc:
+        return ("ask", bool(doc["boolean"]))
+    vars_ = doc.get("head", {}).get("vars", [])
+    sols = []
+    for b in doc.get("results", {}).get("bindings", []):
+        sol = {}
+        for var, term in b.items():
+            t = term.get("type")
+            if t == "uri":
+                sol[var] = ("uri", term.get("value", ""), None, None)
+            elif t == "bnode":
+                sol[var] = ("bnode", term.get("value", ""), None, None)
+            else:
+                sol[var] = ("literal", term.get("value", ""),
+                            term.get("datatype"), term.get("xml:lang"))
+        sols.append(sol)
+    return ("rows", vars_, sols)
+
+
+RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
+
+
+def read_rs_ttl(path: str):
+    """DAWG RDF result-set vocabulary (.ttl goldens of the sparql10
+    suite; ResultSetFormat rs: namespace) → same shape as read_srx."""
+    from ..model import KIND_BNODE, KIND_IRI as K_IRI, KIND_LITERAL
+
+    triples = parse_turtle(open(path, encoding="utf-8").read(),
+                           base="file://" + path)
+    idx: dict[tuple, dict[str, list[tuple]]] = {}
+    for t in triples:
+        idx.setdefault((t[0], t[1]), {}).setdefault(t[2], []).append(t)
+
+    rset = None
+    for node, props in idx.items():
+        if any(o[4] == RS + "ResultSet" for o in props.get(RDF_TYPE, [])):
+            rset = node
+            break
+    if rset is None:
+        raise ValueError(f"no rs:ResultSet in {path}")
+    props = idx[rset]
+    if RS + "boolean" in props:
+        return ("ask", props[RS + "boolean"][0][4] == "true")
+    vars_ = sorted(o[4] for o in props.get(RS + "resultVariable", []))
+    sols = []
+    for sol_t in props.get(RS + "solution", []):
+        sol_node = (sol_t[3], sol_t[4])
+        sol = {}
+        for b_t in idx.get(sol_node, {}).get(RS + "binding", []):
+            b_node = (b_t[3], b_t[4])
+            var_t = idx.get(b_node, {}).get(RS + "variable")
+            val_t = idx.get(b_node, {}).get(RS + "value")
+            if not var_t or not val_t:
+                continue
+            v = var_t[0][4]
+            o_kind, o_lex, o_dt, o_lang = (
+                val_t[0][3], val_t[0][4], val_t[0][5], val_t[0][6])
+            if o_kind == K_IRI:
+                sol[v] = ("uri", o_lex, None, None)
+            elif o_kind == KIND_BNODE:
+                sol[v] = ("bnode", o_lex, None, None)
+            else:
+                sol[v] = ("literal", o_lex, o_dt or None, o_lang or None)
+        sols.append(sol)
+    return ("rows", vars_, sols)
+
+
+def read_expected(path: str):
+    if path.endswith(".srx"):
+        return read_srx(open(path, encoding="utf-8").read())
+    if path.endswith(".srj"):
+        return read_srj(open(path, encoding="utf-8").read())
+    if path.endswith(".ttl"):
+        return read_rs_ttl(path)
+    raise ValueError(f"unsupported result format: {path}")
+
+
+# --- comparison -------------------------------------------------------------
+
+
+def _num(s) -> float | None:
+    try:
+        return float(s)
+    except (TypeError, ValueError):
+        return None
+
+
+def _term_matches(exp, got, bmap: dict) -> bool:
+    """One expected term vs one engine value (lexical), under the
+    current bnode bijection."""
+    if exp is None:
+        return got is None
+    if got is None:
+        return False
+    typ, value, dt, _lang = exp
+    g = str(got)
+    if typ == "uri":
+        return g == value
+    if typ == "bnode":
+        if value in bmap:
+            return bmap[value] == g
+        if g in bmap.values():
+            return False
+        bmap[value] = g
+        return True
+    if dt in _NUMERIC_DTS:
+        ev, gv = _num(value), _num(got)
+        if ev is None or gv is None:
+            return False
+        return ev == gv or abs(ev - gv) <= 1e-9 * max(abs(ev), abs(gv))
+    if dt == XSD + "boolean":
+        norm = {"true": "true", "1": "true", "false": "false", "0": "false"}
+        return norm.get(g.lower()) == norm.get(value.lower())
+    return g == value
+
+
+def solutions_match(expected: list[dict], got: list[dict],
+                    vars_: list[str]) -> bool:
+    """Multiset equality of solution mappings, with bnode labels matched
+    under one consistent bijection (backtracking over the pairing —
+    result sets are test-sized)."""
+    if len(expected) != len(got):
+        return False
+
+    def backtrack(remaining_exp, remaining_got, bmap):
+        if not remaining_exp:
+            return True
+        exp = remaining_exp[0]
+        for i, g in enumerate(remaining_got):
+            trial = dict(bmap)
+            ok = True
+            for v in vars_:
+                if not _term_matches(exp.get(v), g.get(v), trial):
+                    ok = False
+                    break
+            # engine rows must not bind vars the expected solution lacks
+            if ok:
+                for v in vars_:
+                    if v not in exp and g.get(v) is not None:
+                        ok = False
+                        break
+            if ok and backtrack(
+                remaining_exp[1:],
+                remaining_got[:i] + remaining_got[i + 1:],
+                trial,
+            ):
+                return True
+        return False
+
+    return backtrack(expected, got, {})

@@ -83,12 +83,19 @@ def test_reorder_connects_patterns():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_disconnected_bgp_raises():
-    with pytest.raises(ValueError, match="disconnected"):
-        match_bgp(
-            _triples(G),
-            [(Var("x"), "knows", Var("y")), (Var("u"), "age", Var("v"))],
-        )
+def test_disconnected_bgp_is_cartesian_product():
+    """SPARQL permits cartesian products; the chain cross-joins the
+    disconnected component on a constant key (W3C negation suite)."""
+    b = match_bgp(
+        _triples(G),
+        [(Var("x"), "knows", Var("y")), (Var("u"), "age", Var("v"))],
+    )
+    rows = b.take_all()
+    # 3 knows-edges × 3 age-edges
+    assert len(rows) == 9
+    assert {(r["x"], r["u"]) for r in rows} == {
+        (k, a) for k in ("a", "b", "loop") for a in ("a", "b", "c")
+    }
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -64,7 +64,7 @@ def test_filter_boolean_combinators_and_regex():
     PREFIX ex: <http://ex/>
     SELECT ?p WHERE {
       ?p ex:age ?n .
-      FILTER(REGEX(?p, "ex/[abc]") && (?n < 10 || ?n = 42))
+      FILTER(REGEX(STR(?p), "ex/[abc]") && (?n < 10 || ?n = 42))
     } ORDER BY ?p
     """
     rows = sparql_select(G(ROWS), q).take_all()
