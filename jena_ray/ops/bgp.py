@@ -41,6 +41,21 @@ class Var:
     name: str
 
 
+@dataclass(frozen=True)
+class Lit:
+    """A literal constant in a triple-pattern object position with its
+    term-type constraints (StageMatchTriple matches by sameTerm, so
+    `?x :p 1` must NOT match "1"^^xsd:string or "01"^^xsd:integer).
+
+    ``dts``: allowed datatype IRIs ("" = the engine's untyped tabular
+    convention), or None for no datatype constraint. ``lang``: exact
+    language tag ("" = must have none), or None for no constraint."""
+
+    lex: str
+    dts: tuple | None = None
+    lang: str | None = None
+
+
 # hidden per-variable term-metadata column suffixes (see module docstring)
 META_SUFFIXES = ("__kind", "__dt", "__lang")
 
@@ -139,10 +154,34 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
             mask = conj(mask, pc.equal(t["s_lex"], s))
         if not _is_var(p):
             mask = conj(mask, pc.equal(t["p"], p))
-        if not _is_var(o):
+        if isinstance(o, Lit):
+            mask = conj(mask, pc.equal(t["o_lex"], o.lex))
+            names = t.schema.names
+            if "o_kind" in names:
+                mask = conj(mask, pc.fill_null(pc.equal(
+                    t["o_kind"], pa.scalar(KIND_LITERAL, pa.int8())), True))
+            if o.dts is not None and "o_datatype" in names:
+                mask = conj(mask, pc.is_in(
+                    pc.fill_null(
+                        t["o_datatype"].combine_chunks().cast(
+                            pa.large_string()), ""),
+                    value_set=pa.array(list(o.dts), pa.large_string())))
+            if o.lang is not None and "o_lang" in names:
+                mask = conj(mask, pc.equal(
+                    pc.utf8_lower(pc.fill_null(
+                        t["o_lang"].combine_chunks().cast(pa.large_string()),
+                        "")),
+                    o.lang.lower()))
+        elif not _is_var(o):
             mask = conj(mask, pc.equal(t["o_lex"], o))
         if isinstance(graph, str):
-            mask = conj(mask, pc.equal(t["g"], graph))
+            # "" = the strict default graph (SPARQL dataset semantics);
+            # tabular stores without a g column have no named graphs, so
+            # every row is default-graph
+            if "g" in t.schema.names:
+                mask = conj(mask, pc.equal(t["g"], graph))
+            elif graph:
+                mask = conj(mask, pa.array([False] * t.num_rows))
         elif _is_var(graph):
             mask = conj(mask, pc.not_equal(t["g"], ""))
         x = t.filter(mask) if mask is not None else t

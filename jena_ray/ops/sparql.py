@@ -87,18 +87,19 @@ import pyarrow.compute as pc
 from ..model import RDF_TYPE, RDFParseError
 from ..rdf.literals import XSD_INTEGER_TYPES as _XSD_INTS
 from . import paths as _paths
-from .bgp import Var, match_bgp, select
+from .bgp import Lit, Var, match_bgp, select
 
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:|:) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|a)\b) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|TRUE|FALSE|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
         (?P<string>"(?:[^"\\]|\\.)*") |
-        (?P<op>&&|\|\||!=|<=|>=|[=<>!*{}().,;|/^+?-]) |
+        (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*) |
+        (?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>!*{}().,;|/^+?-]) |
     )""",
     re.VERBOSE,
 )
@@ -155,11 +156,15 @@ class _Parser:
     def expand(self, kind, val) -> str:
         if kind == "iri":
             iri = val[1:-1]
-            # relative reference (no scheme) + a known base → resolve
-            # (RFC 3986 §4.2; Jena resolves against the query's base IRI)
-            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
-                from ..rdf.iri import resolve
+            from ..rdf.iri import resolve
 
+            # RFC 3986 §5.2.2 applies to ABSOLUTE references too: the
+            # transform runs remove_dot_segments on the path whenever
+            # R has a scheme (Jena resolves every parsed IRI), so
+            # <eXAMPLE://a/./b/../b/c> and the same IRI in data match
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+                return resolve("", iri)
+            if self.base:
                 return resolve(self.base, iri)
             return iri
         if kind == "pname":
@@ -546,9 +551,39 @@ class _Parser:
         if k in ("iri", "pname"):
             return self.expand(k, v)
         if k == "string" and position == "object":
-            return v[1:-1].encode().decode("unicode_escape")
+            from ..model import XSD_STRING
+
+            lex = _unesc(v[1:-1])
+            nk, nv = self.peek()
+            if nk == "op" and nv == "^^":
+                self.next()
+                dk, dv = self.next()
+                if dk not in ("iri", "pname"):
+                    raise RDFParseError(
+                        f"SPARQL: datatype IRI expected after ^^, got {dv!r}")
+                return Lit(lex, dts=(self.expand(dk, dv),), lang="")
+            if nk == "langtag":
+                from ..model import RDF_LANGSTRING
+
+                self.next()
+                return Lit(lex, dts=("", RDF_LANGSTRING), lang=nv[1:])
+            # simple literal ≡ xsd:string (RDF 1.1); "" keeps the
+            # engine's untyped tabular convention matching
+            return Lit(lex, dts=("", XSD_STRING), lang="")
         if k == "num" and position == "object":
-            return v
+            from ..model import XSD_NS
+
+            if "e" in v.lower():
+                dt = XSD_NS + "double"
+            elif "." in v:
+                dt = XSD_NS + "decimal"
+            else:
+                dt = XSD_NS + "integer"
+            return Lit(v, dts=("", dt), lang="")
+        if k == "kw" and v.upper() in ("TRUE", "FALSE") and position == "object":
+            from ..model import XSD_NS
+
+            return Lit(v.lower(), dts=("", XSD_NS + "boolean"), lang="")
         raise RDFParseError(f"SPARQL: bad {position} term {v!r}")
 
     def parse_pattern(self):
@@ -774,13 +809,30 @@ class _Parser:
             return ("var", v[1:])
         if k == "string":
             self.next()
-            return ("lit", _unesc(v[1:-1]))
+            lex = _unesc(v[1:-1])
+            nk, nv = self.peek()
+            if nk == "op" and nv == "^^":
+                self.next()
+                dk, dv = self.next()
+                if dk not in ("iri", "pname"):
+                    raise RDFParseError(
+                        f"SPARQL: datatype IRI expected after ^^, got {dv!r}")
+                return ("typedlit", lex, self.expand(dk, dv), "")
+            if nk == "langtag":
+                self.next()
+                return ("typedlit", lex, "", nv[1:])
+            return ("lit", lex)
+        if k == "kw" and v.upper() in ("TRUE", "FALSE"):
+            from ..model import XSD_NS
+
+            self.next()
+            return ("typedlit", v.lower(), XSD_NS + "boolean", "")
         if k == "num":
             self.next()
             return ("num", float(v))
         if k in ("iri", "pname"):  # e.g. DATATYPE(?v) = xsd:decimal
             self.next()
-            return ("lit", self.expand(k, v))
+            return ("iriconst", self.expand(k, v))
         raise RDFParseError(f"SPARQL: bad expression at {v!r}")
 
     def parse_cmp(self):
@@ -809,6 +861,8 @@ class _Parser:
         if self.peek() != ("op", ")"):
             while True:
                 e = self.parse_add()
+                if e[0] == "iriconst":
+                    e = ("lit", e[1])
                 if e[0] not in ("lit", "num"):
                     raise RDFParseError(
                         "SPARQL: IN list members must be constants"
@@ -878,6 +932,7 @@ def _is_numeric_node(node) -> bool:
     a comparison into the engine's numeric context."""
     tag = node[0] if node else None
     return (tag in ("num", "strlen", "arith")
+            or (tag == "typedlit" and node[2] in _NUMERIC_DTS)
             or (tag == "fn1" and node[1] in _NUMERIC_FN1))
 
 
@@ -906,6 +961,32 @@ def _to_lexical(val, n_rows: int):
     return pc.cast(as_int if integral else arr, pa.large_string())
 
 
+def _str_arg(node, t: pa.Table, arr):
+    """String-argument gate (SPARQL 17.4.3 / XSDFuncOp.checkAndGetString):
+    a string function applied to a non-string literal (numeric, unknown
+    datatype) or a non-literal term is a per-row type error → null.
+    Simple literals, xsd:string, lang-tagged literals, and the engine's
+    untyped tabular convention (dt = "") pass through."""
+    if not node or node[0] != "var":
+        return arr
+    from ..model import KIND_LITERAL, RDF_LANGSTRING, XSD_STRING
+
+    names = t.schema.names
+    dc, kc = node[1] + "__dt", node[1] + "__kind"
+    if dc not in names:
+        return arr
+    if isinstance(arr, pa.Scalar):
+        arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+    dt = pc.fill_null(t[dc].combine_chunks().cast(pa.large_string()), "")
+    ok = pc.is_in(dt, value_set=pa.array(
+        ["", XSD_STRING, RDF_LANGSTRING], pa.large_string()))
+    if kc in names:
+        ok = pc.and_(ok, pc.fill_null(pc.equal(
+            t[kc].combine_chunks(), pa.scalar(KIND_LITERAL, pa.int8())),
+            True))
+    return pc.if_else(ok, arr, pa.scalar(None, pa.large_string()))
+
+
 def _eval_num(node, t: pa.Table):
     """Evaluate a value expression in the numeric context → float64 with
     null where the row has no numeric value."""
@@ -926,6 +1007,15 @@ def _num_or_null(node, t: pa.Table, val, strict: bool):
     compare): a var row is numeric ONLY when its datatype is in the
     numeric value space — plain "42" stays a string."""
     tag = node[0] if node else None
+    if tag == "typedlit":
+        if node[2] in _NUMERIC_DTS:
+            try:
+                return pa.scalar(float(node[1]), pa.float64())
+            except (TypeError, ValueError):
+                return pa.scalar(None, pa.float64())
+        return pa.scalar(None, pa.float64())
+    if tag == "iriconst":
+        return pa.scalar(None, pa.float64())
     if _is_numeric_node(node):
         return val if not isinstance(val, pa.ChunkedArray) else val.combine_chunks()
     if tag == "lit":
@@ -984,17 +1074,31 @@ def _eval_value(node, t: pa.Table):
         # out-of-scope vars yield nulls (bottom-up semantics: an
         # inner-group FILTER naming an outer var sees it unbound)
         return _var_col(t, node[1])
-    if tag == "lit":
+    if tag == "lit" or tag == "iriconst":
+        return pa.scalar(node[1], pa.large_string())
+    if tag == "typedlit":
         return pa.scalar(node[1], pa.large_string())
     if tag == "num":
         return pa.scalar(node[1], pa.float64())
     if tag == "strlen":
         return pc.cast(pc.utf8_length(_var_col(t, node[1])), pa.float64())
     if tag == "lang":
+        from ..model import KIND_LITERAL
+
         col = t[node[1] + "__lang"] if node[1] + "__lang" in t.schema.names else None
         if col is None:
-            return pa.array([""] * t.num_rows, pa.large_string())
-        return pc.fill_null(col.combine_chunks().cast(pa.large_string()), "")
+            out = pa.array([""] * t.num_rows, pa.large_string())
+        else:
+            out = pc.fill_null(col.combine_chunks().cast(pa.large_string()), "")
+        # LANG of a non-literal (or unbound) is a type error → null
+        kc = node[1] + "__kind"
+        if kc in t.schema.names:
+            is_lit = pc.fill_null(pc.equal(
+                t[kc].combine_chunks(), pa.scalar(KIND_LITERAL, pa.int8())),
+                True)
+            out = pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
+        bound = pc.is_valid(_var_col(t, node[1]))
+        return pc.if_else(bound, out, pa.scalar(None, pa.large_string()))
     if tag == "datatype":
         # DATATYPE(?v): declared dt; plain literal → xsd:string;
         # lang-tagged → rdf:langString; non-literals → null (type error)
@@ -1055,9 +1159,11 @@ def _eval_value(node, t: pa.Table):
         if fn == "STR":
             return _to_lexical(_eval_value(e, t), t.num_rows)
         if fn == "UCASE":
-            return pc.utf8_upper(_to_lexical(_eval_value(e, t), t.num_rows))
+            return pc.utf8_upper(
+                _str_arg(e, t, _to_lexical(_eval_value(e, t), t.num_rows)))
         if fn == "LCASE":
-            return pc.utf8_lower(_to_lexical(_eval_value(e, t), t.num_rows))
+            return pc.utf8_lower(
+                _str_arg(e, t, _to_lexical(_eval_value(e, t), t.num_rows)))
         num = _eval_num(e, t)
         if fn == "ABS":
             return pc.abs(num)
@@ -1068,7 +1174,8 @@ def _eval_value(node, t: pa.Table):
         # ROUND: xpath fn:round — ties toward positive infinity
         return pc.round(num, 0, round_mode="half_up")
     if tag == "concat":
-        parts = [_to_lexical(_eval_value(e, t), t.num_rows) for e in node[1]]
+        parts = [_str_arg(e, t, _to_lexical(_eval_value(e, t), t.num_rows))
+                 for e in node[1]]
         return pc.binary_join_element_wise(
             *parts, pa.scalar("", pa.large_string())
         )
@@ -1081,26 +1188,33 @@ def _eval_value(node, t: pa.Table):
             out = v if out is None else pc.coalesce(out, v)
         return out
     if tag == "substr":
-        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows))
         start, length = node[2], node[3]
         stop = None if length is None else start - 1 + length
         return pc.utf8_slice_codeunits(arr, max(start - 1, 0), stop)
     if tag == "replace":
-        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows))
         # SPARQL backrefs are $N; RE2 replacement wants \N
         rep = re.sub(r"\$(\d)", r"\\\1", node[3])
         return pc.replace_substring_regex(
             arr, pattern=node[2], replacement=rep
         )
     if tag in ("strbefore", "strafter"):
-        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows))
         if isinstance(arr, pa.Scalar):
             arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
         s = node[2]
         if s == "":
-            # STRBEFORE(x, "") = "", STRAFTER(x, "") = x (spec)
-            return (pa.array([""] * t.num_rows, pa.large_string())
-                    if tag == "strbefore" else arr)
+            # STRBEFORE(x, "") = "", STRAFTER(x, "") = x (spec);
+            # type-error rows stay null
+            if tag == "strafter":
+                return arr
+            return pc.if_else(
+                pc.is_valid(arr), pa.scalar("", pa.large_string()),
+                pa.scalar(None, pa.large_string()))
         found = pc.greater_equal(pc.find_substring(arr, s), 0)
         # replace the FIRST occurrence with a sentinel, append one more
         # sentinel, split once: [before, after + NUL] when found,
@@ -1145,12 +1259,438 @@ def _eval_value(node, t: pa.Table):
     raise RDFParseError(f"SPARQL: not a value expression: {node!r}")
 
 
+# --- RDFterm-equal (`=` / `!=`) --------------------------------------------
+#
+# SPARQL 17.4.1.7 / Jena NodeValue.sameValueAs + E_Equals/E_NotEquals:
+# terms are classified per row into value-space classes; equality is
+# definitive inside a class (and across the STR/UNTYPED bridge), an
+# ERROR (null) for literal pairs in incomparable value spaces, and
+# definitively false across term kinds. `same term` always wins.
+# UNTYPED (dt="" — the engine's plain-tabular convention, distinct from
+# parsed xsd:string literals) keeps the documented lexical/numeric
+# behavior instead of the spec's simple-literal error rules.
+(_CLS_IRI, _CLS_BNODE, _CLS_STR, _CLS_LANG, _CLS_NUM, _CLS_BOOL,
+ _CLS_TIME, _CLS_UNTYPED, _CLS_OTHER) = range(9)
+
+_TIME_DTS = tuple(
+    "http://www.w3.org/2001/XMLSchema#" + s
+    for s in ("dateTime", "dateTimeStamp", "date"))
+
+_BOOL_EXPR_TAGS = frozenset(
+    {"cmp", "and", "or", "not", "bound", "inlist", "regex", "regex_str",
+     "strstarts", "strends", "contains", "isiri", "isliteral", "isblank",
+     "langmatches", "exists_marker"})
+
+
+def _epoch_of(s):
+    """ISO-8601 lexical form → POSIX seconds, or None when ill-formed.
+    Timezone-less values are anchored at UTC (one consistent instant —
+    comparisons between two timezone-less values are exact)."""
+    from datetime import datetime, timezone
+
+    try:
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        d = datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        return None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=timezone.utc)
+    return d.timestamp()
+
+
+def _i8(x: int):
+    return pa.scalar(x, pa.int8())
+
+
+def _classify_var(v: str, t: pa.Table) -> dict:
+    from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL, XSD_NS, XSD_STRING
+
+    n = t.num_rows
+    names = t.schema.names
+    lex = _var_col(t, v)
+    kc, dc, lc = v + "__kind", v + "__dt", v + "__lang"
+    num_ok = pc.fill_null(pc.match_substring_regex(lex, _NUM_RE), False)
+    numf = pc.cast(
+        pc.if_else(num_ok, lex, pa.scalar(None, lex.type)), pa.float64())
+    if kc not in names and dc not in names:
+        return {
+            "lex": lex,
+            "cls": pa.array([_CLS_UNTYPED] * n, pa.int8()),
+            "dt": pa.array([""] * n, pa.large_string()),
+            "lang": pa.array([""] * n, pa.large_string()),
+            "num": numf,
+            "tz": pa.array([False] * n),
+            "tprim": pa.array([-1] * n, pa.int8()),
+        }
+    kind = (t[kc].combine_chunks() if kc in names
+            else pa.array([KIND_LITERAL] * n, pa.int8()))
+    kind = pc.fill_null(kind, KIND_LITERAL)
+    dt = (pc.fill_null(t[dc].combine_chunks().cast(pa.large_string()), "")
+          if dc in names else pa.array([""] * n, pa.large_string()))
+    lang = (pc.utf8_lower(pc.fill_null(
+        t[lc].combine_chunks().cast(pa.large_string()), ""))
+        if lc in names else pa.array([""] * n, pa.large_string()))
+    num_dt = pc.is_in(
+        dt, value_set=pa.array(sorted(_NUMERIC_DTS), pa.large_string()))
+    bool_dt = pc.equal(dt, XSD_NS + "boolean")
+    time_dt = pc.is_in(dt, value_set=pa.array(_TIME_DTS, pa.large_string()))
+    bool_ok = pc.fill_null(pc.is_in(
+        lex, value_set=pa.array(["true", "false", "0", "1"], lex.type)),
+        False)
+    if pc.any(time_dt).as_py():
+        mask = time_dt.to_pylist()
+        ep = pa.array(
+            [_epoch_of(s) if (m and s is not None) else None
+             for s, m in zip(lex.to_pylist(), mask)],
+            pa.float64())
+    else:
+        ep = pa.nulls(n, pa.float64())
+    cls = pa.array([_CLS_OTHER] * n, pa.int8())
+    cls = pc.if_else(
+        pc.and_(pc.equal(dt, ""), pc.equal(lang, "")),
+        _i8(_CLS_UNTYPED), cls)
+    cls = pc.if_else(pc.equal(dt, XSD_STRING), _i8(_CLS_STR), cls)
+    cls = pc.if_else(pc.and_(time_dt, pc.is_valid(ep)), _i8(_CLS_TIME), cls)
+    cls = pc.if_else(pc.and_(bool_dt, bool_ok), _i8(_CLS_BOOL), cls)
+    cls = pc.if_else(pc.and_(num_dt, num_ok), _i8(_CLS_NUM), cls)
+    cls = pc.if_else(pc.and_(num_dt, pc.invert(num_ok)), _i8(_CLS_OTHER), cls)
+    cls = pc.if_else(pc.not_equal(lang, ""), _i8(_CLS_LANG), cls)
+    cls = pc.if_else(
+        pc.equal(kind, _i8(KIND_BNODE)), _i8(_CLS_BNODE), cls)
+    cls = pc.if_else(pc.equal(kind, _i8(KIND_IRI)), _i8(_CLS_IRI), cls)
+    bool_num = pc.cast(pc.fill_null(pc.is_in(
+        lex, value_set=pa.array(["true", "1"], lex.type)), False),
+        pa.float64())
+    num = pc.if_else(
+        pc.or_(pc.equal(cls, _i8(_CLS_NUM)),
+               pc.and_(pc.equal(cls, _i8(_CLS_UNTYPED)), num_ok)),
+        numf,
+        pc.if_else(
+            pc.equal(cls, _i8(_CLS_BOOL)), bool_num,
+            pc.if_else(pc.equal(cls, _i8(_CLS_TIME)), ep,
+                       pa.scalar(None, pa.float64()))))
+    tzb = pc.fill_null(
+        pc.match_substring_regex(lex, r"(Z|[+-]\d\d:\d\d)$"), False)
+    tprim = pc.if_else(
+        pc.is_in(dt, value_set=pa.array(_TIME_DTS[:2], pa.large_string())),
+        _i8(0),
+        pc.if_else(pc.equal(dt, _TIME_DTS[2]), _i8(1), _i8(-1)))
+    return {"lex": lex, "cls": cls, "dt": dt, "lang": lang, "num": num,
+            "tz": tzb, "tprim": tprim}
+
+
+def _eq_side(node, t: pa.Table) -> dict:
+    from ..model import XSD_NS, XSD_STRING
+
+    n = t.num_rows
+    tag = node[0]
+
+    def const(lex, cls, dt="", lang="", num=None):
+        import re as _re
+
+        tz = bool(_re.search(r"(Z|[+-]\d\d:\d\d)$", lex)) if cls == _CLS_TIME \
+            else False
+        tprim = -1
+        if cls == _CLS_TIME:
+            tprim = 1 if dt == _TIME_DTS[2] else 0
+        return {
+            "lex": pa.array([lex] * n, pa.large_string()),
+            "cls": pa.array([cls] * n, pa.int8()),
+            "dt": pa.array([dt] * n, pa.large_string()),
+            "lang": pa.array([lang.lower()] * n, pa.large_string()),
+            "num": pa.array([num] * n, pa.float64()),
+            "tz": pa.array([tz] * n),
+            "tprim": pa.array([tprim] * n, pa.int8()),
+        }
+
+    if tag == "lit":
+        return const(node[1], _CLS_STR)
+    if tag == "iriconst":
+        return const(node[1], _CLS_IRI)
+    if tag == "num":
+        x = node[1]
+        lex = str(int(x)) if x == int(x) else str(x)
+        return const(lex, _CLS_NUM, dt=XSD_NS + "decimal", num=float(x))
+    if tag == "typedlit":
+        lex, dt, lang = node[1], node[2], node[3]
+        if lang:
+            return const(lex, _CLS_LANG, lang=lang)
+        if dt in _NUMERIC_DTS:
+            try:
+                return const(lex, _CLS_NUM, dt=dt, num=float(lex))
+            except ValueError:
+                return const(lex, _CLS_OTHER, dt=dt)
+        if dt == XSD_NS + "boolean":
+            if lex in ("true", "1"):
+                return const(lex, _CLS_BOOL, dt=dt, num=1.0)
+            if lex in ("false", "0"):
+                return const(lex, _CLS_BOOL, dt=dt, num=0.0)
+            return const(lex, _CLS_OTHER, dt=dt)
+        if dt in _TIME_DTS:
+            e = _epoch_of(lex)
+            return const(lex, _CLS_TIME if e is not None else _CLS_OTHER,
+                         dt=dt, num=e)
+        if dt in ("", XSD_STRING):
+            return const(lex, _CLS_STR, dt=dt)
+        return const(lex, _CLS_OTHER, dt=dt)
+    if tag == "var":
+        return _classify_var(node[1], t)
+    # computed expression → static class by producing tag
+    val = _eval_value(node, t)
+    lex = _to_lexical(val, n)
+    if isinstance(lex, pa.Scalar):
+        lex = pa.array([lex.as_py()] * n, pa.large_string())
+    if isinstance(lex, pa.ChunkedArray):
+        lex = lex.combine_chunks()
+    empty_dt = pa.array([""] * n, pa.large_string())
+    empty_lang = pa.array([""] * n, pa.large_string())
+    if _is_numeric_node(node):
+        numv = _num_or_null(node, t, val, strict=True)
+        if isinstance(numv, pa.Scalar):
+            numv = pa.array([numv.as_py()] * n, pa.float64())
+        if isinstance(numv, pa.ChunkedArray):
+            numv = numv.combine_chunks()
+        cls = pc.if_else(pc.is_valid(numv), _i8(_CLS_NUM), _i8(_CLS_OTHER))
+        return {"lex": lex, "cls": cls, "dt": empty_dt, "lang": empty_lang,
+                "num": numv}
+    if tag == "datatype":
+        return {"lex": lex,
+                "cls": pa.array([_CLS_IRI] * n, pa.int8()),
+                "dt": empty_dt, "lang": empty_lang,
+                "num": pa.nulls(n, pa.float64())}
+    if tag in _BOOL_EXPR_TAGS:
+        num = pc.cast(
+            pc.fill_null(pc.equal(lex, "true"), False), pa.float64())
+        return {"lex": lex,
+                "cls": pa.array([_CLS_BOOL] * n, pa.int8()),
+                "dt": empty_dt, "lang": empty_lang, "num": num}
+    return {"lex": lex,
+            "cls": pa.array([_CLS_STR] * n, pa.int8()),
+            "dt": empty_dt, "lang": empty_lang,
+            "num": pa.nulls(n, pa.float64())}
+
+
+def _side_tz(S: dict, n: int):
+    return S.get("tz") if S.get("tz") is not None else pa.array([False] * n)
+
+
+def _side_tprim(S: dict, n: int):
+    return (S.get("tprim") if S.get("tprim") is not None
+            else pa.array([-1] * n, pa.int8()))
+
+
+def _term_eq(op: str, l, r, t: pa.Table):
+    """`=` / `!=` with nulls for type errors (3-valued logic)."""
+    L, R = _eq_side(l, t), _eq_side(r, t)
+    cl, cr = L["cls"], R["cls"]
+
+    def both(a):
+        return pc.and_(pc.equal(cl, _i8(a)), pc.equal(cr, _i8(a)))
+
+    def pairm(a, b):
+        return pc.or_(
+            pc.and_(pc.equal(cl, _i8(a)), pc.equal(cr, _i8(b))),
+            pc.and_(pc.equal(cl, _i8(b)), pc.equal(cr, _i8(a))))
+
+    lex_eq = pc.fill_null(pc.equal(L["lex"], R["lex"]), False)
+    dt_eq = pc.fill_null(pc.equal(L["dt"], R["dt"]), False)
+    lang_eq = pc.fill_null(pc.equal(L["lang"], R["lang"]), False)
+    num_eq = pc.fill_null(pc.equal(L["num"], R["num"]), False)
+    same_term = pc.and_(pc.and_(lex_eq, dt_eq),
+                        pc.and_(lang_eq, pc.equal(cl, cr)))
+
+    n = t.num_rows
+    acc = pa.nulls(n, pa.bool_())  # default: incomparable → error
+    is_nonlit_l = pc.or_(pc.equal(cl, _i8(_CLS_IRI)),
+                         pc.equal(cl, _i8(_CLS_BNODE)))
+    is_nonlit_r = pc.or_(pc.equal(cr, _i8(_CLS_IRI)),
+                         pc.equal(cr, _i8(_CLS_BNODE)))
+    mixed_nonlit = pc.and_(
+        pc.or_(is_nonlit_l, is_nonlit_r),
+        pc.invert(pc.or_(both(_CLS_IRI), both(_CLS_BNODE))))
+    acc = pc.if_else(mixed_nonlit, pa.scalar(False), acc)
+    acc = pc.if_else(pc.or_(both(_CLS_IRI), both(_CLS_BNODE)), lex_eq, acc)
+    # a lang-tagged literal never equals a literal of another class
+    lang_mixed = pc.and_(
+        pc.invert(pc.or_(is_nonlit_l, is_nonlit_r)),
+        pc.and_(pc.invert(both(_CLS_LANG)),
+                pc.or_(pc.equal(cl, _i8(_CLS_LANG)),
+                       pc.equal(cr, _i8(_CLS_LANG)))))
+    acc = pc.if_else(lang_mixed, pa.scalar(False), acc)
+    acc = pc.if_else(both(_CLS_LANG), pc.and_(lex_eq, lang_eq), acc)
+    str_pair = pc.or_(
+        pc.or_(both(_CLS_STR), both(_CLS_UNTYPED)),
+        pairm(_CLS_STR, _CLS_UNTYPED))
+    acc = pc.if_else(str_pair, lex_eq, acc)
+    value_pair = pc.or_(both(_CLS_NUM), both(_CLS_BOOL))
+    acc = pc.if_else(value_pair, num_eq, acc)
+    # temporal values: a date never equals a dateTime (disjoint primitive
+    # value spaces → definitively unequal); mixed timezone-ness is
+    # indeterminate inside the XSD ±14-hour window (F&O comparison
+    # rule), definitive outside
+    prim_eq = pc.equal(_side_tprim(L, n), _side_tprim(R, n))
+    tz_ok = pc.or_(
+        pc.equal(_side_tz(L, n), _side_tz(R, n)),
+        pc.fill_null(pc.greater(
+            pc.abs(pc.subtract(L["num"], R["num"])), 50400.0), False))
+    acc = pc.if_else(
+        both(_CLS_TIME),
+        pc.if_else(
+            prim_eq,
+            pc.if_else(tz_ok, num_eq, pa.scalar(None, pa.bool_())),
+            pa.scalar(False)),
+        acc)
+    # engine tabular convention: untyped lexical numbers join the
+    # numeric value space; a non-numeric untyped vs a number is false
+    acc = pc.if_else(pairm(_CLS_UNTYPED, _CLS_NUM), num_eq, acc)
+    acc = pc.if_else(
+        pc.or_(pairm(_CLS_UNTYPED, _CLS_BOOL),
+               pairm(_CLS_UNTYPED, _CLS_TIME)),
+        pa.scalar(False), acc)
+    acc = pc.if_else(same_term, pa.scalar(True), acc)
+    bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
+    acc = pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
+    return acc if op == "=" else pc.invert(acc)
+
+
+def _term_ord(op: str, l, r, t: pa.Table):
+    """`<` `>` `<=` `>=` outside the numeric context: operator-mapping
+    comparison per value-space class (XPath fn:compare / op:numeric-*
+    via NodeValue.compare); pairs with no ordered value space in common
+    are type errors (null)."""
+    L, R = _eq_side(l, t), _eq_side(r, t)
+    cl, cr = L["cls"], R["cls"]
+    n = t.num_rows
+
+    def both(a):
+        return pc.and_(pc.equal(cl, _i8(a)), pc.equal(cr, _i8(a)))
+
+    def pairm(a, b):
+        return pc.or_(
+            pc.and_(pc.equal(cl, _i8(a)), pc.equal(cr, _i8(b))),
+            pc.and_(pc.equal(cl, _i8(b)), pc.equal(cr, _i8(a))))
+
+    num_cmp = _CMP[op](L["num"], R["num"])
+    lex_cmp = _CMP[op](L["lex"], R["lex"])
+    acc = pa.nulls(n, pa.bool_())
+    # strings (and the untyped tabular bridge) order by codepoint
+    str_pair = pc.or_(
+        pc.or_(both(_CLS_STR), both(_CLS_UNTYPED)),
+        pairm(_CLS_STR, _CLS_UNTYPED))
+    acc = pc.if_else(str_pair, lex_cmp, acc)
+    num_pair = pc.or_(both(_CLS_NUM), pairm(_CLS_NUM, _CLS_UNTYPED))
+    acc = pc.if_else(num_pair, num_cmp, acc)
+    acc = pc.if_else(both(_CLS_BOOL), num_cmp, acc)
+    time_ok = pc.and_(
+        pc.equal(_side_tprim(L, n), _side_tprim(R, n)),
+        pc.or_(pc.equal(_side_tz(L, n), _side_tz(R, n)),
+               pc.fill_null(pc.greater(
+                   pc.abs(pc.subtract(L["num"], R["num"])), 50400.0),
+                   False)))
+    acc = pc.if_else(
+        both(_CLS_TIME),
+        pc.if_else(time_ok, num_cmp, pa.scalar(None, pa.bool_())),
+        acc)
+    bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
+    return pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
+
+
+def _ebv(node, t: pa.Table):
+    """Effective boolean value of a value expression in boolean position
+    (XSDFuncOp.booleanEffectiveValue, SPARQL 17.2.2): boolean literals by
+    value, numeric literals true iff non-zero/non-NaN (ill-formed →
+    false), string-ish literals true iff non-empty; IRIs/bnodes/unbound/
+    unknown datatypes are type errors → false in a FILTER."""
+    from ..model import KIND_LITERAL, XSD_NS, XSD_STRING
+
+    n = t.num_rows
+    if node[0] == "typedlit":
+        if node[2] == XSD_NS + "boolean":
+            return pa.array([node[1] in ("true", "1")] * n)
+        if node[2] in _NUMERIC_DTS:
+            try:
+                x = float(node[1])
+                return pa.array([x == x and x != 0] * n)
+            except ValueError:
+                return pa.array([False] * n)
+    val = _eval_value(node, t)
+    if isinstance(val, pa.Scalar):
+        x = val.as_py()
+        if x is None:
+            return pa.array([None] * n, pa.bool_())
+        if isinstance(x, (int, float)):
+            return pa.array([bool(x == x and x != 0)] * n)
+        return pa.array([len(str(x)) > 0] * n)
+    arr = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+    if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+        f = pc.cast(arr, pa.float64())
+        return pc.fill_null(
+            pc.and_(pc.invert(pc.is_nan(f)), pc.not_equal(f, 0.0)), False)
+    arr = arr.cast(pa.large_string())
+    names = t.schema.names
+    if node[0] == "var" and node[1] + "__dt" in names:
+        dt = pc.fill_null(
+            t[node[1] + "__dt"].combine_chunks().cast(pa.large_string()), "")
+        lang = (
+            pc.fill_null(
+                t[node[1] + "__lang"].combine_chunks().cast(pa.large_string()),
+                "")
+            if node[1] + "__lang" in names
+            else pa.array([""] * n, pa.large_string())
+        )
+        kind = (
+            t[node[1] + "__kind"].combine_chunks()
+            if node[1] + "__kind" in names
+            else pa.array([KIND_LITERAL] * n, pa.int8())
+        )
+        is_lit = pc.fill_null(
+            pc.equal(kind, pa.scalar(KIND_LITERAL, pa.int8())), True)
+        bool_dt = pc.equal(dt, XSD_NS + "boolean")
+        num_dt = pc.is_in(
+            dt, value_set=pa.array(sorted(_NUMERIC_DTS), pa.large_string()))
+        plainish = pc.or_(
+            pc.or_(pc.equal(dt, ""), pc.equal(dt, XSD_STRING)),
+            pc.not_equal(lang, ""),
+        )
+        num_ok = pc.fill_null(pc.match_substring_regex(arr, _NUM_RE), False)
+        numv = pc.cast(
+            pc.if_else(num_ok, arr, pa.scalar(None, arr.type)), pa.float64())
+        bool_res = pc.fill_null(
+            pc.is_in(arr, value_set=pa.array(["true", "1"], arr.type)), False)
+        num_res = pc.fill_null(pc.not_equal(numv, 0.0), False)
+        str_res = pc.fill_null(pc.greater(pc.utf8_length(arr), 0), False)
+        res = pc.if_else(
+            bool_dt, bool_res,
+            pc.if_else(
+                num_dt, num_res,
+                pc.if_else(plainish, str_res,
+                           pa.scalar(None, pa.bool_()))))
+        # type errors stay NULL (3-valued logic: `!` of an error is an
+        # error, not true); the FILTER boundary fills null → false
+        res = pc.if_else(is_lit, res, pa.scalar(None, pa.bool_()))
+        return pc.if_else(pc.is_valid(arr), res, pa.scalar(None, pa.bool_()))
+    # no term metadata: numeric-looking lexical forms by value, others
+    # by non-emptiness
+    num_ok = pc.fill_null(pc.match_substring_regex(arr, _NUM_RE), False)
+    numv = pc.cast(
+        pc.if_else(num_ok, arr, pa.scalar(None, arr.type)), pa.float64())
+    res = pc.if_else(
+        num_ok,
+        pc.fill_null(pc.not_equal(numv, 0.0), False),
+        pc.fill_null(pc.greater(pc.utf8_length(arr), 0), False),
+    )
+    return pc.if_else(pc.is_valid(arr), res, pa.scalar(None, pa.bool_()))
+
+
 def _eval_bool(node, t: pa.Table):
     tag = node[0]
     if tag == "and":
-        return pc.and_(_eval_bool(node[1], t), _eval_bool(node[2], t))
+        # SPARQL 3-valued logic (17.2): error && false = false,
+        # error && true = error — Kleene semantics over null-as-error
+        return pc.and_kleene(_eval_bool(node[1], t), _eval_bool(node[2], t))
     if tag == "or":
-        return pc.or_(_eval_bool(node[1], t), _eval_bool(node[2], t))
+        return pc.or_kleene(_eval_bool(node[1], t), _eval_bool(node[2], t))
     if tag == "not":
         return pc.invert(_eval_bool(node[1], t))
     if tag == "bound":
@@ -1191,16 +1731,15 @@ def _eval_bool(node, t: pa.Table):
         # LANGMATCHES(LANG(?v), "range"): '*' = any nonempty; else
         # case-insensitive exact tag or prefix-before-'-' match (RFC 4647
         # basic filtering, E_LangMatches.java)
+        # type errors (LANG of a non-literal → null) stay null so that
+        # !langMatches(...) keeps 3-valued semantics
         lang = pc.utf8_lower(_eval_value(("lang", node[1]), t))
         rng = node[2].lower()
         if rng == "*":
-            return pc.fill_null(pc.not_equal(lang, ""), False)
-        return pc.fill_null(
-            pc.or_(
-                pc.equal(lang, rng),
-                pc.starts_with(lang, rng + "-"),
-            ),
-            False,
+            return pc.not_equal(lang, "")
+        return pc.or_(
+            pc.equal(lang, rng),
+            pc.starts_with(lang, rng + "-"),
         )
     if tag == "inlist":
         _, e, vals, positive = node
@@ -1220,6 +1759,8 @@ def _eval_bool(node, t: pa.Table):
         return m if positive else pc.invert(m)
     if tag == "cmp":
         op, l, r = node[1], node[2], node[3]
+        if op in ("=", "!="):
+            return _term_eq(op, l, r, t)
         lv, rv = _eval_value(l, t), _eval_value(r, t)
         # numeric CONTEXT (a numeric literal / STRLEN / arithmetic
         # operand): compare in the numeric value space,
@@ -1233,22 +1774,13 @@ def _eval_bool(node, t: pa.Table):
         num_res = pc.fill_null(_CMP[op](ln, rn), False)
         if strict:
             return pc.if_else(both_num, num_res, pa.scalar(False))
-        # term-typed comparison: rows where BOTH sides sit in the numeric
-        # value space compare by value ("01"^^xsd:int = "1"^^xsd:decimal);
-        # everything else compares lexically (the documented subset)
-        def as_str(v):
-            if isinstance(v, pa.Scalar):
-                return (v if pa.types.is_large_string(v.type)
-                        else pa.scalar(str(v.as_py()), pa.large_string()))
-            return v.cast(pa.large_string())
-
-        lex_res = pc.fill_null(_CMP[op](as_str(lv), as_str(rv)), False)
-        if isinstance(lex_res, pa.Scalar):
-            lex_res = pa.array([bool(lex_res.as_py())] * t.num_rows)
-        if isinstance(num_res, pa.Scalar):
-            num_res = pa.array([bool(num_res.as_py())] * t.num_rows)
-        return pc.if_else(both_num, num_res, lex_res)
-    raise RDFParseError(f"SPARQL: not a boolean expression: {node!r}")
+        return _term_ord(op, l, r, t)
+    # a value expression in boolean position → its effective boolean
+    # value (FILTER(?v), FILTER(?x + ?y), ...)
+    try:
+        return _ebv(node, t)
+    except RDFParseError:
+        raise RDFParseError(f"SPARQL: not a boolean expression: {node!r}")
 
 
 def _term_sort(bindings_ds, order: list):
@@ -1394,6 +1926,8 @@ def _compile_path_pattern(triples_ds, pat):
     ((p*/q)+, (p*|q)+, ^(p*)) re-evaluate the step seeded per round
     (eval_path's _step_needs_seeding / _inv_push)."""
     s, path, o = pat
+    if isinstance(o, Lit):
+        o = o.lex  # path matching is over lexical forms
 
     def to_edges(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1495,7 +2029,135 @@ def _align_columns(ds, have: list, want: list):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _join_bindings(left, left_vars, right, right_vars, how: str):
+def _present_masks(ds, shared: list) -> list:
+    """Distinct bound-masks (tuple of bools per shared var) present in a
+    binding relation — one tiny row per block, distinct on the driver."""
+
+    def block_masks(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"mask": pa.array([], pa.large_string())})
+        cols = []
+        for v in shared:
+            if v in t.schema.names:
+                cols.append(pc.is_valid(t[v].combine_chunks()))
+            else:
+                cols.append(pa.array([False] * t.num_rows))
+        masks = {
+            "".join("1" if c[i].as_py() else "0" for c in cols)
+            for i in range(t.num_rows)
+        }
+        return pa.table({"mask": pa.array(sorted(masks), pa.large_string())})
+
+    seen = set()
+    for r in ds.map_batches(block_masks, batch_format="pyarrow").take_all():
+        seen.add(r["mask"])
+    return [
+        tuple(v for v, b in zip(shared, m) if b == "1") for m in sorted(seen)
+    ]
+
+
+def _filter_mask(ds, shared: list, bound: tuple):
+    """Rows whose bound-mask over `shared` equals `bound`, with the
+    all-null shared columns (and their meta) dropped."""
+    from .bgp import meta_cols_of
+
+    bound_set = set(bound)
+    drop = [v for v in shared if v not in bound_set]
+    drop_cols = set(drop) | {m for v in drop for m in meta_cols_of(v)}
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        mask = None
+        for v in shared:
+            if v in t.schema.names:
+                c = pc.is_valid(t[v].combine_chunks())
+            else:
+                c = pa.array([False] * t.num_rows)
+            if v not in bound_set:
+                c = pc.invert(c)
+            mask = c if mask is None else pc.and_(mask, c)
+        t = t.filter(mask)
+        keep = [c for c in t.schema.names if c not in drop_cols]
+        return t.select(keep)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _cross_join(left, left_vars, right, right_vars):
+    """Cartesian product of two binding relations via a constant join
+    key (disjoint-domain compatibility: every pair merges)."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.append_column(
+            "__cross", pa.array(["1"] * t.num_rows, pa.large_string()))
+
+    lk = left.map_batches(add_key, batch_format="pyarrow")
+    rk = right.map_batches(add_key, batch_format="pyarrow")
+    joined, jv = _join_bindings(
+        lk, sorted(left_vars + ["__cross"]),
+        rk, sorted(right_vars + ["__cross"]), "inner")
+    out = joined.map_batches(
+        lambda t: t.select([c for c in t.schema.names if c != "__cross"])
+        if t.num_columns else t,
+        batch_format="pyarrow")
+    return out, sorted(set(left_vars) | set(right_vars))
+
+
+def _join_partial(lc, left_vars, rc, right_vars, shared):
+    """Inner join where either side holds PARTIALLY BOUND solutions
+    (UNION arms / OPTIONAL misses): SPARQL compatibility keys each row
+    pair only on the vars bound on BOTH sides (Binding.compatible —
+    unbound matches anything). Decomposed into one hash join per
+    bound-mask pair; each subset has no nulls in its keys so the plain
+    hash join is exact. Mask counts are tiny (≤2^|shared| patterns that
+    actually occur), so this stays a handful of joins."""
+    out_vars_all = sorted(set(left_vars) | set(right_vars))
+    lmasks = _present_masks(lc, shared)
+    rmasks = _present_masks(rc, shared)
+    parts = []
+    for lm in lmasks:
+        lsub = _filter_mask(lc, shared, lm)
+        lv = sorted(set(left_vars) - (set(shared) - set(lm)))
+        for rm in rmasks:
+            rsub = _filter_mask(rc, shared, rm)
+            rv = sorted(set(right_vars) - (set(shared) - set(rm)))
+            keys = sorted(set(lm) & set(rm))
+            if keys:
+                part, pv = _join_bindings(lsub, lv, rsub, rv, "inner")
+            else:
+                part, pv = _cross_join(lsub, lv, rsub, rv)
+            parts.append(_align_columns(part, pv, out_vars_all))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.union(p)
+    return acc, out_vars_all
+
+
+def _shared_nulls(ds, shared: list) -> bool:
+    """Does any row leave one of `shared` unbound (null / missing)?"""
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        n = 0
+        for v in shared:
+            if v in t.schema.names:
+                n += t[v].null_count
+            else:
+                n += t.num_rows
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return any(
+        r["n"] > 0
+        for r in ds.map_batches(counts, batch_format="pyarrow").take_all()
+    )
+
+
+def _join_bindings(left, left_vars, right, right_vars, how: str,
+                   maybe_partial=(False, False)):
     from ..util import compact_blocks
 
     # unit relation (all-constant BGP — no variable columns, only the
@@ -1526,6 +2188,17 @@ def _join_bindings(left, left_vars, right, right_vars, how: str):
             "SPARQL: group element shares no variable with the rest "
             "(cartesian product — not supported)"
         )
+    # partially bound solutions in a shared var (UNION arms with
+    # differing variables, OPTIONAL misses, BIND errors) make the plain
+    # hash join wrong: an unbound var is compatible with anything. The
+    # `maybe_partial` flags (tracked structurally by _compile_group)
+    # gate the extra null scan so fully-bound pipelines pay nothing.
+    left_p, right_p = maybe_partial
+    if how == "inner" and (
+        (left_p and _shared_nulls(left, shared))
+        or (right_p and _shared_nulls(right, shared))
+    ):
+        return _join_partial(left, left_vars, right, right_vars, shared)
     # both sides may carry meta columns for shared vars (name collision in
     # the join) — keep the left side's, drop the right's
     from .bgp import meta_cols_of
@@ -1754,6 +2427,68 @@ def _marker_semijoin(left, left_vars, right, shared, keep_matched: bool):
     )
 
 
+def _expr_vars(node) -> set:
+    """Variable names referenced by a filter-expression AST node."""
+    out: set = set()
+    if not isinstance(node, tuple) or not node:
+        return out
+    tag = node[0]
+    if tag == "var":
+        return {node[1]}
+    # tags carrying a bare var name at position 1
+    if tag in ("bound", "regex", "regex_str", "strstarts", "strends",
+               "contains", "isiri", "isliteral", "isblank", "strlen",
+               "lang", "datatype", "langmatches") and isinstance(
+                   node[1], str) and tag != "var":
+        out.add(node[1])
+    for x in node[1:]:
+        if isinstance(x, tuple):
+            out |= _expr_vars(x)
+        elif isinstance(x, (list,)):
+            for y in x:
+                if isinstance(y, tuple):
+                    out |= _expr_vars(y)
+    return out
+
+
+def _filter_bindings(ds, vars_: list, filters: list):
+    """Apply FILTER expressions to a binding relation (errors → false)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            from .bgp import meta_cols_of
+
+            cols: dict = {}
+            for v in vars_:
+                cols[v] = pa.array([], pa.large_string())
+                kc, dc, lc = meta_cols_of(v)
+                cols[kc] = pa.array([], pa.int8())
+                cols[dc] = pa.array([], pa.large_string())
+                cols[lc] = pa.array([], pa.large_string())
+            return pa.table(cols)
+        mask = None
+        for f in filters:
+            m = pc.fill_null(_eval_bool(f, t), False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _left_join_conditional(left, left_vars, right, right_vars, filters):
+    """LeftJoin with a condition over the merged solution:
+    Filter(expr, Join(Ω1, Ω2)) ∪ Diff — left rows with no surviving
+    match re-enter with the right-only vars unbound."""
+    joined, joined_vars = _join_bindings(left, left_vars, right,
+                                         right_vars, "inner")
+    matched = _filter_bindings(joined, joined_vars, filters)
+    matched_left = select(matched, left_vars)
+    unmatched, _ = _exists_bindings(left, left_vars, matched_left,
+                                    left_vars, positive=False)
+    padded = _align_columns(unmatched, left_vars, joined_vars)
+    return matched.union(padded), joined_vars
+
+
 def _compile_group(triples_ds, group: dict, graph=None):
     """→ (bindings Dataset, sorted var list) for one GroupGraphPattern.
     ``graph`` (None | IRI string | Var) scopes the group's patterns —
@@ -1762,7 +2497,9 @@ def _compile_group(triples_ds, group: dict, graph=None):
 
     acc = None
     acc_vars: list = []
+    acc_partial = False  # may acc hold rows with an unbound var?
     for el in group["elements"]:
+        rel_partial = False
         if el[0] == "bgp":
             rel = match_bgp(triples_ds, el[1], distinct=False, graph=graph,
                             with_meta=True)
@@ -1784,7 +2521,7 @@ def _compile_group(triples_ds, group: dict, graph=None):
             if isinstance(graph, str):
                 scoped = triples_ds.map_batches(
                     lambda t, _g=graph: t.filter(pc.equal(t["g"], _g))
-                    if t.num_columns
+                    if t.num_columns and "g" in t.schema.names
                     else t,
                     batch_format="pyarrow",
                 )
@@ -1825,6 +2562,28 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 rel, rel_vars = _exec_select(triples_ds, el[1], graph=graph)
             how = "inner"
         elif el[0] == "optional":
+            inner = el[1]
+            # LeftJoin(Ω1, Ω2, expr) — a FILTER inside OPTIONAL that
+            # names a variable bound only on the LEFT side is the join
+            # CONDITION, evaluated over the merged solution
+            # (section 18.5; QueryIterNestedLoopLeftJoin). Realized as
+            # Filter(expr, Join) ∪ (Ω1 ∖ matched-left-rows).
+            deferred = []
+            if acc is not None and inner.get("filters"):
+                ivars = _group_vars(inner)
+                deferred = [
+                    f for f in inner["filters"]
+                    if (_expr_vars(f) - ivars) & set(acc_vars)
+                ]
+            if deferred:
+                inner = dict(inner)
+                inner["filters"] = [
+                    f for f in inner["filters"] if f not in deferred]
+                rel, rel_vars = _compile_group(triples_ds, inner, graph=graph)
+                acc, acc_vars = _left_join_conditional(
+                    acc, acc_vars, rel, rel_vars, deferred)
+                acc_partial = True
+                continue
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
             how = "left_outer"
         elif el[0] == "minus":
@@ -1900,10 +2659,12 @@ def _compile_group(triples_ds, group: dict, graph=None):
 
             acc = acc.map_batches(bind_kernel, batch_format="pyarrow")
             acc_vars = new_vars
+            acc_partial = True  # a BIND error leaves the var unbound
             continue
         elif el[0] == "union":
             arms = [_compile_group(triples_ds, a, graph=graph) for a in el[1]]
             rel_vars = sorted(set().union(*(set(v) for _, v in arms)))
+            rel_partial = any(set(v) != set(rel_vars) for _, v in arms)
             rel = _align_columns(arms[0][0], arms[0][1], rel_vars)
             for a_ds, a_vars in arms[1:]:
                 rel = rel.union(_align_columns(a_ds, a_vars, rel_vars))
@@ -1917,7 +2678,11 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 acc = rel  # unit relation: keep the __exists marker rows
             acc_vars = rel_vars
         else:
-            acc, acc_vars = _join_bindings(acc, acc_vars, rel, rel_vars, how)
+            acc, acc_vars = _join_bindings(
+                acc, acc_vars, rel, rel_vars, how,
+                maybe_partial=(acc_partial, rel_partial))
+            if how == "left_outer" or rel_partial:
+                acc_partial = True
     if acc is None:
         raise RDFParseError("SPARQL: empty WHERE block")
     if group["filters"]:
@@ -1956,7 +2721,7 @@ def sparql_ask(triples_ds, query_text: str, base: str = "") -> bool:
     q = _Parser(query_text, base=base).parse()
     if q["form"] != "ask":
         raise RDFParseError("sparql_ask: not an ASK query")
-    bindings, _ = _compile_group(triples_ds, q["group"])
+    bindings, _ = _compile_group(triples_ds, q["group"], graph="")
     return len(bindings.limit(1).take(1)) > 0
 
 
@@ -1970,7 +2735,7 @@ def sparql_construct(triples_ds, query_text: str, base: str = ""):
     q = _Parser(query_text, base=base).parse()
     if q["form"] != "construct":
         raise RDFParseError("sparql_construct: not a CONSTRUCT query")
-    bindings, all_vars = _compile_group(triples_ds, q["group"])
+    bindings, all_vars = _compile_group(triples_ds, q["group"], graph="")
     out = _instantiate_template(bindings, all_vars, q["template"], "construct")
     if q["limit"] is not None:
         out = out.limit(q["limit"])
@@ -1999,19 +2764,34 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
                 for s, p, o in template:
                     sv = data[s.name][i] if isinstance(s, Var) else s
                     pv = data[p.name][i] if isinstance(p, Var) else p
-                    ov = data[o.name][i] if isinstance(o, Var) else o
+                    if isinstance(o, Var):
+                        ov, o_dt, o_lang = data[o.name][i], None, ""
+                    elif isinstance(o, Lit):
+                        ov = o.lex
+                        o_dt = next((d for d in (o.dts or ()) if d),
+                                    XSD_STRING)
+                        o_lang = o.lang or ""
+                        if o_lang:
+                            o_dt = ""
+                    else:
+                        ov, o_dt, o_lang = o, None, ""
                     if sv is None or pv is None or ov is None:
                         continue  # unbound OPTIONAL var: skip the triple
-                    o_is_iri = isinstance(ov, str) and ov.startswith(
-                        ("http://", "https://", "urn:", "file://")
-                    )
+                    if o_dt is None:
+                        o_is_iri = isinstance(ov, str) and ov.startswith(
+                            ("http://", "https://", "urn:", "file://")
+                        )
+                        o_kind = KIND_IRI if o_is_iri else KIND_LITERAL
+                        o_dt = "" if o_is_iri else XSD_STRING
+                    else:
+                        o_kind = KIND_LITERAL
                     cols["s_kind"].append(KIND_IRI)
                     cols["s_lex"].append(sv)
                     cols["p"].append(pv)
-                    cols["o_kind"].append(KIND_IRI if o_is_iri else KIND_LITERAL)
+                    cols["o_kind"].append(o_kind)
                     cols["o_lex"].append(ov)
-                    cols["o_datatype"].append("" if o_is_iri else XSD_STRING)
-                    cols["o_lang"].append("")
+                    cols["o_datatype"].append(o_dt)
+                    cols["o_lang"].append(o_lang)
                     cols["g"].append("")
                     cols["doc_id"].append(doc_id)
         return pa.Table.from_arrays(
@@ -2028,16 +2808,26 @@ def _ground_triples_table(template) -> pa.Table:
 
     cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
     for s, p, o in template:
-        o_is_iri = isinstance(o, str) and o.startswith(
-            ("http://", "https://", "urn:", "file://")
-        )
+        if isinstance(o, Lit):
+            o_lex = o.lex
+            o_lang = o.lang or ""
+            o_dt = "" if o_lang else next(
+                (d for d in (o.dts or ()) if d), XSD_STRING)
+            o_kind = KIND_LITERAL
+        else:
+            o_is_iri = isinstance(o, str) and o.startswith(
+                ("http://", "https://", "urn:", "file://")
+            )
+            o_lex, o_lang = o, ""
+            o_kind = KIND_IRI if o_is_iri else KIND_LITERAL
+            o_dt = "" if o_is_iri else XSD_STRING
         cols["s_kind"].append(KIND_IRI)
         cols["s_lex"].append(s)
         cols["p"].append(p)
-        cols["o_kind"].append(KIND_IRI if o_is_iri else KIND_LITERAL)
-        cols["o_lex"].append(o)
-        cols["o_datatype"].append("" if o_is_iri else XSD_STRING)
-        cols["o_lang"].append("")
+        cols["o_kind"].append(o_kind)
+        cols["o_lex"].append(o_lex)
+        cols["o_datatype"].append(o_dt)
+        cols["o_lang"].append(o_lang)
         cols["g"].append("")
         cols["doc_id"].append("update")
     return pa.Table.from_arrays(
@@ -2143,7 +2933,7 @@ def sparql_update(triples_ds, update_text: str):
             dels = rd.from_arrow(_ground_triples_table(op["triples"]))
             store = _delete_triples(store, dels)
         elif op["op"] == "modify":
-            bindings, all_vars = _compile_group(store, op["group"])
+            bindings, all_vars = _compile_group(store, op["group"], graph="")
             pre = store
             if op["delete"]:
                 dels = _instantiate_template(
@@ -2242,7 +3032,7 @@ def _agg_count_distinct(col: str, alias: str):
     )
 
 
-def _exec_select(triples_ds, q: dict, graph=None):
+def _exec_select(triples_ds, q: dict, graph=""):
     """Execute a parsed SELECT dict → (Dataset, projected column names).
     Shared by the top-level form and { SELECT ... } subqueries; ``graph``
     propagates an enclosing GRAPH scope into the subquery's patterns

@@ -182,12 +182,19 @@ RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
 
 
 def read_rs_ttl(path: str):
-    """DAWG RDF result-set vocabulary (.ttl goldens of the sparql10
-    suite; ResultSetFormat rs: namespace) → same shape as read_srx."""
+    """DAWG RDF result-set vocabulary (.ttl / .rdf goldens of the
+    sparql10 suite; ResultSetFormat rs: namespace) → same shape as
+    read_srx."""
     from ..model import KIND_BNODE, KIND_IRI as K_IRI, KIND_LITERAL
 
-    triples = parse_turtle(open(path, encoding="utf-8").read(),
-                           base="file://" + path)
+    if path.endswith(".rdf"):
+        from .rdfxml import parse_rdfxml
+
+        triples = parse_rdfxml(open(path, encoding="utf-8").read(),
+                               base="file://" + path)
+    else:
+        triples = parse_turtle(open(path, encoding="utf-8").read(),
+                               base="file://" + path)
     idx: dict[tuple, dict[str, list[tuple]]] = {}
     for t in triples:
         idx.setdefault((t[0], t[1]), {}).setdefault(t[2], []).append(t)
@@ -204,8 +211,11 @@ def read_rs_ttl(path: str):
         return ("ask", props[RS + "boolean"][0][4] == "true")
     vars_ = sorted(o[4] for o in props.get(RS + "resultVariable", []))
     sols = []
+    indexes = []
     for sol_t in props.get(RS + "solution", []):
         sol_node = (sol_t[3], sol_t[4])
+        idx_t = idx.get(sol_node, {}).get(RS + "index")
+        indexes.append(float(idx_t[0][4]) if idx_t else None)
         sol = {}
         for b_t in idx.get(sol_node, {}).get(RS + "binding", []):
             b_node = (b_t[3], b_t[4])
@@ -223,6 +233,10 @@ def read_rs_ttl(path: str):
             else:
                 sol[v] = ("literal", o_lex, o_dt or None, o_lang or None)
         sols.append(sol)
+    if sols and all(i is not None for i in indexes):
+        # rs:index records the ORDER BY order of the golden result
+        sols = [s for _, s in sorted(zip(indexes, sols),
+                                     key=lambda p: p[0])]
     return ("rows", vars_, sols)
 
 
@@ -231,7 +245,7 @@ def read_expected(path: str):
         return read_srx(open(path, encoding="utf-8").read())
     if path.endswith(".srj"):
         return read_srj(open(path, encoding="utf-8").read())
-    if path.endswith(".ttl"):
+    if path.endswith(".ttl") or path.endswith(".rdf"):
         return read_rs_ttl(path)
     raise ValueError(f"unsupported result format: {path}")
 
@@ -266,13 +280,33 @@ def _term_matches(exp, got, bmap: dict) -> bool:
         return True
     if dt in _NUMERIC_DTS:
         ev, gv = _num(value), _num(got)
-        if ev is None or gv is None:
+        if ev is None:  # ill-formed numeric literal → lexical comparison
+            return g == value
+        if gv is None:
             return False
         return ev == gv or abs(ev - gv) <= 1e-9 * max(abs(ev), abs(gv))
     if dt == XSD + "boolean":
         norm = {"true": "true", "1": "true", "false": "false", "0": "false"}
         return norm.get(g.lower()) == norm.get(value.lower())
     return g == value
+
+
+def solutions_match_ordered(expected: list[dict], got: list[dict],
+                            vars_: list[str]) -> bool:
+    """Sequence equality of solution mappings (ORDER BY queries — the
+    reference's ResultSetCompare ordered variant). The fixed pairing
+    leaves no backtracking: the bnode bijection grows greedily."""
+    if len(expected) != len(got):
+        return False
+    bmap: dict = {}
+    for exp, g in zip(expected, got):
+        for v in vars_:
+            if not _term_matches(exp.get(v), g.get(v), bmap):
+                return False
+        for v in vars_:
+            if v not in exp and g.get(v) is not None:
+                return False
+    return True
 
 
 def solutions_match(expected: list[dict], got: list[dict],

@@ -20,6 +20,7 @@ from jena_ray.rdf.w3c_sparql import (
     read_expected,
     read_sparql_manifest,
     solutions_match,
+    solutions_match_ordered,
 )
 
 ROOT = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql"
@@ -35,6 +36,20 @@ SUITES = [
     "sparql10/regex",
     "sparql10/reduced",
     "sparql10/bound",
+    "sparql10/algebra",
+    "sparql10/boolean-effective-value",
+    "sparql10/cast",
+    "sparql10/expr-builtin",
+    "sparql10/expr-equals",
+    "sparql10/expr-ops",
+    "sparql10/graph",
+    "sparql10/open-world",
+    "sparql10/solution-seq",
+    "sparql10/sort",
+    "sparql10/type-promotion",
+    "sparql10/i18n",
+    "sparql10/bnode-coreference",
+    "sparql10/dataset",
     "sparql11/aggregates",
     "sparql11/bind",
     "sparql11/bindings",
@@ -45,6 +60,8 @@ SUITES = [
     "sparql11/subquery",
     "sparql11/property-path",
     "sparql11/construct",
+    "sparql11/functions",
+    "sparql11/cast",
 ]
 
 # engine produces a wrong/mismatched result — tracked, not hidden
@@ -79,12 +96,26 @@ def _load_store(test):
 
     cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
 
+    from jena_ray.model import KIND_BNODE, KIND_LITERAL, XSD_STRING
+
     def add(path, g):
         lang = lang_for_path(path) or "turtle"
         triples = parse_rdf_text(
             open(path, encoding="utf-8").read(), lang,
             base="file://" + path)
+        scope = os.path.basename(path) + "#"
         for (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, tg) in triples:
+            # blank-node labels are document-scoped (LabelToNode
+            # createScopeByDocumentHash): two files' _:x are different
+            if s_kind == KIND_BNODE:
+                s_lex = scope + s_lex
+            if o_kind == KIND_BNODE:
+                o_lex = scope + o_lex
+            # RDF 1.1 abstract syntax: a simple literal IS xsd:string —
+            # materialize that so the engine's value-space classifier
+            # distinguishes parsed literals from untyped tabular data
+            if o_kind == KIND_LITERAL and not o_dt and not o_lang:
+                o_dt = XSD_STRING
             cols["s_kind"].append(s_kind)
             cols["s_lex"].append(s_lex)
             cols["p"].append(p)
@@ -170,7 +201,15 @@ def test_w3c_sparql_eval(sparql_eval):
     assert kind_exp[0] == "rows", f"expected-result kind {kind_exp[0]}"
     _, vars_, expected = kind_exp
     got = _rows_to_solutions(rows)
-    assert solutions_match(expected, got, vars_), (
-        f"result mismatch: {len(expected)} expected rows vs {len(got)} got\n"
+    # ORDER BY queries compare as sequences (the reference's
+    # ResultSetCompare ordered variant) — unless a LIMIT/OFFSET window or
+    # tie in the sort key makes the golden order underdetermined, which
+    # the suite files avoid
+    ordered = re.search(r"\bORDER\s+BY\b", qtext, re.I) is not None
+    match = (solutions_match_ordered if ordered else solutions_match)(
+        expected, got, vars_)
+    assert match, (
+        f"result mismatch (ordered={ordered}): {len(expected)} expected "
+        f"rows vs {len(got)} got\n"
         f"expected={expected[:6]}\ngot={got[:6]}"
     )
