@@ -89,17 +89,28 @@ from ..rdf.literals import XSD_INTEGER_TYPES as _XSD_INTS
 from . import paths as _paths
 from .bgp import Lit, Var, match_bgp, select
 
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class BNode:
+    """A blank node in an update/CONSTRUCT template (fresh per
+    solution) or INSERT DATA block (shared within the block)."""
+
+    label: str
+
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
         (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:|:) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|TRUE|FALSE|a)\b) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
         (?P<string>"(?:[^"\\]|\\.)*") |
         (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*) |
-        (?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>!*{}().,;|/^+?-]) |
+        (?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>!*{}().,;|/^+?\[\]-]) |
     )""",
     re.VERBOSE,
 )
@@ -229,87 +240,169 @@ class _Parser:
             else:
                 return
 
+    def _graph_ref(self):
+        """[GRAPH] <g> | DEFAULT | NAMED | ALL → "" | iri | "named" |
+        "all" (GraphRef / GraphOrDefault of the update grammar)."""
+        if self.kw("DEFAULT"):
+            return ""
+        if self.kw("NAMED"):
+            return "named"
+        if self.kw("ALL"):
+            return "all"
+        self.kw("GRAPH")
+        k, v = self.next()
+        return self.expand(k, v)
+
     def parse_update(self) -> list[dict]:
         """SPARQL 1.1 Update request → list of operation dicts
         (jena-arq modify/UpdateRequest / lang/UpdateParser analog).
-        Subset: INSERT DATA, DELETE DATA, DELETE WHERE,
-        DELETE {} INSERT {} WHERE {} (either template optional),
-        CLEAR [ALL | DEFAULT | GRAPH <g>]; operations separated by ';'
-        apply sequentially. GRAPH blocks inside templates/data are not
-        in the subset (default-graph updates)."""
+        Subset: INSERT/DELETE DATA (quads), DELETE WHERE,
+        [WITH <g>] DELETE {} INSERT {} [USING [NAMED] <g>]* WHERE {},
+        CLEAR/DROP [SILENT] (ALL|DEFAULT|NAMED|GRAPH g), CREATE,
+        ADD/MOVE/COPY [SILENT]; ';'-separated operations apply
+        sequentially. GRAPH blocks in templates/data produce quads."""
         self.parse_prologue()
         ops: list[dict] = []
         while self.peek()[0] != "eof":
-            if self.kw("CLEAR"):
-                if self.kw("ALL"):
-                    ops.append({"op": "clear", "what": "all"})
-                elif self.kw("DEFAULT"):
-                    ops.append({"op": "clear", "what": "default"})
-                elif self.kw("GRAPH"):
+            k0, v0 = self.peek()
+            word = v0.upper() if k0 == "kw" else ""
+            if word in ("CLEAR", "DROP"):
+                self.next()
+                self.kw("SILENT")
+                what = self._graph_ref()
+                ops.append({"op": "clear", "what": what or "default"})
+            elif word == "CREATE":
+                self.next()
+                self.kw("SILENT")
+                self._graph_ref()
+                # an empty graph has no rows — CREATE is a no-op success
+            elif word in ("ADD", "MOVE", "COPY"):
+                self.next()
+                self.kw("SILENT")
+                src = self._graph_ref()
+                self.expect("kw", "TO")
+                dst = self._graph_ref()
+                ops.append({"op": word.lower(), "src": src, "dst": dst})
+            elif word == "WITH" or word == "INSERT" or word == "DELETE":
+                with_g = ""
+                if word == "WITH":
+                    self.next()
                     k, v = self.next()
-                    ops.append({"op": "clear", "what": self.expand(k, v)})
+                    with_g = self.expand(k, v)
+                if self.kw("INSERT"):
+                    if not with_g and self.kw("DATA"):
+                        ops.append({"op": "insert_data",
+                                    "quads": self._parse_template_block(
+                                        constant=True)})
+                    else:
+                        tmpl = self._parse_template_block(default_g=with_g)
+                        using = self._parse_usings()
+                        self.expect("kw", "WHERE")
+                        ops.append({"op": "modify", "delete": None,
+                                    "insert": tmpl, "with": with_g,
+                                    "using": using,
+                                    "group": self.parse_group()})
+                elif self.kw("DELETE"):
+                    if not with_g and self.kw("DATA"):
+                        ops.append({"op": "delete_data",
+                                    "quads": self._parse_template_block(
+                                        constant=True,
+                                        forbid_bnodes=True)})
+                    elif self.kw("WHERE"):
+                        grp = self.parse_group()
+                        tmpl = [(s, p, o, with_g)
+                                for el in grp["elements"] if el[0] == "bgp"
+                                for (s, p, o) in el[1]]
+                        tmpl += [(s, p, o, el[1])
+                                 for el in grp["elements"]
+                                 if el[0] == "graph"
+                                 for sub_el in el[2]["elements"]
+                                 if sub_el[0] == "bgp"
+                                 for (s, p, o) in sub_el[1]]
+                        if not tmpl:
+                            raise RDFParseError(
+                                "SPARQL update: DELETE WHERE needs triple "
+                                "patterns")
+                        ops.append({"op": "modify", "delete": tmpl,
+                                    "insert": None, "with": with_g,
+                                    "using": [], "group": grp})
+                    else:
+                        dt = self._parse_template_block(
+                            default_g=with_g, forbid_bnodes=True)
+                        ins = None
+                        if self.kw("INSERT"):
+                            ins = self._parse_template_block(
+                                default_g=with_g)
+                        using = self._parse_usings()
+                        self.expect("kw", "WHERE")
+                        ops.append({"op": "modify", "delete": dt,
+                                    "insert": ins, "with": with_g,
+                                    "using": using,
+                                    "group": self.parse_group()})
                 else:
                     raise RDFParseError(
-                        "SPARQL update: CLEAR needs ALL / DEFAULT / GRAPH <g>"
-                    )
-            elif self.kw("INSERT"):
-                if self.kw("DATA"):
-                    ops.append({"op": "insert_data",
-                                "triples": self._parse_template_block(
-                                    constant=True)})
-                else:
-                    tmpl = self._parse_template_block()
-                    self.expect("kw", "WHERE")
-                    ops.append({"op": "modify", "delete": None,
-                                "insert": tmpl, "group": self.parse_group()})
-            elif self.kw("DELETE"):
-                if self.kw("DATA"):
-                    ops.append({"op": "delete_data",
-                                "triples": self._parse_template_block(
-                                    constant=True)})
-                elif self.kw("WHERE"):
-                    grp = self.parse_group()
-                    tmpl = [pat for el in grp["elements"] if el[0] == "bgp"
-                            for pat in el[1]]
-                    if not tmpl:
-                        raise RDFParseError(
-                            "SPARQL update: DELETE WHERE needs triple "
-                            "patterns")
-                    ops.append({"op": "modify", "delete": tmpl,
-                                "insert": None, "group": grp})
-                else:
-                    dt = self._parse_template_block()
-                    ins = None
-                    if self.kw("INSERT"):
-                        ins = self._parse_template_block()
-                    self.expect("kw", "WHERE")
-                    ops.append({"op": "modify", "delete": dt, "insert": ins,
-                                "group": self.parse_group()})
+                        "SPARQL update: WITH needs DELETE or INSERT")
             else:
                 raise RDFParseError(
                     f"SPARQL update: unexpected token {self.peek()[1]!r}")
             if self.peek() == ("op", ";"):
                 self.next()
-        if not ops:
-            raise RDFParseError("SPARQL update: empty request")
         return ops
 
-    def _parse_template_block(self, constant: bool = False) -> list:
-        """{ pattern . pattern . } — a quad-free triple template
-        (UpdateDataInsert/QuadDataAcc analog). With ``constant=True``
-        variables are rejected (INSERT/DELETE DATA takes ground
-        triples)."""
+    def _parse_usings(self) -> list:
+        """USING <g> / USING NAMED <g> clauses → [(named?, iri), ...]"""
+        out = []
+        while self.kw("USING"):
+            named = self.kw("NAMED")
+            k, v = self.next()
+            out.append((named, self.expand(k, v)))
+        return out
+
+    def _parse_template_block(self, constant: bool = False,
+                              default_g: str = "",
+                              forbid_bnodes: bool = False) -> list:
+        """{ quads } — triples and GRAPH <g>/{?g} { triples } blocks →
+        (s, p, o, g) quads (UpdateDataInsert/QuadDataAcc analog);
+        ``default_g`` is the WITH graph for bare triples. With
+        ``constant=True`` variables are rejected (INSERT/DELETE DATA
+        takes ground quads)."""
         self.expect("op", "{")
         template = []
-        while self.peek() != ("op", "}"):
-            pat = self.parse_pattern()
+
+        def add(pat, g):
             if isinstance(pat[1], _paths.Path):
                 raise RDFParseError(
                     "SPARQL update: property paths not allowed in templates")
             if constant and any(isinstance(x, Var) for x in pat):
                 raise RDFParseError(
                     "SPARQL update: INSERT/DELETE DATA takes ground triples")
-            template.append(pat)
+            if forbid_bnodes and any(isinstance(x, BNode) for x in pat):
+                raise RDFParseError(
+                    "SPARQL update: DELETE templates cannot contain "
+                    "blank nodes")
+            template.append((pat[0], pat[1], pat[2], g))
+
+        while self.peek() != ("op", "}"):
+            if self.kw("GRAPH"):
+                k, v = self.peek()
+                if k == "var":
+                    if constant:
+                        raise RDFParseError(
+                            "SPARQL update: DATA blocks take constant "
+                            "graph names")
+                    self.next()
+                    g = Var(v[1:])
+                else:
+                    self.next()
+                    g = self.expand(k, v)
+                self.expect("op", "{")
+                while self.peek() != ("op", "}"):
+                    add(self.parse_pattern(as_template=True), g)
+                    while self.peek() == ("op", "."):
+                        self.next()
+                self.next()
+            else:
+                add(self.parse_pattern(as_template=True), default_g)
             while self.peek() == ("op", "."):
                 self.next()
         self.next()
@@ -435,6 +528,13 @@ class _Parser:
         elements: list = []
         filters: list = []
         exists: list = []
+        # GroupGraphPattern ::= '{' ( SubSelect | GroupGraphPatternSub )
+        # '}' — a bare SELECT right after the brace is a subquery
+        if self.peek()[0] == "kw" and self.peek()[1].upper() == "SELECT":
+            sub = self.parse_select_rest()
+            self.expect("op", "}")
+            return {"elements": [("subquery", sub)], "filters": [],
+                    "exists": []}
         while self.peek() != ("op", "}"):
             if self.kw("FILTER"):
                 # FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } are
@@ -484,12 +584,19 @@ class _Parser:
                     elements.append(("subquery", sub))
                 else:
                     left = self.parse_group()
-                    self.expect("kw", "UNION")
-                    right = self.parse_group()
-                    arms = [left, right]
-                    while self.kw("UNION"):
-                        arms.append(self.parse_group())
-                    elements.append(("union", arms))
+                    if self.peek() == ("kw", "UNION") or (
+                            self.peek()[0] == "kw"
+                            and self.peek()[1].upper() == "UNION"):
+                        self.next()
+                        right = self.parse_group()
+                        arms = [left, right]
+                        while self.kw("UNION"):
+                            arms.append(self.parse_group())
+                        elements.append(("union", arms))
+                    else:
+                        # bare nested GroupGraphPattern: { P1 } { P2 }
+                        # joins like any other group element
+                        elements.append(("group", left))
             else:
                 pat = self.parse_pattern()
                 if isinstance(pat[1], _paths.Path):
@@ -548,6 +655,12 @@ class _Parser:
             return Var(v[1:])
         if k == "kw" and v == "a" and position == "predicate":
             return RDF_TYPE
+        if k == "pname" and v.startswith("_:"):
+            return BNode(v[2:])
+        if k == "op" and v == "[" and position in ("subject", "object"):
+            self.expect("op", "]")
+            self._anon_n = getattr(self, "_anon_n", 0) + 1
+            return BNode(f"anon{self._anon_n}")
         if k in ("iri", "pname"):
             return self.expand(k, v)
         if k == "string" and position == "object":
@@ -586,7 +699,7 @@ class _Parser:
             return Lit(v.lower(), dts=("", XSD_NS + "boolean"), lang="")
         raise RDFParseError(f"SPARQL: bad {position} term {v!r}")
 
-    def parse_pattern(self):
+    def parse_pattern(self, as_template: bool = False):
         s = self.parse_term("subject")
         k, v = self.peek()
         if k == "var":
@@ -596,6 +709,13 @@ class _Parser:
             if isinstance(p, _paths.Link):
                 p = p.p  # plain predicate — stays a BGP pattern
         o = self.parse_term("object")
+        if not as_template:
+            # a blank node in a WHERE pattern is an existential — a
+            # non-projectable variable (SPARQL 19.6 / LabelToNode)
+            if isinstance(s, BNode):
+                s = Var("__bn_" + s.label)
+            if isinstance(o, BNode):
+                o = Var("__bn_" + o.label)
         return (s, p, o)
 
     # SPARQL property-path grammar (P_Alt > P_Seq > modifiers > primary),
@@ -1862,6 +1982,8 @@ def _group_vars(group: dict) -> set:
             out |= {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
         elif el[0] == "path":
             out |= {x.name for x in (el[1][0], el[1][2]) if isinstance(x, Var)}
+        elif el[0] == "group":
+            out |= _group_vars(el[1])
         elif el[0] == "values":
             out |= set(el[1])
         elif el[0] == "bind":
@@ -2184,10 +2306,13 @@ def _join_bindings(left, left_vars, right, right_vars, how: str,
         return other, other_vars
     shared = sorted(set(left_vars) & set(right_vars))
     if not shared:
-        raise RDFParseError(
-            "SPARQL: group element shares no variable with the rest "
-            "(cartesian product — not supported)"
-        )
+        if how != "inner":
+            # OPTIONAL with no shared vars: every pair is compatible,
+            # so the left join degenerates to the cross product too
+            if right.limit(1).count() == 0:
+                out_vars = sorted(set(left_vars) | set(right_vars))
+                return _align_columns(left, left_vars, out_vars), out_vars
+        return _cross_join(left, left_vars, right, right_vars)
     # partially bound solutions in a shared var (UNION arms with
     # differing variables, OPTIONAL misses, BIND errors) make the plain
     # hash join wrong: an unbound var is compatible with anything. The
@@ -2489,6 +2614,28 @@ def _left_join_conditional(left, left_vars, right, right_vars, filters):
     return matched.union(padded), joined_vars
 
 
+def _group_maybe_partial(group: dict) -> bool:
+    """Structural over-approximation: can this group's solutions leave a
+    variable unbound? (OPTIONAL, BIND errors, mixed-var UNION arms —
+    drives the partially-bound join decomposition.)"""
+    for el in group.get("elements", ()):
+        t = el[0]
+        if t in ("optional", "bind"):
+            return True
+        if t == "union":
+            vs = [frozenset(_group_vars(a)) for a in el[1]]
+            if len(set(vs)) > 1 or any(_group_maybe_partial(a)
+                                       for a in el[1]):
+                return True
+        if t in ("group",) and _group_maybe_partial(el[1]):
+            return True
+        if t == "graph" and _group_maybe_partial(el[2]):
+            return True
+        if t == "subquery" and _group_maybe_partial(el[1].get("group", {})):
+            return True
+    return False
+
+
 def _compile_group(triples_ds, group: dict, graph=None):
     """→ (bindings Dataset, sorted var list) for one GroupGraphPattern.
     ``graph`` (None | IRI string | Var) scopes the group's patterns —
@@ -2510,6 +2657,11 @@ def _compile_group(triples_ds, group: dict, graph=None):
             how = "inner"
         elif el[0] == "graph":
             rel, rel_vars = _compile_group(triples_ds, el[2], graph=el[1])
+            rel_partial = _group_maybe_partial(el[2])
+            how = "inner"
+        elif el[0] == "group":
+            rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
+            rel_partial = _group_maybe_partial(el[1])
             how = "inner"
         elif el[0] == "path":
             if graph is not None and not isinstance(graph, str):
@@ -2652,8 +2804,27 @@ def _compile_group(triples_ds, group: dict, graph=None):
                         out[c] = t[c].combine_chunks()
                 kc, dc, lc = meta_cols_of(_var)
                 if kc not in out:
-                    out[kc] = pa.nulls(t.num_rows, pa.int8())
-                    out[dc] = pa.array([""] * t.num_rows, pa.large_string())
+                    from ..model import KIND_LITERAL, XSD_NS
+
+                    if _is_numeric_node(_expr):
+                        # a numeric expression yields a TYPED value
+                        # (NodeValueOps promotion): integral → integer
+                        num = pc.cast(out[_var], pa.float64())
+                        integral = pc.fill_null(pc.equal(
+                            pc.cast(pc.cast(num, pa.int64(), safe=False),
+                                    pa.float64()), num), False)
+                        out[kc] = pc.if_else(
+                            pc.is_valid(out[_var]),
+                            pa.scalar(KIND_LITERAL, pa.int8()),
+                            pa.scalar(None, pa.int8()))
+                        out[dc] = pc.if_else(
+                            integral,
+                            pa.scalar(XSD_NS + "integer", pa.large_string()),
+                            pa.scalar(XSD_NS + "decimal", pa.large_string()))
+                    else:
+                        out[kc] = pa.nulls(t.num_rows, pa.int8())
+                        out[dc] = pa.array([""] * t.num_rows,
+                                           pa.large_string())
                     out[lc] = pa.array([""] * t.num_rows, pa.large_string())
                 return pa.table(out)
 
@@ -2664,7 +2835,10 @@ def _compile_group(triples_ds, group: dict, graph=None):
         elif el[0] == "union":
             arms = [_compile_group(triples_ds, a, graph=graph) for a in el[1]]
             rel_vars = sorted(set().union(*(set(v) for _, v in arms)))
-            rel_partial = any(set(v) != set(rel_vars) for _, v in arms)
+            rel_partial = (
+                any(set(v) != set(rel_vars) for _, v in arms)
+                or any(_group_maybe_partial(a) for a in el[1])
+            )
             rel = _align_columns(arms[0][0], arms[0][1], rel_vars)
             for a_ds, a_vars in arms[1:]:
                 rel = rel.union(_align_columns(a_ds, a_vars, rel_vars))
@@ -2684,6 +2858,12 @@ def _compile_group(triples_ds, group: dict, graph=None):
             if how == "left_outer" or rel_partial:
                 acc_partial = True
     if acc is None:
+        if not group["filters"] and not group.get("exists"):
+            # empty group pattern {} = the unit solution: one empty
+            # binding (SPARQL 18.5 — Join(unit, X) = X)
+            acc = rd.from_arrow(pa.table(
+                {"__exists": pa.array(["1"], pa.large_string())}))
+            return acc, []
         raise RDFParseError("SPARQL: empty WHERE block")
     if group["filters"]:
         filters = group["filters"]
@@ -2748,24 +2928,73 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
     reference's TemplateLib.subst). Template constants are IRIs; bound
     values whose lexical form is not IRI-shaped become plain literals;
     rows with an unbound template var emit no triple."""
-    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
+    from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_NS, XSD_STRING
 
-    for pat in template:
-        for x in pat:
-            if isinstance(x, Var) and x.name not in all_vars:
-                raise RDFParseError(f"SPARQL: unbound template var ?{x.name}")
+    quads = [(p[0], p[1], p[2], p[3] if len(p) > 3 else "")
+             for p in template]
+
+    has_bnode = any(
+        isinstance(x, BNode) for q in quads for x in (q[0], q[2]))
 
     def emit(t: pa.Table) -> pa.Table:
+        from ..model import KIND_BNODE
+
+        names = t.schema.names
         cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
         if t.num_columns:
-            data = {v: t[v].to_pylist() for v in all_vars if v in t.schema.names}
+            data = {c: t[c].to_pylist() for c in names}
             n_rows = t.num_rows
+
+            class _NoBind:
+                # a template var absent from the bindings: every row
+                # reads None → the quad is skipped, never a wildcard
+                def __getitem__(self, _i):
+                    return None
+
+            _NOBIND = _NoBind()
+            if has_bnode:
+                import hashlib
+
+                # deterministic batch scope: fresh bnode PER SOLUTION
+                # (TemplateLib: template bnodes are existentials), same
+                # across quads of one solution, stable under task retry
+                bscope = hashlib.md5(
+                    (doc_id + "|" + repr(sorted(data.items()))).encode()
+                ).hexdigest()[:10]
             for i in range(n_rows):
-                for s, p, o in template:
-                    sv = data[s.name][i] if isinstance(s, Var) else s
-                    pv = data[p.name][i] if isinstance(p, Var) else p
+                for s, p, o, g in quads:
+                    if isinstance(s, BNode):
+                        sv = f"{s.label}.{bscope}.{i}"
+                    else:
+                        sv = (data.get(s.name, _NOBIND)[i]
+                              if isinstance(s, Var) else s)
+                    pv = (data.get(p.name, _NOBIND)[i]
+                          if isinstance(p, Var) else p)
+                    gv = (data.get(g.name, _NOBIND)[i]
+                          if isinstance(g, Var) else g)
+                    s_kind = KIND_BNODE if isinstance(s, BNode) else KIND_IRI
+                    if isinstance(s, Var):
+                        sk = data.get(s.name + "__kind", (None,) * n_rows)[i]
+                        if sk is not None:
+                            s_kind = sk
                     if isinstance(o, Var):
-                        ov, o_dt, o_lang = data[o.name][i], None, ""
+                        ov = data.get(o.name, _NOBIND)[i]
+                        # a store-sourced binding carries its term
+                        # metadata — round-trip it instead of guessing
+                        o_kind = data.get(
+                            o.name + "__kind", (None,) * n_rows)[i]
+                        o_dt = data.get(
+                            o.name + "__dt", (None,) * n_rows)[i]
+                        o_lang = data.get(
+                            o.name + "__lang", (None,) * n_rows)[i] or ""
+                        if o_kind is None:
+                            o_is_iri = isinstance(ov, str) and ov.startswith(
+                                ("http://", "https://", "urn:", "file://")
+                            )
+                            o_kind = KIND_IRI if o_is_iri else KIND_LITERAL
+                            o_dt = "" if o_is_iri else XSD_STRING
+                        elif o_dt is None:
+                            o_dt = ""
                     elif isinstance(o, Lit):
                         ov = o.lex
                         o_dt = next((d for d in (o.dts or ()) if d),
@@ -2773,26 +3002,36 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
                         o_lang = o.lang or ""
                         if o_lang:
                             o_dt = ""
-                    else:
-                        ov, o_dt, o_lang = o, None, ""
-                    if sv is None or pv is None or ov is None:
-                        continue  # unbound OPTIONAL var: skip the triple
-                    if o_dt is None:
-                        o_is_iri = isinstance(ov, str) and ov.startswith(
-                            ("http://", "https://", "urn:", "file://")
-                        )
-                        o_kind = KIND_IRI if o_is_iri else KIND_LITERAL
-                        o_dt = "" if o_is_iri else XSD_STRING
-                    else:
                         o_kind = KIND_LITERAL
-                    cols["s_kind"].append(KIND_IRI)
+                    elif isinstance(o, BNode):
+                        ov = f"{o.label}.{bscope}.{i}"
+                        o_dt, o_lang = "", ""
+                        o_kind = KIND_BNODE
+                    else:
+                        ov, o_dt, o_lang = o, "", ""
+                        o_kind = KIND_IRI
+                    if sv is None or pv is None or ov is None or gv is None:
+                        continue  # unbound OPTIONAL var: skip the triple
+                    if isinstance(ov, bool):
+                        ov, o_dt = ("true" if ov else "false"),  \
+                            XSD_NS + "boolean"
+                        o_kind = KIND_LITERAL
+                    elif isinstance(ov, (int, float)):
+                        # numeric binding (subquery aggregate alias):
+                        # canonical lexical + numeric datatype
+                        if isinstance(ov, float) and ov != int(ov):
+                            ov, o_dt = str(ov), XSD_NS + "decimal"
+                        else:
+                            ov, o_dt = str(int(ov)), XSD_NS + "integer"
+                        o_kind = KIND_LITERAL
+                    cols["s_kind"].append(s_kind)
                     cols["s_lex"].append(sv)
                     cols["p"].append(pv)
                     cols["o_kind"].append(o_kind)
                     cols["o_lex"].append(ov)
                     cols["o_datatype"].append(o_dt)
                     cols["o_lang"].append(o_lang)
-                    cols["g"].append("")
+                    cols["g"].append(gv)
                     cols["doc_id"].append(doc_id)
         return pa.Table.from_arrays(
             [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
@@ -2803,11 +3042,31 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
 
 
 def _ground_triples_table(template) -> pa.Table:
-    """Ground INSERT/DELETE DATA triples → TRIPLE_SCHEMA arrow table."""
+    """Ground INSERT/DELETE DATA quads → TRIPLE_SCHEMA arrow table."""
     from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
 
+    from ..model import KIND_BNODE
+
     cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
-    for s, p, o in template:
+    for pat in template:
+        s, p, o = pat[0], pat[1], pat[2]
+        g = pat[3] if len(pat) > 3 else ""
+        s_kind = KIND_IRI
+        if isinstance(s, BNode):
+            # same label within one DATA block = same node (scoped to
+            # the request — UpdateDataWriter's bnode handling)
+            s_kind, s = KIND_BNODE, "upd_" + s.label
+        if isinstance(o, BNode):
+            cols["s_kind"].append(s_kind)
+            cols["s_lex"].append(s)
+            cols["p"].append(p)
+            cols["o_kind"].append(KIND_BNODE)
+            cols["o_lex"].append("upd_" + o.label)
+            cols["o_datatype"].append("")
+            cols["o_lang"].append("")
+            cols["g"].append(g)
+            cols["doc_id"].append("update")
+            continue
         if isinstance(o, Lit):
             o_lex = o.lex
             o_lang = o.lang or ""
@@ -2815,20 +3074,18 @@ def _ground_triples_table(template) -> pa.Table:
                 (d for d in (o.dts or ()) if d), XSD_STRING)
             o_kind = KIND_LITERAL
         else:
-            o_is_iri = isinstance(o, str) and o.startswith(
-                ("http://", "https://", "urn:", "file://")
-            )
+            # parse_term yields a bare str only for IRIs/pnames
             o_lex, o_lang = o, ""
-            o_kind = KIND_IRI if o_is_iri else KIND_LITERAL
-            o_dt = "" if o_is_iri else XSD_STRING
-        cols["s_kind"].append(KIND_IRI)
+            o_kind = KIND_IRI
+            o_dt = ""
+        cols["s_kind"].append(s_kind)
         cols["s_lex"].append(s)
         cols["p"].append(p)
         cols["o_kind"].append(o_kind)
         cols["o_lex"].append(o_lex)
         cols["o_datatype"].append(o_dt)
         cols["o_lang"].append(o_lang)
-        cols["g"].append("")
+        cols["g"].append(g)
         cols["doc_id"].append("update")
     return pa.Table.from_arrays(
         [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
@@ -2836,13 +3093,14 @@ def _ground_triples_table(template) -> pa.Table:
     )
 
 
-_DEL_KEY = ["s_lex", "p", "o_lex"]
+_DEL_KEY = ["s_lex", "p", "o_lex", "g"]
 
 
 def _delete_triples(store, del_ds):
-    """Remove every store row whose (s_lex, p, o_lex) key appears in
-    ``del_ds`` — a distributed marker anti-join (set-semantics DELETE:
-    all copies of a matched triple go, whatever their doc_id/graph).
+    """Remove every store row whose (s_lex, p, o_lex, g) quad key
+    appears in ``del_ds`` — a distributed marker anti-join
+    (set-semantics DELETE: all copies of a matched quad go, whatever
+    their doc_id).
     The delete side is deduped to distinct keys first so the join
     can't fan out."""
     from ..util import compact_blocks
@@ -2905,7 +3163,7 @@ def sparql_update(triples_ds, update_text: str):
 
     ops = _Parser(update_text).parse_update()
     store = triples_ds
-    for op in ops:
+    for op_i, op in enumerate(ops):
         if op["op"] == "clear":
             what = op["what"]
             if what == "all":
@@ -2919,6 +3177,13 @@ def sparql_update(triples_ds, update_text: str):
                     else t,
                     batch_format="pyarrow",
                 )
+            elif what == "named":
+                store = store.map_batches(
+                    lambda t: t.filter(pc.equal(t["g"], ""))
+                    if t.num_columns
+                    else t,
+                    batch_format="pyarrow",
+                )
             else:
                 store = store.map_batches(
                     lambda t, _g=what: t.filter(pc.not_equal(t["g"], _g))
@@ -2927,26 +3192,95 @@ def sparql_update(triples_ds, update_text: str):
                     batch_format="pyarrow",
                 )
         elif op["op"] == "insert_data":
-            add = rd.from_arrow(_ground_triples_table(op["triples"]))
+            add = rd.from_arrow(_ground_triples_table(op["quads"]))
             store = exact_dedup(store.union(add))
         elif op["op"] == "delete_data":
-            dels = rd.from_arrow(_ground_triples_table(op["triples"]))
+            dels = rd.from_arrow(_ground_triples_table(op["quads"]))
             store = _delete_triples(store, dels)
         elif op["op"] == "modify":
-            bindings, all_vars = _compile_group(store, op["group"], graph="")
-            pre = store
+            wg = op.get("with", "")
+            where_store = store
+            if op.get("using"):
+                where_store = _using_view(store, op["using"])
+            bindings, all_vars = _compile_group(
+                where_store, op["group"], graph=wg or "")
             if op["delete"]:
                 dels = _instantiate_template(
-                    bindings, all_vars, op["delete"], "update")
+                    bindings, all_vars, op["delete"], f"update_{op_i}")
                 store = _delete_triples(store, dels)
             if op["insert"]:
+                # doc_id carries the operation index so template bnodes
+                # from different operations never collide
                 ins = _instantiate_template(
-                    bindings, all_vars, op["insert"], "update")
+                    bindings, all_vars, op["insert"], f"update_{op_i}")
                 store = exact_dedup(store.union(ins))
-            del pre
+        elif op["op"] in ("add", "move", "copy"):
+            src, dst = op["src"], op["dst"]
+            if src == dst:
+                continue
+
+            def copy_rows(t: pa.Table, _s=src, _d=dst) -> pa.Table:
+                if t.num_columns == 0:
+                    return t
+                x = t.filter(pc.equal(t["g"], _s))
+                idx = x.schema.get_field_index("g")
+                return x.set_column(
+                    idx, "g",
+                    pa.array([_d] * x.num_rows, pa.large_string()))
+
+            copied = store.map_batches(copy_rows, batch_format="pyarrow")
+            if op["op"] == "add":
+                base = store
+            else:
+                rm = {dst} if op["op"] == "copy" else {dst, src}
+
+                def keep(t: pa.Table, _rm=tuple(rm)) -> pa.Table:
+                    if t.num_columns == 0:
+                        return t
+                    m = pc.invert(pc.is_in(
+                        t["g"].combine_chunks().cast(pa.large_string()),
+                        value_set=pa.array(list(_rm), pa.large_string())))
+                    return t.filter(m)
+
+                base = store.map_batches(keep, batch_format="pyarrow")
+            store = exact_dedup(base.union(copied))
         else:  # pragma: no cover
             raise RDFParseError(f"SPARQL update: unknown op {op['op']!r}")
     return store
+
+
+def _using_view(store, using: list):
+    """USING / USING NAMED dataset for a modify's WHERE (SPARQL Update
+    §3.1.3, like FROM/FROM NAMED): default graph = union of the USING
+    graphs (renamed to ""), named graphs = the USING NAMED ones only."""
+    defaults = [g for named, g in using if not named]
+    named_gs = [g for named, g in using if named]
+
+    def remap(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        g = t["g"].combine_chunks().cast(pa.large_string())
+        in_def = pc.is_in(g, value_set=pa.array(
+            defaults or [""], pa.large_string()))
+        if defaults:
+            in_named = pc.is_in(g, value_set=pa.array(
+                named_gs or [""], pa.large_string())) if named_gs else \
+                pa.array([False] * t.num_rows)
+        else:
+            in_named = pc.is_in(g, value_set=pa.array(
+                named_gs, pa.large_string())) if named_gs else \
+                pa.array([False] * t.num_rows)
+        x = t.filter(pc.or_(in_def if defaults else
+                            pa.array([False] * t.num_rows), in_named))
+        gx = x["g"].combine_chunks().cast(pa.large_string())
+        newg = pc.if_else(
+            pc.is_in(gx, value_set=pa.array(
+                defaults or [""], pa.large_string()))
+            if defaults else pa.array([False] * x.num_rows),
+            pa.scalar("", pa.large_string()), gx)
+        return x.set_column(x.schema.get_field_index("g"), "g", newg)
+
+    return store.map_batches(remap, batch_format="pyarrow")
 
 
 def sparql_describe(triples_ds, query_text: str):

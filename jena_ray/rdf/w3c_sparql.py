@@ -26,9 +26,12 @@ from .turtle import parse_turtle
 
 MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 EVAL_TYPES = {MF + "QueryEvaluationTest"}
+UPDATE_EVAL_TYPES = {MF + "UpdateEvaluationTest", UT + "UpdateEvaluationTest"}
 SYNTAX_POS = {MF + "PositiveSyntaxTest", MF + "PositiveSyntaxTest11"}
 SYNTAX_NEG = {MF + "NegativeSyntaxTest", MF + "NegativeSyntaxTest11"}
 
@@ -44,11 +47,15 @@ _NUMERIC_DTS = {
 @dataclass
 class SparqlTest:
     name: str
-    kind: str            # "eval" | "syntax+" | "syntax-" | other type IRI
-    query: str           # absolute path to the .rq file
+    kind: str            # "eval" | "update" | "syntax+" | "syntax-" | type IRI
+    query: str           # absolute path to the .rq/.ru file
     data: list = field(default_factory=list)        # default-graph files
     graph_data: list = field(default_factory=list)  # named-graph files
     result: str | None = None
+    # update-evaluation tests: named-graph inputs/goldens carry labels
+    graph_data_labeled: list = field(default_factory=list)  # (file, label)
+    result_data: list = field(default_factory=list)         # golden default
+    result_graph_data: list = field(default_factory=list)   # (file, label)
 
 
 def read_sparql_manifest(manifest_path: str) -> list[SparqlTest]:
@@ -107,6 +114,39 @@ def read_sparql_manifest(manifest_path: str) -> list[SparqlTest]:
                 name=name, kind="eval", query=to_path(q[1]), data=data,
                 graph_data=gdata,
                 result=to_path(res[1]) if res else None,
+            ))
+        elif t in UPDATE_EVAL_TYPES:
+            req = get1(action, UT + "request")
+            if req is None:
+                continue
+
+            def labeled(node_props, parent):
+                out = []
+                for _, gd in [(None, o) for o in parent]:
+                    gfile = get1(gd, UT + "graph")
+                    glabel = get1(gd, RDFS_LABEL)
+                    if gfile is not None:
+                        out.append((to_path(gfile[1]),
+                                    glabel[1] if glabel else ""))
+                return out
+
+            data = [to_path(o[1])
+                    for o in idx.get(action, {}).get(UT + "data", [])]
+            gdata = labeled(None, [
+                (o[0], o[1])
+                for o in idx.get(action, {}).get(UT + "graphData", [])])
+            res = get1(entry, MF + "result")
+            rdata, rgdata = [], []
+            if res is not None:
+                rdata = [to_path(o[1])
+                         for o in idx.get(res, {}).get(UT + "data", [])]
+                rgdata = labeled(None, [
+                    (o[0], o[1])
+                    for o in idx.get(res, {}).get(UT + "graphData", [])])
+            out.append(SparqlTest(
+                name=name, kind="update", query=to_path(req[1]),
+                data=data, graph_data_labeled=gdata,
+                result_data=rdata, result_graph_data=rgdata,
             ))
         elif t in SYNTAX_POS or t in SYNTAX_NEG:
             out.append(SparqlTest(

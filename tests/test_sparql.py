@@ -97,7 +97,12 @@ def test_errors():
         sparql_select(G(ROWS), "SELECT ?x WHERE { ?x foo:bar ?y }")
     with pytest.raises(RDFParseError, match="unbound"):
         sparql_select(G(ROWS), "SELECT ?nope WHERE { ?x <http://ex/age> ?n }")
-    with pytest.raises(RDFParseError, match="empty WHERE"):
+    # the empty group is the unit solution (one empty binding), so ASK
+    # over it is true; projecting a var it can't bind is still an error
+    from jena_ray.ops.sparql import sparql_ask
+
+    assert sparql_ask(G(ROWS), "ASK { }") is True
+    with pytest.raises(RDFParseError, match="unbound"):
         sparql_select(G(ROWS), "SELECT ?x WHERE { }")
 
 
@@ -150,13 +155,17 @@ def test_union_aligns_columns():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_optional_cartesian_rejected():
+def test_optional_cartesian_product():
+    # an OPTIONAL sharing no variable is the cross product (every pair
+    # of solutions is compatible — SPARQL 18.5 LeftJoin over disjoint
+    # domains); 3 ages × 2 knows edges = 6 rows
     q = """
     PREFIX ex: <http://ex/>
-    SELECT ?x WHERE { ?x ex:age ?n . OPTIONAL { ?u ex:knows ?v } }
+    SELECT ?x ?u WHERE { ?x ex:age ?n . OPTIONAL { ?u ex:knows ?v } }
     """
-    with pytest.raises(RDFParseError, match="cartesian"):
-        sparql_select(G(ROWS), q)
+    rows = sparql_select(G(ROWS), q).take_all()
+    assert len(rows) == 6
+    assert all(r["u"] is not None for r in rows)
 
 
 @pytest.mark.usefixtures("ray_session")
