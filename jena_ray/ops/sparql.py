@@ -84,7 +84,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..model import RDF_TYPE, RDFParseError
+from ..model import (RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, RDFParseError)
 from ..rdf.literals import XSD_INTEGER_TYPES as _XSD_INTS
 from . import paths as _paths
 from .bgp import Lit, Var, match_bgp, select
@@ -103,12 +103,12 @@ class BNode:
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]+|[A-Za-z_][\w\-]*:|:) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|a)\b) |
+        (?P<pname>[^\W\d][\w\-.]*:[\w\-.]*|:[\w\-.]+|[^\W\d][\w\-.]*:|:) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|a)\b) |
         (?P<var>\?[A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
-        (?P<num>[+-]?\d+(?:\.\d+)?) |
-        (?P<string>"(?:[^"\\]|\\.)*") |
+        (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?) |
+        (?P<string>"{3}(?:[^\\]|\\.)*?"{3}|'{3}(?:[^\\]|\\.)*?'{3}|"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*') |
         (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*) |
         (?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>!*{}().,;|/^+?\[\]-]) |
     )""",
@@ -129,6 +129,13 @@ def _tokenize(text: str):
             continue
         out.append((m.lastgroup, m.group(m.lastgroup)))
     return out
+
+
+def _sq(v: str) -> str:
+    """Strip string-literal quotes (short or long form)."""
+    if v.startswith('\'\'\'') or v.startswith('"""'):
+        return v[3:-3]
+    return v[1:-1]
 
 
 def _unesc(s: str) -> str:
@@ -190,7 +197,12 @@ class _Parser:
     def parse(self) -> dict:
         self.parse_prologue()
         if self.kw("ASK"):
+            froms = self.parse_datasets()
+            self.kw("WHERE")
             group = self.parse_group()
+            if froms:
+                group = {"elements": [("dataset", froms, group)],
+                         "filters": [], "exists": []}
             if self.peek()[0] != "eof":
                 raise RDFParseError("SPARQL: trailing tokens after ASK group")
             return {"form": "ask", "group": group}
@@ -202,10 +214,25 @@ class _Parser:
                                     "in this subset")
             return {"form": "describe", "node": node}
         if self.kw("CONSTRUCT"):
+            if self.peek()[0] == "kw" and self.peek()[1].upper() == "WHERE":
+                # CONSTRUCT WHERE { tp ... } shortform (SPARQL 10.2.2)
+                self.next()
+                group = self.parse_group()
+                template = [pat for el in group["elements"]
+                            if el[0] == "bgp" for pat in el[1]]
+                limit = None
+                if self.kw("LIMIT"):
+                    limit = int(self.expect("num"))
+                if self.peek()[0] != "eof":
+                    raise RDFParseError(
+                        "SPARQL: trailing tokens after CONSTRUCT WHERE")
+                return {"form": "construct", "template": template,
+                        "group": group, "limit": limit}
             self.expect("op", "{")
             template = []
             while self.peek() != ("op", "}"):
-                template.append(self.parse_pattern())
+                template.extend(
+                    self.parse_triples_block(as_template=True))
                 while self.peek() == ("op", "."):
                     self.next()
             self.next()
@@ -349,6 +376,16 @@ class _Parser:
                 self.next()
         return ops
 
+    def parse_datasets(self) -> list:
+        """FROM <g> / FROM NAMED <g> clauses → [(named?, iri), ...]
+        (DatasetClause; evaluated like USING via _using_view)."""
+        out = []
+        while self.kw("FROM"):
+            named = self.kw("NAMED")
+            k, v = self.next()
+            out.append((named, self.expand(k, v)))
+        return out
+
     def _parse_usings(self) -> list:
         """USING <g> / USING NAMED <g> clauses → [(named?, iri), ...]"""
         out = []
@@ -397,12 +434,14 @@ class _Parser:
                     g = self.expand(k, v)
                 self.expect("op", "{")
                 while self.peek() != ("op", "}"):
-                    add(self.parse_pattern(as_template=True), g)
+                    for pat in self.parse_triples_block(as_template=True):
+                        add(pat, g)
                     while self.peek() == ("op", "."):
                         self.next()
                 self.next()
             else:
-                add(self.parse_pattern(as_template=True), default_g)
+                for pat in self.parse_triples_block(as_template=True):
+                    add(pat, default_g)
             while self.peek() == ("op", "."):
                 self.next()
         self.next()
@@ -413,12 +452,15 @@ class _Parser:
         shared by top-level queries and { SELECT ... } subqueries."""
         self.expect("kw", "SELECT")
         distinct = self.kw("DISTINCT")
+        self.kw("REDUCED")  # REDUCED may keep the bag unchanged (18.2.5)
         proj: list | None
+        agg_binds = []
         if self.peek() == ("op", "*"):
             self.next()
             proj = None
         else:
             proj = []
+            agg_binds: list = []
             while True:
                 k, v = self.peek()
                 if k == "var":
@@ -443,7 +485,15 @@ class _Parser:
                             if fn != "COUNT":
                                 raise RDFParseError("SPARQL: only COUNT(*) allowed")
                         else:
-                            var = self.expect("var")[1:]
+                            agg_arg = self.parse_add()
+                            if agg_arg[0] == "var":
+                                var = agg_arg[1]
+                            else:
+                                # aggregate over an EXPRESSION: desugar
+                                # to a hidden pre-group BIND (AggSum over
+                                # ExprVar rewriting)
+                                var = f"__aggexpr_{len(proj)}"
+                                agg_binds.append((agg_arg, var))
                         # GROUP_CONCAT(?v ; SEPARATOR="..") — default " "
                         # per AggGroupConcat; within-group order is
                         # undefined in the spec, this engine sorts for
@@ -453,7 +503,7 @@ class _Parser:
                             self.next()
                             self.expect("kw", "SEPARATOR")
                             self.expect("op", "=")
-                            sep = _unesc(self.expect("string")[1:-1])
+                            sep = _unesc(_sq(self.expect("string")))
                         self.expect("op", ")")
                         self.expect("kw", "AS")
                         alias = self.expect("var")[1:]
@@ -471,19 +521,57 @@ class _Parser:
                     break
             if not proj:
                 raise RDFParseError("SPARQL: empty projection")
+        froms = self.parse_datasets()
         self.kw("WHERE")  # the WHERE keyword is optional (SELECT * { })
         group = self.parse_group()
+        if froms:
+            group = {"elements": [("dataset", froms, group)],
+                     "filters": [], "exists": []}
+        exprbind_map: dict = {}
+
+        def _note(e, alias):
+            try:
+                exprbind_map[e] = alias
+            except TypeError:
+                pass  # exprs holding lists (CONCAT args) aren't keys
+
+        for e, v2 in agg_binds:
+            group["elements"].append(("bind", e, v2))
+            _note(e, v2)
         if proj:
             for i, p in enumerate(proj):
                 if p[0] == "exprbind":
                     group["elements"].append(("bind", p[1], p[2]))
+                    _note(p[1], p[2])
                     proj[i] = ("var", p[2])
         group_by: list[str] = []
         having = None
         if self.kw("GROUP"):
             self.expect("kw", "BY")
-            while self.peek()[0] == "var":
-                group_by.append(self.next()[1][1:])
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    group_by.append(self.next()[1][1:])
+                elif k == "op" and v == "(":
+                    # GROUP BY (expr [AS ?v]): group on a computed key —
+                    # reuse a projection BIND of the same expression,
+                    # else add a hidden one
+                    self.next()
+                    e = self.parse_or()
+                    if self.kw("AS"):
+                        alias = self.expect("var")[1:]
+                        group["elements"].append(("bind", e, alias))
+                    elif isinstance(e, tuple) and all(
+                            not isinstance(x, list) for x in e) \
+                            and e in exprbind_map:
+                        alias = exprbind_map[e]
+                    else:
+                        alias = f"__gbexpr_{len(group_by)}"
+                        group["elements"].append(("bind", e, alias))
+                    self.expect("op", ")")
+                    group_by.append(alias)
+                else:
+                    break
             if not group_by:
                 raise RDFParseError("SPARQL: empty GROUP BY")
             if self.kw("HAVING"):
@@ -515,6 +603,9 @@ class _Parser:
                 limit = int(self.expect("num"))
             elif self.kw("OFFSET"):
                 offset = int(self.expect("num"))
+        if self.kw("VALUES"):
+            # trailing ValuesClause joins onto the WHERE pattern (§10.2)
+            group["elements"].append(self.parse_values())
         return {
             "form": "select", "distinct": distinct, "project": proj,
             "group": group, "group_by": group_by, "having": having,
@@ -598,13 +689,13 @@ class _Parser:
                         # joins like any other group element
                         elements.append(("group", left))
             else:
-                pat = self.parse_pattern()
-                if isinstance(pat[1], _paths.Path):
-                    elements.append(("path", pat))
-                elif elements and elements[-1][0] == "bgp":
-                    elements[-1][1].append(pat)
-                else:
-                    elements.append(("bgp", [pat]))
+                for pat in self.parse_triples_block():
+                    if isinstance(pat[1], _paths.Path):
+                        elements.append(("path", pat))
+                    elif elements and elements[-1][0] == "bgp":
+                        elements[-1][1].append(pat)
+                    else:
+                        elements.append(("bgp", [pat]))
             while self.peek() == ("op", "."):
                 self.next()
         self.next()  # }
@@ -643,8 +734,23 @@ class _Parser:
         k, v = self.next()
         if k in ("iri", "pname"):
             return self.expand(k, v)
+        if k == "kw" and v.upper() == "UNDEF":
+            return None
+        if k == "kw" and v.upper() in ("TRUE", "FALSE"):
+            return v.lower()
         if k == "string":
-            return v[1:-1].encode().decode("unicode_escape")
+            lex = _unesc(_sq(v))
+            nk, nv = self.peek()
+            # typed / lang-tagged VALUES terms join on the lexical form
+            # (the engine's binding columns are lexical)
+            if nk == "op" and nv == "^^":
+                self.next()
+                self.next()
+                return lex
+            if nk == "langtag":
+                self.next()
+                return lex
+            return lex
         if k == "num":
             return v
         raise RDFParseError(f"SPARQL: bad VALUES term {v!r}")
@@ -666,7 +772,7 @@ class _Parser:
         if k == "string" and position == "object":
             from ..model import XSD_STRING
 
-            lex = _unesc(v[1:-1])
+            lex = _unesc(_sq(v))
             nk, nv = self.peek()
             if nk == "op" and nv == "^^":
                 self.next()
@@ -699,24 +805,110 @@ class _Parser:
             return Lit(v.lower(), dts=("", XSD_NS + "boolean"), lang="")
         raise RDFParseError(f"SPARQL: bad {position} term {v!r}")
 
-    def parse_pattern(self, as_template: bool = False):
-        s = self.parse_term("subject")
+    def _skip_lit_suffix(self):
+        """Consume an optional @lang / ^^<dt> after a string argument
+        (the engine's fn args compare lexically)."""
+        nk, nv = self.peek()
+        if nk == "langtag":
+            self.next()
+        elif nk == "op" and nv == "^^":
+            self.next()
+            self.next()
+
+    def _fresh_bnode(self, as_template: bool):
+        self._anon_n = getattr(self, "_anon_n", 0) + 1
+        label = f"anon{self._anon_n}"
+        return BNode(label) if as_template else Var("__bn_" + label)
+
+    def _bnode_fix(self, term, as_template: bool):
+        # a blank node in a WHERE pattern is an existential — a
+        # non-projectable variable (SPARQL 19.6 / LabelToNode)
+        if isinstance(term, BNode) and not as_template:
+            return Var("__bn_" + term.label)
+        return term
+
+    def parse_triples_block(self, as_template: bool = False) -> list:
+        """TriplesSameSubject: subject (term or [ po-list ]) followed by
+        a PropertyListNotEmpty with ';' predicate groups and ','
+        object lists; '[ ... ]' property lists nest. → list of
+        (s, p, o) patterns (SPARQL grammar TriplesBlock)."""
+        out: list = []
         k, v = self.peek()
-        if k == "var":
-            p = self.parse_term("predicate")
+        if k == "op" and v == "[":
+            self.next()
+            s = self._fresh_bnode(as_template)
+            if self.peek() != ("op", "]"):
+                self._po_list(s, out, as_template)
+            self.expect("op", "]")
+            # a lone '[ po ]' with no outer predicates is complete
+            k2, v2 = self.peek()
+            if k2 == "op" and v2 in (".", "}"):
+                return out
         else:
-            p = self.parse_path()
-            if isinstance(p, _paths.Link):
-                p = p.p  # plain predicate — stays a BGP pattern
-        o = self.parse_term("object")
-        if not as_template:
-            # a blank node in a WHERE pattern is an existential — a
-            # non-projectable variable (SPARQL 19.6 / LabelToNode)
-            if isinstance(s, BNode):
-                s = Var("__bn_" + s.label)
-            if isinstance(o, BNode):
-                o = Var("__bn_" + o.label)
-        return (s, p, o)
+            s = self._bnode_fix(self.parse_term("subject"), as_template)
+        self._po_list(s, out, as_template)
+        return out
+
+    def _po_list(self, s, out: list, as_template: bool):
+        while True:
+            k, v = self.peek()
+            if k == "var":
+                p = self.parse_term("predicate")
+            else:
+                p = self.parse_path()
+                if isinstance(p, _paths.Link):
+                    p = p.p  # plain predicate — stays a BGP pattern
+            while True:
+                o = self._object_node(out, as_template)
+                out.append((s, p, o))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("op", ";"):
+                self.next()
+                k2, v2 = self.peek()
+                if k2 == "op" and v2 in (".", "}", "]", ";"):
+                    break  # trailing ';'
+                continue
+            break
+
+    def _object_node(self, out: list, as_template: bool):
+        k, v = self.peek()
+        if k == "op" and v == "[":
+            self.next()
+            b = self._fresh_bnode(as_template)
+            if self.peek() != ("op", "]"):
+                self._po_list(b, out, as_template)
+            self.expect("op", "]")
+            return b
+        if k == "op" and v == "(":
+            # RDF collection ( e1 e2 ... ) → rdf:first/rdf:rest chain,
+            # () → rdf:nil (grammar Collection; LangTurtleBase lists)
+            self.next()
+            if self.peek() == ("op", ")"):
+                self.next()
+                return RDF_NIL
+            elems = []
+            while self.peek() != ("op", ")"):
+                elems.append(self._object_node(out, as_template))
+            self.next()
+            nodes = [self._fresh_bnode(as_template) for _ in elems]
+            for i, (bn, el) in enumerate(zip(nodes, elems)):
+                out.append((bn, RDF_FIRST, el))
+                nxt = nodes[i + 1] if i + 1 < len(nodes) else RDF_NIL
+                out.append((bn, RDF_REST, nxt))
+            return nodes[0]
+        return self._bnode_fix(self.parse_term("object"), as_template)
+
+    def parse_pattern(self, as_template: bool = False):
+        """Single-triple compatibility wrapper over parse_triples_block
+        (callers that handle one pattern at a time)."""
+        pats = self.parse_triples_block(as_template=as_template)
+        if len(pats) != 1:
+            raise RDFParseError(
+                "SPARQL: expected a single triple pattern here")
+        return pats[0]
 
     # SPARQL property-path grammar (P_Alt > P_Seq > modifiers > primary),
     # compiled onto ops/paths.py's AST
@@ -741,6 +933,43 @@ class _Parser:
             self.next()
             cls = {"*": _paths.Star, "+": _paths.Plus, "?": _paths.Opt}[v]
             return cls(prim)
+        if k == "op" and v == "{":
+            # P_Mod quantifiers p{n}, p{n,m}, p{n,} (ARQ path extension):
+            # expanded structurally — p^n ⟶ Seq chain, the optional tail
+            # as nested Opt(Seq(p, Opt(...))), open end as Star
+            self.next()
+            n = int(self.expect("num"))
+            m = n
+            open_end = False
+            if self.peek() == ("op", ","):
+                self.next()
+                if self.peek()[0] == "num":
+                    m = int(self.next()[1])
+                else:
+                    open_end = True
+            self.expect("op", "}")
+
+            def seq_n(p, k):
+                out = None
+                for _ in range(k):
+                    out = p if out is None else _paths.Seq(out, p)
+                return out
+
+            def opt_tail(p, k):
+                out = None
+                for _ in range(k):
+                    out = (_paths.Opt(p) if out is None
+                           else _paths.Opt(_paths.Seq(p, out)))
+                return out
+
+            if open_end:
+                tail = _paths.Star(prim)
+            else:
+                tail = opt_tail(prim, m - n) if m > n else None
+            head = seq_n(prim, n)
+            if head is None:
+                return tail if tail is not None else _paths.Opt(prim)
+            return head if tail is None else _paths.Seq(head, tail)
         return prim
 
     def parse_path_primary(self):
@@ -829,7 +1058,41 @@ class _Parser:
             else:
                 var = self.expect("var")[1:]
             self.expect("op", ",")
-            arg = _unesc(self.expect("string")[1:-1])
+            arg = _unesc(_sq(self.expect("string")))
+            self._skip_lit_suffix()
+            if fn == "REGEX" and self.peek() == ("op", ","):
+                # REGEX(?v, pat, flags) — XPath flags folded into the
+                # pattern as an inline group (E_Regex / RegexJava)
+                self.next()
+                flags = _unesc(_sq(self.expect("string")))
+                if "q" in flags:
+                    # XPath 'q': every pattern character is literal
+                    arg = re.escape(arg)
+                if "x" in flags and "q" not in flags:
+                    # XPath 'x': drop whitespace outside character
+                    # classes (RE2 has no verbose mode)
+                    out_chars = []
+                    in_class = esc = False
+                    for ch in arg:
+                        if esc:
+                            out_chars.append(ch)
+                            esc = False
+                            continue
+                        if ch == "\\":
+                            out_chars.append(ch)
+                            esc = True
+                            continue
+                        if ch == "[" and not in_class:
+                            in_class = True
+                        elif ch == "]" and in_class:
+                            in_class = False
+                        if ch in " \t\n\r" and not in_class:
+                            continue
+                        out_chars.append(ch)
+                    arg = "".join(out_chars)
+                inline = "".join(c for c in flags if c in "ims")
+                if inline:
+                    arg = f"(?{inline}){arg}"
             self.expect("op", ")")
             if fn == "REGEX" and via_str:
                 return ("regex_str", var, arg)
@@ -842,6 +1105,14 @@ class _Parser:
                 fn = "isiri"
             self.next()
             self.expect("op", "(")
+            if fn == "datatype":
+                # DATATYPE over a var (declared type) or a computed
+                # expression (the promoted result type)
+                e = self.parse_add()
+                self.expect("op", ")")
+                if e[0] == "var":
+                    return (fn, e[1])
+                return ("datatype_expr", e)
             var = self.expect("var")[1:]
             self.expect("op", ")")
             return (fn, var)
@@ -855,7 +1126,7 @@ class _Parser:
             var = self.expect("var")[1:]
             self.expect("op", ")")
             self.expect("op", ",")
-            rng = _unesc(self.expect("string")[1:-1])
+            rng = _unesc(_sq(self.expect("string")))
             self.expect("op", ")")
             return ("langmatches", var, rng)
         U = v.upper() if k == "kw" else None
@@ -865,6 +1136,42 @@ class _Parser:
             e = self.parse_add()
             self.expect("op", ")")
             return ("fn1", U, e)
+        if U in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("hashfn", U.lower(), e)
+        if U == "SAMETERM":
+            self.next()
+            self.expect("op", "(")
+            a = self.parse_add()
+            self.expect("op", ",")
+            b = self.parse_add()
+            self.expect("op", ")")
+            return ("sameterm", a, b)
+        if U == "ISNUMERIC":
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("isnumeric", e)
+        if U in ("STRDT", "STRLANG"):
+            self.next()
+            self.expect("op", "(")
+            a = self.parse_add()
+            self.expect("op", ",")
+            b = self.parse_add()
+            self.expect("op", ")")
+            if U == "STRDT":
+                if b[0] != "iriconst":
+                    raise RDFParseError(
+                        "SPARQL: STRDT datatype must be a constant IRI")
+                return ("strdt", a, b[1])
+            if b[0] != "lit":
+                raise RDFParseError(
+                    "SPARQL: STRLANG tag must be a constant string")
+            return ("strlang", a, b[1])
         if U in ("CONCAT", "COALESCE"):
             self.next()
             self.expect("op", "(")
@@ -900,9 +1207,9 @@ class _Parser:
             self.expect("op", "(")
             e = self.parse_add()
             self.expect("op", ",")
-            pat = _unesc(self.expect("string")[1:-1])
+            pat = _unesc(_sq(self.expect("string")))
             self.expect("op", ",")
-            rep = _unesc(self.expect("string")[1:-1])
+            rep = _unesc(_sq(self.expect("string")))
             self.expect("op", ")")
             return ("replace", e, pat, rep)
         if U in ("STRBEFORE", "STRAFTER"):
@@ -910,7 +1217,7 @@ class _Parser:
             self.expect("op", "(")
             e = self.parse_add()
             self.expect("op", ",")
-            s = _unesc(self.expect("string")[1:-1])
+            s = _unesc(_sq(self.expect("string")))
             self.expect("op", ")")
             return (U.lower(), e, s)
         if U == "IF":
@@ -929,7 +1236,7 @@ class _Parser:
             return ("var", v[1:])
         if k == "string":
             self.next()
-            lex = _unesc(v[1:-1])
+            lex = _unesc(_sq(v))
             nk, nv = self.peek()
             if nk == "op" and nv == "^^":
                 self.next()
@@ -948,11 +1255,28 @@ class _Parser:
             self.next()
             return ("typedlit", v.lower(), XSD_NS + "boolean", "")
         if k == "num":
+            from ..model import XSD_NS
+
             self.next()
-            return ("num", float(v))
+            # numeric literal shorthand carries its XSD type (grammar:
+            # INTEGER / DECIMAL / DOUBLE)
+            dt = (XSD_NS + "double" if "e" in v.lower()
+                  else XSD_NS + "decimal" if "." in v
+                  else XSD_NS + "integer")
+            return ("num", float(v), dt)
         if k in ("iri", "pname"):  # e.g. DATATYPE(?v) = xsd:decimal
             self.next()
-            return ("iriconst", self.expand(k, v))
+            iri = self.expand(k, v)
+            if self.peek() == ("op", "("):
+                # constructor-function call: XSD casts (XSDFuncOp cast)
+                self.next()
+                arg = self.parse_or()
+                self.expect("op", ")")
+                if iri in _CAST_TARGETS:
+                    return ("cast", iri, arg)
+                raise RDFParseError(
+                    f"SPARQL: unsupported function <{iri}>")
+            return ("iriconst", iri)
         raise RDFParseError(f"SPARQL: bad expression at {v!r}")
 
     def parse_cmp(self):
@@ -1003,11 +1327,17 @@ class _Parser:
             if k == "op" and v in ("+", "-"):
                 self.next()
                 left = ("arith", v, left, self.parse_mul())
-            elif k == "num" and v.startswith("-"):
-                # the tokenizer folds the sign into the number ("?n -1");
-                # re-read it as a subtraction
+            elif k == "num" and (v.startswith("-") or v.startswith("+")):
+                # the tokenizer folds the sign into the number ("?n -1",
+                # "?o +1"); re-read it as an addition of the signed value
                 self.next()
-                left = ("arith", "+", left, ("num", float(v)))
+                left = ("arith", "+", left, (
+                    "num", float(v),
+                    "http://www.w3.org/2001/XMLSchema#double"
+                    if "e" in v.lower() else
+                    "http://www.w3.org/2001/XMLSchema#decimal"
+                    if "." in v else
+                    "http://www.w3.org/2001/XMLSchema#integer"))
             else:
                 return left
 
@@ -1025,7 +1355,7 @@ class _Parser:
         k, v = self.peek()
         if k == "op" and v == "-":
             self.next()
-            return ("arith", "-", ("num", 0.0), self.parse_unary())
+            return ("arith", "-", ("num", 0.0, _XSD + "integer"), self.parse_unary())
         if k == "op" and v == "+":
             self.next()
             return self.parse_unary()
@@ -1046,6 +1376,26 @@ _NUM_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
 
 _NUMERIC_FN1 = frozenset({"ABS", "ROUND", "CEIL", "FLOOR"})
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_CAST_NUMERIC = frozenset(
+    _XSD + s for s in ("integer", "decimal", "float", "double", "int",
+                       "long", "short", "byte", "nonNegativeInteger",
+                       "unsignedInt", "unsignedLong"))
+_CAST_TARGETS = _CAST_NUMERIC | frozenset(
+    _XSD + s for s in ("string", "boolean", "dateTime", "date"))
+
+_PROMO_RANK = {}
+for _s in ("integer", "int", "long", "short", "byte",
+           "nonNegativeInteger", "nonPositiveInteger", "positiveInteger",
+           "negativeInteger", "unsignedLong", "unsignedInt",
+           "unsignedShort", "unsignedByte"):
+    _PROMO_RANK[_XSD + _s] = 0
+_PROMO_RANK[_XSD + "decimal"] = 1
+_PROMO_RANK[_XSD + "float"] = 2
+_PROMO_RANK[_XSD + "double"] = 3
+_PROMO_BY_RANK = (_XSD + "integer", _XSD + "decimal", _XSD + "float",
+                  _XSD + "double")
+
 
 def _is_numeric_node(node) -> bool:
     """Nodes whose value is already in the numeric value space — they put
@@ -1053,6 +1403,7 @@ def _is_numeric_node(node) -> bool:
     tag = node[0] if node else None
     return (tag in ("num", "strlen", "arith")
             or (tag == "typedlit" and node[2] in _NUMERIC_DTS)
+            or (tag == "cast" and node[1] in _CAST_NUMERIC)
             or (tag == "fn1" and node[1] in _NUMERIC_FN1))
 
 
@@ -1081,7 +1432,7 @@ def _to_lexical(val, n_rows: int):
     return pc.cast(as_int if integral else arr, pa.large_string())
 
 
-def _str_arg(node, t: pa.Table, arr):
+def _str_arg(node, t: pa.Table, arr, simple_only: bool = False):
     """String-argument gate (SPARQL 17.4.3 / XSDFuncOp.checkAndGetString):
     a string function applied to a non-string literal (numeric, unknown
     datatype) or a non-literal term is a per-row type error → null.
@@ -1098,13 +1449,76 @@ def _str_arg(node, t: pa.Table, arr):
     if isinstance(arr, pa.Scalar):
         arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
     dt = pc.fill_null(t[dc].combine_chunks().cast(pa.large_string()), "")
-    ok = pc.is_in(dt, value_set=pa.array(
-        ["", XSD_STRING, RDF_LANGSTRING], pa.large_string()))
+    allowed = (["", XSD_STRING] if simple_only
+               else ["", XSD_STRING, RDF_LANGSTRING])
+    ok = pc.is_in(dt, value_set=pa.array(allowed, pa.large_string()))
+    if simple_only:
+        lc = node[1] + "__lang"
+        if lc in names:
+            ok = pc.and_(ok, pc.fill_null(pc.equal(
+                t[lc].combine_chunks().cast(pa.large_string()), ""), True))
     if kc in names:
         ok = pc.and_(ok, pc.fill_null(pc.equal(
             t[kc].combine_chunks(), pa.scalar(KIND_LITERAL, pa.int8())),
             True))
     return pc.if_else(ok, arr, pa.scalar(None, pa.large_string()))
+
+
+def _num_rank(node, t: pa.Table):
+    """Per-row numeric-promotion rank of an expression (0=integer,
+    1=decimal, 2=float, 3=double; null = not a number / error) —
+    NodeValueOps' XPath promotion lattice, vectorized."""
+    n = t.num_rows
+    tag = node[0]
+
+    def const(r):
+        return pa.array([r] * n, pa.int8())
+
+    if tag == "num":
+        return const(_PROMO_RANK[node[2]])
+    if tag == "typedlit":
+        r = _PROMO_RANK.get(node[2])
+        if r is None:
+            return pa.nulls(n, pa.int8())
+        try:
+            float(node[1])
+        except ValueError:
+            return pa.nulls(n, pa.int8())
+        return const(r)
+    if tag == "var":
+        lex = _var_col(t, node[1])
+        num_ok = pc.fill_null(pc.match_substring_regex(lex, _NUM_RE), False)
+        dc = node[1] + "__dt"
+        if dc not in t.schema.names:
+            # untyped tabular: numeric-looking → integer/decimal by form
+            has_dot = pc.fill_null(
+                pc.match_substring_regex(lex, r"[.eE]"), False)
+            r = pc.if_else(has_dot, _i8(1), _i8(0))
+            return pc.if_else(num_ok, r, pa.scalar(None, pa.int8()))
+        dt = pc.fill_null(t[dc].combine_chunks().cast(pa.large_string()), "")
+        rank = pa.nulls(n, pa.int8())
+        ints = pa.array(
+            sorted(d for d, r in _PROMO_RANK.items() if r == 0),
+            pa.large_string())
+        rank = pc.if_else(pc.is_in(dt, value_set=ints), _i8(0), rank)
+        rank = pc.if_else(pc.equal(dt, _XSD + "decimal"), _i8(1), rank)
+        rank = pc.if_else(pc.equal(dt, _XSD + "float"), _i8(2), rank)
+        rank = pc.if_else(pc.equal(dt, _XSD + "double"), _i8(3), rank)
+        return pc.if_else(num_ok, rank, pa.scalar(None, pa.int8()))
+    if tag == "arith":
+        rl, rr = _num_rank(node[2], t), _num_rank(node[3], t)
+        m = pc.max_element_wise(rl, rr, skip_nulls=False)
+        if node[1] == "/":
+            # op:numeric-divide on two integers yields a decimal
+            m = pc.if_else(pc.equal(m, _i8(0)), _i8(1), m)
+        return m
+    if tag == "cast" and node[1] in _CAST_NUMERIC:
+        return const(_PROMO_RANK.get(node[1], 0))
+    if tag == "strlen":
+        return const(0)
+    if tag == "fn1" and node[1] in _NUMERIC_FN1:
+        return _num_rank(node[2], t)
+    return pa.nulls(n, pa.int8())
 
 
 def _eval_num(node, t: pa.Table):
@@ -1257,6 +1671,45 @@ def _eval_value(node, t: pa.Table):
         # null, never xsd:string
         is_lit = pc.and_(is_lit, pc.is_valid(_var_col(t, node[1])))
         return pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
+    if tag == "datatype_expr":
+        sub = node[1]
+        if sub[0] == "cast":
+            # DATATYPE of a constructor cast: the target type wherever
+            # the cast itself succeeded
+            val = _eval_value(sub, t)
+            if isinstance(val, pa.Scalar):
+                val = pa.array([val.as_py()] * t.num_rows)
+            return pc.if_else(
+                pc.is_valid(val),
+                pa.scalar(sub[1], pa.large_string()),
+                pa.scalar(None, pa.large_string()))
+        if sub[0] in ("hashfn", "concat", "substr", "replace",
+                      "strbefore", "strafter") or (
+                sub[0] == "fn1" and sub[1] in ("STR", "UCASE", "LCASE")):
+            val = _eval_value(sub, t)
+            if isinstance(val, pa.Scalar):
+                val = pa.array([val.as_py()] * t.num_rows)
+            from ..model import XSD_STRING
+
+            return pc.if_else(
+                pc.is_valid(val),
+                pa.scalar(XSD_STRING, pa.large_string()),
+                pa.scalar(None, pa.large_string()))
+        # a computed numeric expression → the promoted result type IRI
+        # per row, null on error
+        rank = _num_rank(node[1], t)
+        out = pa.scalar(None, pa.large_string())
+        for r in (3, 2, 1, 0):
+            out = pc.if_else(
+                pc.fill_null(pc.equal(rank, _i8(r)), False),
+                pa.scalar(_PROMO_BY_RANK[r], pa.large_string()),
+                out)
+        # also require the VALUE itself to evaluate (0-divisor etc.)
+        val = _eval_num(node[1], t)
+        if not isinstance(val, pa.Scalar):
+            out = pc.if_else(pc.is_valid(val), out,
+                             pa.scalar(None, pa.large_string()))
+        return out
     if tag == "arith":
         # numeric operators with SPARQL's type-error-is-null semantics:
         # a non-numeric operand row yields null (E_Add .. E_Divide)
@@ -1355,6 +1808,101 @@ def _eval_value(node, t: pa.Table):
             characters=sent,
         )
         return pc.if_else(found, after, empty)
+    if tag == "hashfn":
+        import hashlib
+
+        arr = _str_arg(node[2], t,
+                       _to_lexical(_eval_value(node[2], t), t.num_rows))
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        fn = getattr(hashlib, node[1])
+        return pa.array(
+            [fn(x.encode()).hexdigest() if x is not None else None
+             for x in arr.to_pylist()],
+            pa.large_string())
+    if tag == "cast":
+        # XPath-style constructor casting is SOURCE-TYPE aware
+        # (XSDFuncOp cast table): a string source must carry a valid
+        # lexical form of the TARGET type (no truncation), a numeric
+        # source converts by value, booleans map 1/0, everything else
+        # is a per-row error (null)
+        target = node[1]
+        S = _eq_side(node[2], t)
+        lex, cls, num = S["lex"], S["cls"], S["num"]
+        str_src = pc.or_(pc.equal(cls, _i8(_CLS_STR)),
+                         pc.equal(cls, _i8(_CLS_UNTYPED)))
+        num_src = pc.equal(cls, _i8(_CLS_NUM))
+        bool_src = pc.equal(cls, _i8(_CLS_BOOL))
+        null_f = pa.scalar(None, pa.float64())
+        null_s = pa.scalar(None, pa.large_string())
+        if target in _CAST_NUMERIC:
+            rank = _PROMO_RANK.get(target, 0)
+            if rank == 0:
+                pat = r"^[+-]?\d+$"
+            elif rank == 1:
+                pat = r"^[+-]?(\d+(\.\d*)?|\.\d+)$"
+            else:
+                pat = _NUM_RE
+            lex_ok = pc.fill_null(pc.match_substring_regex(lex, pat), False)
+            from_str = pc.cast(
+                pc.if_else(pc.and_(str_src, lex_ok), lex, null_s),
+                pa.float64())
+            from_num = pc.if_else(num_src,
+                                  pc.trunc(num) if rank == 0 else num,
+                                  null_f)
+            from_bool = pc.if_else(bool_src, num, null_f)
+            return pc.coalesce(from_str, from_num, from_bool)
+        if target == _XSD + "boolean":
+            truthy = pc.fill_null(pc.is_in(lex, value_set=pa.array(
+                ["true", "1"], lex.type)), False)
+            falsy = pc.fill_null(pc.is_in(lex, value_set=pa.array(
+                ["false", "0"], lex.type)), False)
+            from_str = pc.if_else(
+                pc.and_(str_src, pc.or_(truthy, falsy)),
+                pc.if_else(truthy, pa.scalar("true", pa.large_string()),
+                           pa.scalar("false", pa.large_string())),
+                null_s)
+            num_val = pc.if_else(
+                pc.fill_null(pc.not_equal(num, 0.0), False),
+                pa.scalar("true", pa.large_string()),
+                pa.scalar("false", pa.large_string()))
+            from_numb = pc.if_else(pc.or_(num_src, bool_src), num_val,
+                                   null_s)
+            return pc.coalesce(from_str, from_numb)
+        if target in (_XSD + "dateTime", _XSD + "date"):
+            time_src = pc.equal(cls, _i8(_CLS_TIME))
+            valid_lex = pa.array(
+                [x is not None and _epoch_of(x) is not None
+                 for x in lex.to_pylist()])
+            ok = pc.and_(pc.or_(str_src, time_src), valid_lex)
+            return pc.if_else(ok, lex, null_s)
+        # xsd:string: canonical lexical of the VALUE — numeric sources
+        # print canonically (integral → bare int, "1E0" → "1"), booleans
+        # as true/false; other terms keep their lexical form
+        as_int = pc.cast(num, pa.int64(), safe=False)
+        integral = pc.fill_null(
+            pc.equal(pc.cast(as_int, pa.float64()), num), False)
+        num_canon = pc.if_else(
+            integral,
+            pc.cast(as_int, pa.string()).cast(pa.large_string()),
+            pc.cast(num, pa.string()).cast(pa.large_string()))
+        bool_canon = pc.if_else(
+            pc.fill_null(pc.not_equal(num, 0.0), False),
+            pa.scalar("true", pa.large_string()),
+            pa.scalar("false", pa.large_string()))
+        lang_src = pc.equal(cls, _i8(_CLS_LANG))
+        bad = pc.or_(pc.equal(cls, _i8(_CLS_BNODE)), lang_src)
+        out = pc.if_else(num_src, num_canon,
+                         pc.if_else(bool_src, bool_canon, lex))
+        return pc.if_else(bad, null_s, out)
+    if tag in ("strdt", "strlang"):
+        # value model is lexical; the type/lang shows up in term
+        # classification (_eq_side) and DATATYPE/LANG accessors.
+        # STRDT/STRLANG require a SIMPLE literal argument (17.4.2.8/9)
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows),
+                       simple_only=True)
+        return arr
     if tag == "ifexpr":
         cond = _eval_bool(node[1], t)
         if isinstance(cond, pa.Scalar):
@@ -1406,11 +1954,18 @@ def _epoch_of(s):
     """ISO-8601 lexical form → POSIX seconds, or None when ill-formed.
     Timezone-less values are anchored at UTC (one consistent instant —
     comparisons between two timezone-less values are exact)."""
-    from datetime import datetime, timezone
+    from datetime import datetime, timedelta, timezone
 
     try:
         if s.endswith("Z"):
             s = s[:-1] + "+00:00"
+        if "T24:00:00" in s:
+            # XSD end-of-day form: 24:00:00 = next day's 00:00:00
+            date_part, _, rest = s.partition("T24:00:00")
+            nxt = (datetime.fromisoformat(date_part)
+                   + timedelta(days=1)).date().isoformat()
+            s = nxt + "T00:00:00" + rest.lstrip("0.") if rest.startswith(
+                ".") else nxt + "T00:00:00" + rest
         d = datetime.fromisoformat(s)
     except (ValueError, TypeError):
         return None
@@ -1574,11 +2129,33 @@ def _eq_side(node, t: pa.Table) -> dict:
         cls = pc.if_else(pc.is_valid(numv), _i8(_CLS_NUM), _i8(_CLS_OTHER))
         return {"lex": lex, "cls": cls, "dt": empty_dt, "lang": empty_lang,
                 "num": numv}
-    if tag == "datatype":
+    if tag in ("datatype", "datatype_expr"):
         return {"lex": lex,
                 "cls": pa.array([_CLS_IRI] * n, pa.int8()),
                 "dt": empty_dt, "lang": empty_lang,
                 "num": pa.nulls(n, pa.float64())}
+    if tag == "strlang":
+        lang = node[2].lower()
+        return {"lex": lex,
+                "cls": pc.if_else(pc.is_valid(lex), _i8(_CLS_LANG),
+                                  _i8(_CLS_OTHER)),
+                "dt": empty_dt,
+                "lang": pa.array([lang] * n, pa.large_string()),
+                "num": pa.nulls(n, pa.float64())}
+    if tag == "strdt":
+        sub = ("typedlit", "", node[2], "")
+        num_ok = pc.fill_null(pc.match_substring_regex(lex, _NUM_RE), False)
+        numv = pc.cast(pc.if_else(num_ok, lex, pa.scalar(None, lex.type)),
+                       pa.float64())
+        if node[2] in _NUMERIC_DTS:
+            cls = pc.if_else(num_ok, _i8(_CLS_NUM), _i8(_CLS_OTHER))
+        elif node[2] in ("", XSD_STRING):
+            cls = pa.array([_CLS_STR] * n, pa.int8())
+        else:
+            cls = pa.array([_CLS_OTHER] * n, pa.int8())
+        return {"lex": lex, "cls": cls,
+                "dt": pa.array([node[2]] * n, pa.large_string()),
+                "lang": empty_lang, "num": numv}
     if tag in _BOOL_EXPR_TAGS:
         num = pc.cast(
             pc.fill_null(pc.equal(lex, "true"), False), pa.float64())
@@ -1661,13 +2238,13 @@ def _term_eq(op: str, l, r, t: pa.Table):
             pc.if_else(tz_ok, num_eq, pa.scalar(None, pa.bool_())),
             pa.scalar(False)),
         acc)
-    # engine tabular convention: untyped lexical numbers join the
-    # numeric value space; a non-numeric untyped vs a number is false
+    # engine tabular convention: an UNTYPED side (metadata-free
+    # relation — aggregates, tabular data) compares lexically against
+    # any term kind, and by value against numbers
+    untyped_any = pc.or_(pc.equal(cl, _i8(_CLS_UNTYPED)),
+                         pc.equal(cr, _i8(_CLS_UNTYPED)))
+    acc = pc.if_else(untyped_any, lex_eq, acc)
     acc = pc.if_else(pairm(_CLS_UNTYPED, _CLS_NUM), num_eq, acc)
-    acc = pc.if_else(
-        pc.or_(pairm(_CLS_UNTYPED, _CLS_BOOL),
-               pairm(_CLS_UNTYPED, _CLS_TIME)),
-        pa.scalar(False), acc)
     acc = pc.if_else(same_term, pa.scalar(True), acc)
     bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
     acc = pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
@@ -1815,6 +2392,23 @@ def _eval_bool(node, t: pa.Table):
         return pc.invert(_eval_bool(node[1], t))
     if tag == "bound":
         return pc.is_valid(_var_col(t, node[1]))
+    if tag == "sameterm":
+        L, R = _eq_side(node[1], t), _eq_side(node[2], t)
+        res = pc.and_(
+            pc.and_(pc.fill_null(pc.equal(L["lex"], R["lex"]), False),
+                    pc.fill_null(pc.equal(L["dt"], R["dt"]), False)),
+            pc.and_(pc.fill_null(pc.equal(L["lang"], R["lang"]), False),
+                    pc.equal(L["cls"], R["cls"])))
+        bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
+        return pc.if_else(bound, res, pa.scalar(None, pa.bool_()))
+    if tag == "isnumeric":
+        S = _eq_side(node[1], t)
+        res = pc.or_(
+            pc.equal(S["cls"], _i8(_CLS_NUM)),
+            pc.and_(pc.equal(S["cls"], _i8(_CLS_UNTYPED)),
+                    pc.is_valid(S["num"])))
+        return pc.if_else(pc.is_valid(S["lex"]), res,
+                          pa.scalar(None, pa.bool_()))
     if tag == "regex_str":
         # REGEX(STR(?v), pat): lexical form of any term kind
         return pc.match_substring_regex(_var_col(t, node[1]), node[2])
@@ -1984,6 +2578,8 @@ def _group_vars(group: dict) -> set:
             out |= {x.name for x in (el[1][0], el[1][2]) if isinstance(x, Var)}
         elif el[0] == "group":
             out |= _group_vars(el[1])
+        elif el[0] == "dataset":
+            out |= _group_vars(el[2])
         elif el[0] == "values":
             out |= set(el[1])
         elif el[0] == "bind":
@@ -2629,6 +3225,8 @@ def _group_maybe_partial(group: dict) -> bool:
                 return True
         if t in ("group",) and _group_maybe_partial(el[1]):
             return True
+        if t == "dataset" and _group_maybe_partial(el[2]):
+            return True
         if t == "graph" and _group_maybe_partial(el[2]):
             return True
         if t == "subquery" and _group_maybe_partial(el[1].get("group", {})):
@@ -2662,6 +3260,12 @@ def _compile_group(triples_ds, group: dict, graph=None):
         elif el[0] == "group":
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
             rel_partial = _group_maybe_partial(el[1])
+            how = "inner"
+        elif el[0] == "dataset":
+            # FROM / FROM NAMED: re-scope the store for this group
+            rel, rel_vars = _compile_group(
+                _using_view(triples_ds, el[1]), el[2], graph="")
+            rel_partial = _group_maybe_partial(el[2])
             how = "inner"
         elif el[0] == "path":
             if graph is not None and not isinstance(graph, str):
@@ -2757,6 +3361,7 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 )
             )
             rel_vars = sorted(vnames)
+            rel_partial = any(x is None for r in rows for x in r)
             how = "inner"
         elif el[0] == "bind":
             if acc is None:
@@ -2859,6 +3464,49 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 acc_partial = True
     if acc is None:
         if not group["filters"] and not group.get("exists"):
+            if isinstance(graph, Var):
+                # GRAPH ?g {}: one solution per named graph (the empty
+                # inner group is unit — ?g ranges over graph names)
+                from .bgp import meta_cols_of
+                from ..model import KIND_IRI
+
+                gname = graph.name
+                kc, dc, lc = meta_cols_of(gname)
+
+                def gkernel(t: pa.Table, _v=gname) -> pa.Table:
+                    if t.num_columns == 0 or "g" not in t.schema.names:
+                        return pa.table(
+                            {_v: pa.array([], pa.large_string())})
+                    g = t["g"].combine_chunks().cast(pa.large_string())
+                    x = pc.drop_null(pc.unique(
+                        pc.if_else(pc.not_equal(g, ""), g,
+                                   pa.scalar(None, pa.large_string()))))
+                    return pa.table({_v: x})
+
+                names_ds = triples_ds.map_batches(
+                    gkernel, batch_format="pyarrow")
+                names_ds = names_ds.groupby(gname).count().map_batches(
+                    lambda t, _v=gname: pa.table({
+                        _v: t[_v].combine_chunks().cast(pa.large_string()),
+                        kc: pa.array([KIND_IRI] * t.num_rows, pa.int8()),
+                        dc: pa.array([""] * t.num_rows, pa.large_string()),
+                        lc: pa.array([""] * t.num_rows, pa.large_string()),
+                    }) if t.num_columns else t,
+                    batch_format="pyarrow",
+                )
+                return names_ds, [gname]
+            if isinstance(graph, str) and graph:
+                # GRAPH <g> {}: unit iff the named graph is non-empty
+                gate = triples_ds.map_batches(
+                    lambda t, _g=graph: pa.table({"__exists": pa.array(
+                        ["1"] * t.filter(pc.equal(t["g"], _g)).num_rows,
+                        pa.large_string())})
+                    if t.num_columns and "g" in t.schema.names
+                    else pa.table(
+                        {"__exists": pa.array([], pa.large_string())}),
+                    batch_format="pyarrow",
+                ).limit(1)
+                return gate, []
             # empty group pattern {} = the unit solution: one empty
             # binding (SPARQL 18.5 — Join(unit, X) = X)
             acc = rd.from_arrow(pa.table(
@@ -3260,25 +3908,23 @@ def _using_view(store, using: list):
         if t.num_columns == 0:
             return t
         g = t["g"].combine_chunks().cast(pa.large_string())
-        in_def = pc.is_in(g, value_set=pa.array(
-            defaults or [""], pa.large_string()))
+        parts = []
         if defaults:
-            in_named = pc.is_in(g, value_set=pa.array(
-                named_gs or [""], pa.large_string())) if named_gs else \
-                pa.array([False] * t.num_rows)
-        else:
-            in_named = pc.is_in(g, value_set=pa.array(
-                named_gs, pa.large_string())) if named_gs else \
-                pa.array([False] * t.num_rows)
-        x = t.filter(pc.or_(in_def if defaults else
-                            pa.array([False] * t.num_rows), in_named))
-        gx = x["g"].combine_chunks().cast(pa.large_string())
-        newg = pc.if_else(
-            pc.is_in(gx, value_set=pa.array(
-                defaults or [""], pa.large_string()))
-            if defaults else pa.array([False] * x.num_rows),
-            pa.scalar("", pa.large_string()), gx)
-        return x.set_column(x.schema.get_field_index("g"), "g", newg)
+            # default-graph role: the union of the FROM graphs, renamed
+            d = t.filter(pc.is_in(g, value_set=pa.array(
+                defaults, pa.large_string())))
+            idx = d.schema.get_field_index("g")
+            parts.append(d.set_column(
+                idx, "g",
+                pa.array([""] * d.num_rows, pa.large_string())))
+        if named_gs:
+            # named-graph role: a graph may serve BOTH roles (FROM +
+            # FROM NAMED), so these rows are emitted separately
+            parts.append(t.filter(pc.is_in(g, value_set=pa.array(
+                named_gs, pa.large_string()))))
+        if not parts:
+            return t.slice(0, 0)
+        return pa.concat_tables(parts)
 
     return store.map_batches(remap, batch_format="pyarrow")
 
@@ -3373,6 +4019,11 @@ def _exec_select(triples_ds, q: dict, graph=""):
     (SPARQL 1.1 §13.3.1 — the active graph applies inside subqueries)."""
     bindings, all_vars = _compile_group(triples_ds, q["group"], graph=graph)
     proj_items = q["project"] or [("var", v) for v in all_vars]
+    if not proj_items:
+        # SELECT * over a zero-variable group (e.g. GRAPH <g> {}):
+        # solutions are empty bindings — keep the __exists marker so the
+        # row count survives (a zero-column Arrow table has no rows)
+        return bindings, []
     if isinstance(graph, Var) and graph.name in all_vars:
         # GRAPH ?g { SELECT ... }: the subquery evaluates once per named
         # graph, so the graph var rides along — implicitly projected and

@@ -130,6 +130,17 @@ def _load_store(test):
         add(d, "")
     for gd in test.graph_data:
         add(gd, "file://" + gd)
+    # FROM / FROM NAMED referencing actual files (the dataset suite has
+    # no qt:data): load them as named graphs — the engine's FROM
+    # evaluation re-scopes them per the query's dataset description
+    qdir = os.path.dirname(test.query)
+    qtext = open(test.query, encoding="utf-8").read()
+    loaded = set(test.data) | set(test.graph_data)
+    for _named, rel in re.findall(r"FROM\s+(NAMED\s+)?<([^>]*)>", qtext):
+        path = os.path.join(qdir, rel)
+        if os.path.exists(path) and path not in loaded:
+            loaded.add(path)
+            add(path, "file://" + path)
     return pa.Table.from_arrays(
         [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
         schema=TRIPLE_SCHEMA,
@@ -141,7 +152,7 @@ def _rows_to_solutions(rows):
     for r in rows:
         sol = {}
         for k, v in r.items():
-            if v is not None:
+            if v is not None and k != "__exists":
                 sol[k] = v
         out.append(sol)
     return out
