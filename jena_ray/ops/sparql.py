@@ -104,8 +104,8 @@ _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
         (?P<pname>[^\W\d][\w\-.]*:[\w\-.]*|:[\w\-.]+|[^\W\d][\w\-.]*:|:) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|a)\b) |
-        (?P<var>\?[A-Za-z_]\w*) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|a)\b) |
+        (?P<var>[?$][A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?) |
         (?P<string>"{3}(?:[^\\]|\\.)*?"{3}|'{3}(?:[^\\]|\\.)*?'{3}|"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*') |
@@ -575,11 +575,17 @@ class _Parser:
             if not group_by:
                 raise RDFParseError("SPARQL: empty GROUP BY")
             if self.kw("HAVING"):
-                # HAVING over the ALIASED aggregates (subset: reference
-                # the (agg AS ?alias) columns, not fresh aggregate exprs)
+                # HAVING over the aliased aggregates; an inline
+                # aggregate call (HAVING (COUNT(?o) > 2)) rewrites to
+                # the matching projected alias
+                self._agg_aliases = {
+                    (p[1], p[2], p[4]): p[3]
+                    for p in (proj or []) if p[0] == "agg"
+                }
                 self.expect("op", "(")
                 having = self.parse_or()
                 self.expect("op", ")")
+                self._agg_aliases = None
         order = []
         if self.kw("ORDER"):
             self.expect("kw", "BY")
@@ -641,8 +647,23 @@ class _Parser:
                     exists.append((False, self.parse_group()))
                 elif self.peek() == ("op", "("):
                     self.next()
-                    filters.append(self.parse_or())
-                    self.expect("op", ")")
+                    nk, nv = self.peek()
+                    word = nv.upper() if nk == "kw" else ""
+                    if word == "EXISTS":
+                        self.next()
+                        exists.append((True, self.parse_group()))
+                        self.expect("op", ")")
+                    elif word == "NOT":
+                        self.next()
+                        if not self.kw("EXISTS"):
+                            raise RDFParseError(
+                                "SPARQL: FILTER(NOT ...) must be NOT "
+                                "EXISTS")
+                        exists.append((False, self.parse_group()))
+                        self.expect("op", ")")
+                    else:
+                        filters.append(self.parse_or())
+                        self.expect("op", ")")
                 else:
                     # FILTER Constraint may be a bare BuiltInCall /
                     # FunctionCall without outer parens (FILTER regex(..))
@@ -1130,6 +1151,24 @@ class _Parser:
             self.expect("op", ")")
             return ("langmatches", var, rng)
         U = v.upper() if k == "kw" else None
+        if U in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+                 "GROUP_CONCAT") and getattr(self, "_agg_aliases", None) \
+                is not None:
+            self.next()
+            self.expect("op", "(")
+            distinct = self.kw("DISTINCT")
+            if self.peek() == ("op", "*"):
+                self.next()
+                var = None
+            else:
+                var = self.expect("var")[1:]
+            self.expect("op", ")")
+            alias = self._agg_aliases.get((U, var, distinct))
+            if alias is None:
+                raise RDFParseError(
+                    "SPARQL: HAVING aggregate must match a projected "
+                    "(agg AS ?alias)")
+            return ("var", alias)
         if U in ("STR", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR"):
             self.next()
             self.expect("op", "(")
@@ -1142,6 +1181,56 @@ class _Parser:
             e = self.parse_add()
             self.expect("op", ")")
             return ("hashfn", U.lower(), e)
+        if U in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+                 "TIMEZONE", "TZ"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("dtfn", U.lower(), e)
+        if U == "NOW":
+            from ..model import XSD_NS
+
+            self.next()
+            self.expect("op", "(")
+            self.expect("op", ")")
+            # one instant for the whole query (E_Now)
+            if not hasattr(self, "_now"):
+                from datetime import datetime, timezone as _tz
+
+                self._now = datetime.now(_tz.utc).isoformat(
+                    timespec="seconds").replace("+00:00", "Z")
+            return ("typedlit", self._now, XSD_NS + "dateTime", "")
+        if U == "RAND":
+            self.next()
+            self.expect("op", "(")
+            self.expect("op", ")")
+            return ("rand",)
+        if U in ("UUID", "STRUUID"):
+            self.next()
+            self.expect("op", "(")
+            self.expect("op", ")")
+            return ("uuid", U == "STRUUID")
+        if U == "BNODE":
+            self.next()
+            self.expect("op", "(")
+            e = None
+            if self.peek() != ("op", ")"):
+                e = self.parse_add()
+            self.expect("op", ")")
+            return ("bnodefn", e)
+        if U in ("IRI", "URI"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("irifn", e, self.base)
+        if U == "ENCODE_FOR_URI":
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("encuri", e)
         if U == "SAMETERM":
             self.next()
             self.expect("op", "(")
@@ -1218,8 +1307,16 @@ class _Parser:
             e = self.parse_add()
             self.expect("op", ",")
             s = _unesc(_sq(self.expect("string")))
+            lang2 = ""
+            nk, nv = self.peek()
+            if nk == "langtag":
+                self.next()
+                lang2 = nv[1:]
+            elif nk == "op" and nv == "^^":
+                self.next()
+                self.next()
             self.expect("op", ")")
-            return (U.lower(), e, s)
+            return (U.lower(), e, s, lang2)
         if U == "IF":
             # IF(cond, then, else) — E_Conditional
             self.next()
@@ -1401,9 +1498,10 @@ def _is_numeric_node(node) -> bool:
     """Nodes whose value is already in the numeric value space — they put
     a comparison into the engine's numeric context."""
     tag = node[0] if node else None
-    return (tag in ("num", "strlen", "arith")
+    return (tag in ("num", "strlen", "arith", "rand")
             or (tag == "typedlit" and node[2] in _NUMERIC_DTS)
             or (tag == "cast" and node[1] in _CAST_NUMERIC)
+            or (tag == "dtfn" and node[1] not in ("tz", "timezone"))
             or (tag == "fn1" and node[1] in _NUMERIC_FN1))
 
 
@@ -1514,6 +1612,12 @@ def _num_rank(node, t: pa.Table):
         return m
     if tag == "cast" and node[1] in _CAST_NUMERIC:
         return const(_PROMO_RANK.get(node[1], 0))
+    if tag == "rand":
+        return const(3)
+    if tag == "dtfn":
+        if node[1] in ("tz", "timezone"):
+            return pa.nulls(n, pa.int8())
+        return const(1 if node[1] == "seconds" else 0)
     if tag == "strlen":
         return const(0)
     if tag == "fn1" and node[1] in _NUMERIC_FN1:
@@ -1673,6 +1777,29 @@ def _eval_value(node, t: pa.Table):
         return pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
     if tag == "datatype_expr":
         sub = node[1]
+        if sub[0] == "typedlit":
+            from ..model import XSD_STRING
+
+            return pa.array(
+                [sub[2] or XSD_STRING] * t.num_rows, pa.large_string())
+        if sub[0] in ("uuid", "irifn", "bnodefn") and not (
+                sub[0] == "uuid" and sub[1]):
+            # IRIs / bnodes have no datatype → per-row type error
+            return pa.nulls(t.num_rows, pa.large_string())
+        if sub[0] == "encuri" or (sub[0] == "uuid" and sub[1]):
+            from ..model import XSD_STRING
+
+            return pa.array([XSD_STRING] * t.num_rows, pa.large_string())
+        if sub[0] == "dtfn" and sub[1] in ("tz",):
+            from ..model import XSD_STRING
+
+            return pa.array([XSD_STRING] * t.num_rows, pa.large_string())
+        if sub[0] == "dtfn" and sub[1] == "timezone":
+            val = _eval_value(sub, t)
+            return pc.if_else(
+                pc.is_valid(val),
+                pa.scalar(_XSD + "dayTimeDuration", pa.large_string()),
+                pa.scalar(None, pa.large_string()))
         if sub[0] == "cast":
             # DATATYPE of a constructor cast: the target type wherever
             # the cast itself succeeded
@@ -1779,6 +1906,18 @@ def _eval_value(node, t: pa.Table):
                        _to_lexical(_eval_value(node[1], t), t.num_rows))
         if isinstance(arr, pa.Scalar):
             arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        # argument compatibility (17.4.3.1): a lang-tagged second arg
+        # requires the first arg to carry the SAME tag, else type error
+        lang2 = node[3] if len(node) > 3 else ""
+        if lang2 and node[1][0] == "var" \
+                and node[1][1] + "__lang" in t.schema.names:
+            l1 = pc.utf8_lower(pc.fill_null(
+                t[node[1][1] + "__lang"].combine_chunks().cast(
+                    pa.large_string()), ""))
+            ok = pc.equal(l1, lang2.lower())
+            arr = pc.if_else(ok, arr, pa.scalar(None, pa.large_string()))
+        elif lang2:
+            arr = pa.nulls(t.num_rows, pa.large_string())
         s = node[2]
         if s == "":
             # STRBEFORE(x, "") = "", STRAFTER(x, "") = x (spec);
@@ -1808,6 +1947,128 @@ def _eval_value(node, t: pa.Table):
             characters=sent,
         )
         return pc.if_else(found, after, empty)
+    if tag == "dtfn":
+        # date/time component accessors (E_DateTimeYear .. E_DateTimeTZ)
+        from datetime import datetime
+
+        fn = node[1]
+        arr = _to_lexical(_eval_value(node[2], t), t.num_rows)
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        out = []
+        for s in arr.to_pylist():
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                s2 = s[:-1] + "+00:00" if s.endswith("Z") else s
+                d = datetime.fromisoformat(s2)
+            except (ValueError, TypeError):
+                out.append(None)
+                continue
+            if fn == "year":
+                out.append(float(d.year))
+            elif fn == "month":
+                out.append(float(d.month))
+            elif fn == "day":
+                out.append(float(d.day))
+            elif fn == "hours":
+                out.append(float(d.hour))
+            elif fn == "minutes":
+                out.append(float(d.minute))
+            elif fn == "seconds":
+                out.append(d.second + d.microsecond / 1e6)
+            elif fn == "tz":
+                if d.tzinfo is None:
+                    out.append("")
+                else:
+                    off = d.utcoffset()
+                    secs = int(off.total_seconds())
+                    if secs == 0:
+                        out.append("Z")
+                    else:
+                        sign = "-" if secs < 0 else "+"
+                        secs = abs(secs)
+                        out.append(f"{sign}{secs // 3600:02d}:"
+                                   f"{(secs % 3600) // 60:02d}")
+            else:  # timezone → xsd:dayTimeDuration lexical
+                if d.tzinfo is None:
+                    out.append(None)  # no timezone → type error
+                else:
+                    secs = int(d.utcoffset().total_seconds())
+                    if secs == 0:
+                        out.append("PT0S")
+                    else:
+                        sign = "-" if secs < 0 else ""
+                        secs = abs(secs)
+                        h, m = secs // 3600, (secs % 3600) // 60
+                        dur = f"{sign}PT"
+                        if h:
+                            dur += f"{h}H"
+                        if m:
+                            dur += f"{m}M"
+                        if not h and not m:
+                            dur += "0S"
+                        out.append(dur)
+        if fn in ("tz", "timezone"):
+            return pa.array(out, pa.large_string())
+        return pa.array(out, pa.float64())
+    if tag == "rand":
+        import random
+
+        return pa.array([random.random() for _ in range(t.num_rows)],
+                        pa.float64())
+    if tag == "uuid":
+        import uuid as _uuid
+
+        vals = [str(_uuid.uuid4()) for _ in range(t.num_rows)]
+        if node[1]:  # STRUUID
+            return pa.array(vals, pa.large_string())
+        return pa.array(["urn:uuid:" + v for v in vals], pa.large_string())
+    if tag == "bnodefn":
+        import hashlib as _hl
+
+        if node[1] is None:
+            import uuid as _uuid
+
+            return pa.array(
+                [f"bn{_uuid.uuid4().hex[:12]}" for _ in range(t.num_rows)],
+                pa.large_string())
+        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        # same argument → same bnode within a solution; distinct per row
+        return pa.array(
+            [None if s is None else
+             "bn" + _hl.md5(f"{i}|{s}".encode()).hexdigest()[:12]
+             for i, s in enumerate(arr.to_pylist())],
+            pa.large_string())
+    if tag == "irifn":
+        arr = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        base = node[2] if len(node) > 2 else ""
+        if base:
+            from ..rdf.iri import resolve
+
+            return pa.array(
+                [None if s is None else
+                 (s if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", s)
+                  else resolve(base, s))
+                 for s in arr.to_pylist()],
+                pa.large_string())
+        return arr
+    if tag == "encuri":
+        from urllib.parse import quote
+
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows))
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        return pa.array(
+            [None if s is None else quote(s, safe="-_.~")
+             for s in arr.to_pylist()],
+            pa.large_string())
     if tag == "hashfn":
         import hashlib
 
@@ -1904,10 +2165,11 @@ def _eval_value(node, t: pa.Table):
                        simple_only=True)
         return arr
     if tag == "ifexpr":
+        # IF propagates a condition ERROR (null) to the result — it does
+        # not fall through to the else branch (E_Conditional)
         cond = _eval_bool(node[1], t)
         if isinstance(cond, pa.Scalar):
-            cond = pa.array([bool(cond.as_py())] * t.num_rows)
-        cond = pc.fill_null(cond, False)
+            cond = pa.array([cond.as_py()] * t.num_rows, pa.bool_())
         a = _to_lexical(_eval_value(node[2], t), t.num_rows)
         b = _to_lexical(_eval_value(node[3], t), t.num_rows)
         return pc.if_else(cond, a, b)
@@ -2378,6 +2640,49 @@ def _ebv(node, t: pa.Table):
         pc.fill_null(pc.greater(pc.utf8_length(arr), 0), False),
     )
     return pc.if_else(pc.is_valid(arr), res, pa.scalar(None, pa.bool_()))
+
+
+def _expr_static_meta(node):
+    """(kind, dt, lang) a BIND of this expression should stamp on its
+    variable, or None when the per-value numeric/lexical fallback
+    applies. Drives DATATYPE/ISIRI/term-equality over bound vars."""
+    from ..model import (KIND_BNODE, KIND_IRI, KIND_LITERAL, XSD_NS,
+                         XSD_STRING)
+
+    tag = node[0]
+    if tag == "typedlit":
+        return (KIND_LITERAL, node[2] or XSD_STRING, node[3])
+    if tag == "rand":
+        return (KIND_LITERAL, XSD_NS + "double", "")
+    if tag == "dtfn":
+        if node[1] == "tz":
+            return (KIND_LITERAL, XSD_STRING, "")
+        if node[1] == "timezone":
+            return (KIND_LITERAL, XSD_NS + "dayTimeDuration", "")
+        if node[1] == "seconds":
+            return (KIND_LITERAL, XSD_NS + "decimal", "")
+        return (KIND_LITERAL, XSD_NS + "integer", "")
+    if tag == "uuid":
+        return ((KIND_LITERAL, XSD_STRING, "") if node[1]
+                else (KIND_IRI, "", ""))
+    if tag == "irifn":
+        return (KIND_IRI, "", "")
+    if tag == "bnodefn":
+        return (KIND_BNODE, "", "")
+    if tag == "cast":
+        return (KIND_LITERAL, node[1], "")
+    if tag in ("hashfn", "encuri", "concat", "substr", "replace",
+               "strbefore", "strafter", "strdt", "strlang"):
+        if tag == "strdt":
+            return (KIND_LITERAL, node[2], "")
+        if tag == "strlang":
+            from ..model import RDF_LANGSTRING
+
+            return (KIND_LITERAL, RDF_LANGSTRING, node[2])
+        return (KIND_LITERAL, XSD_STRING, "")
+    if tag == "fn1" and node[1] in ("STR", "UCASE", "LCASE"):
+        return (KIND_LITERAL, XSD_STRING, "")
+    return None
 
 
 def _eval_bool(node, t: pa.Table):
@@ -3365,7 +3670,10 @@ def _compile_group(triples_ds, group: dict, graph=None):
             how = "inner"
         elif el[0] == "bind":
             if acc is None:
-                raise RDFParseError("SPARQL: BIND cannot open a group")
+                # BIND over the unit solution (a group opening with BIND)
+                acc = rd.from_arrow(pa.table(
+                    {"__exists": pa.array(["1"], pa.large_string())}))
+                acc_vars = []
             _, expr, var = el
             if var in acc_vars:
                 raise RDFParseError(f"SPARQL: BIND reassigns bound ?{var}")
@@ -3411,7 +3719,18 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 if kc not in out:
                     from ..model import KIND_LITERAL, XSD_NS
 
-                    if _is_numeric_node(_expr):
+                    static = _expr_static_meta(_expr)
+                    if static is not None:
+                        s_kind, s_dt, s_lang = static
+                        valid = pc.is_valid(out[_var])
+                        out[kc] = pc.if_else(
+                            valid, pa.scalar(s_kind, pa.int8()),
+                            pa.scalar(None, pa.int8()))
+                        out[dc] = pa.array([s_dt] * t.num_rows,
+                                           pa.large_string())
+                        out[lc] = pa.array([s_lang] * t.num_rows,
+                                           pa.large_string())
+                    elif _is_numeric_node(_expr):
                         # a numeric expression yields a TYPED value
                         # (NodeValueOps promotion): integral → integer
                         num = pc.cast(out[_var], pa.float64())
@@ -3462,6 +3781,11 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 maybe_partial=(acc_partial, rel_partial))
             if how == "left_outer" or rel_partial:
                 acc_partial = True
+    if acc is None and group["filters"]:
+        # only FILTERs: evaluate them over the unit solution
+        acc = rd.from_arrow(pa.table(
+            {"__exists": pa.array(["1"], pa.large_string())}))
+        acc_vars = []
     if acc is None:
         if not group["filters"] and not group.get("exists"):
             if isinstance(graph, Var):
@@ -4218,7 +4542,16 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     pa.table({c: pa.array([], pa.large_string()) for c in proj})
                 ), proj
             return rd.from_items(rows), proj
-        raise RDFParseError("SPARQL: OFFSET without LIMIT not supported")
+        # OFFSET without LIMIT: the skipped prefix forces an ordered
+        # materialization of the output (OpSlice does the same scan)
+        import ray.data as rd
+
+        rows = out.take_all()[q["offset"]:]
+        if not rows:
+            return rd.from_arrow(
+                pa.table({c: pa.array([], pa.large_string())
+                          for c in proj})), proj
+        return rd.from_items(rows), proj
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out, proj
