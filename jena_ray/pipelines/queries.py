@@ -1574,6 +1574,162 @@ ORDER BY floor(p_retailprice * 100 + 0.5) DESC,
 """
 
 
+def q_sparql_having(sf_dir: str):
+    """HAVING with an INLINE aggregate call (HAVING (COUNT(?c) > 6)),
+    rewritten onto the projected alias (AggCount via OpGroup + the
+    HAVING filter — sparql11/aggregates agg03's shape)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?n (COUNT(?c) AS ?members) WHERE {
+          ?c <in_nation> ?n .
+        } GROUP BY ?n HAVING (COUNT(?c) > 6)
+        """,
+    )
+
+
+SQL_SPARQL_HAVING = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT n, CAST(count(*) AS BIGINT) AS members FROM members GROUP BY n
+HAVING count(*) > 6
+"""
+
+
+def q_sparql_values(sf_dir: str):
+    """Inline VALUES data block joined against the BGP (§10.2 inline
+    data; OpTable ⋈ OpBGP)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?c ?n WHERE {
+          VALUES ?r { "r:0" "r:2" }
+          ?n <in_region> ?r .
+          ?c <in_nation> ?n .
+        }
+        """,
+    )
+
+
+SQL_SPARQL_VALUES = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS c, members.n AS n
+FROM members JOIN nation ON members.n = 'n:' || n_nationkey
+WHERE n_regionkey IN (0, 2)
+"""
+
+
+def q_sparql_offset(sf_dir: str):
+    """OFFSET without LIMIT after a total ORDER BY (OpSlice over an
+    ordered solution sequence)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?c ?n WHERE { ?c <in_nation> ?n }
+        ORDER BY ?c ?n OFFSET 40
+        """,
+    )
+
+
+SQL_SPARQL_OFFSET = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS c, n FROM members ORDER BY m, n OFFSET 40
+"""
+
+
+def _order_date_triples(sf_dir: str):
+    """orders → (o:<key>, <odate>, ISO-date xsd:date literal) triples."""
+    from ..model import KIND_IRI, KIND_LITERAL, XSD_NS
+
+    xsd_date = XSD_NS + "date"
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        dates = [str(d) for d in b["o_orderdate"].to_pylist()]
+        n = len(keys)
+        return pa.table(
+            {
+                "s_kind": pa.array([KIND_IRI] * n, pa.int8()),
+                "s_lex": pa.array([f"o:{k}" for k in keys],
+                                  pa.large_string()),
+                "p": pa.array(["odate"] * n, pa.large_string()),
+                "o_kind": pa.array([KIND_LITERAL] * n, pa.int8()),
+                "o_lex": pa.array(dates, pa.large_string()),
+                "o_datatype": pa.array([xsd_date] * n, pa.large_string()),
+                "o_lang": pa.array([""] * n, pa.large_string()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        to_triples, batch_format="pyarrow"
+    )
+
+
+def q_sparql_year(sf_dir: str):
+    """YEAR()/MONTH() date accessors through the front door
+    (E_DateTimeYear/Month) with a numeric FILTER on the bound result."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _order_date_triples(sf_dir),
+        """
+        SELECT ?o ?y ?m WHERE {
+          ?o <odate> ?d .
+          BIND(YEAR(?d) AS ?y)
+          BIND(MONTH(?d) AS ?m)
+          FILTER(?y >= 1996)
+        }
+        """,
+    )
+
+
+SQL_SPARQL_YEAR = """
+SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS o,
+       CAST(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS VARCHAR) AS y,
+       CAST(CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS VARCHAR) AS m
+FROM orders WHERE EXTRACT(year FROM o_orderdate) >= 1996
+"""
+
+
+def q_sparql_construct_where(sf_dir: str):
+    """CONSTRUCT WHERE shortform (§10.2.2): the pattern doubles as the
+    template, emitting a TRIPLE_SCHEMA table."""
+    from ..ops.sparql import sparql_construct
+
+    return sparql_construct(
+        _membership_triples(sf_dir),
+        "CONSTRUCT WHERE { ?n <in_region> ?r }",
+    )
+
+
+SQL_SPARQL_CONSTRUCT_WHERE = """
+SELECT CAST(0 AS TINYINT) AS s_kind,
+       'n:' || CAST(n_nationkey AS VARCHAR) AS s_lex,
+       'in_region' AS p,
+       CAST(2 AS TINYINT) AS o_kind,
+       'r:' || CAST(n_regionkey AS VARCHAR) AS o_lex,
+       '' AS o_datatype,
+       '' AS o_lang,
+       '' AS g,
+       'construct' AS doc_id
+FROM nation
+"""
+
+
 def q_sparql_subquery(sf_dir: str):
     """Aggregate subquery joined into the outer group (OpGroup nested
     under OpJoin — the 'per-key aggregate then enrich' SPARQL idiom)."""
@@ -2273,6 +2429,12 @@ REGISTRY: dict[str, tuple] = {
     "rule_builtins": (q_rule_builtins, SQL_RULE_BUILTINS),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
+    "sparql_having": (q_sparql_having, SQL_SPARQL_HAVING),
+    "sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
+    "sparql_offset": (q_sparql_offset, SQL_SPARQL_OFFSET),
+    "sparql_year": (q_sparql_year, SQL_SPARQL_YEAR),
+    "sparql_construct_where": (
+        q_sparql_construct_where, SQL_SPARQL_CONSTRUCT_WHERE),
     "sparql_filter_typed": (q_sparql_filter_typed, SQL_SPARQL_FILTER_TYPED),
     "sparql_order_typed": (q_sparql_order_typed, SQL_SPARQL_ORDER_TYPED),
     "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
