@@ -365,6 +365,20 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
     return acc
 
 
+def _all_nodes_pairs(edges_ds):
+    """(x, x) for every node appearing in the graph (subject or object)
+    — the zero-length-path relation of ZeroOrMorePath."""
+
+    def f(t: pa.Table) -> pa.Table:
+        chunks = (list(t["s"].cast(pa.large_string()).chunks)
+                  + list(t["o"].cast(pa.large_string()).chunks))
+        both = pa.chunked_array(chunks or [pa.array([], pa.large_string())])
+        vals = pc.unique(both)
+        return pa.table({"start": vals, "end": vals})
+
+    return _distinct(edges_ds.map_batches(f, batch_format="pyarrow"))
+
+
 def transitive_pairs(pairs_ds, max_rounds: int | None = None,
                      driver_threshold: int = 1_000_000):
     """Unseeded transitive closure of a (start, end) pair Dataset by
@@ -562,10 +576,20 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None,
         out = compact_blocks(neg) if bag else _distinct(neg)
     elif isinstance(path, (Star, Plus, Opt)):
         if seeds is None:
-            raise ValueError(
-                f"{type(path).__name__} requires seeds (seeded closure — "
-                "unseeded transitive closure is O(V²); see module docstring)"
-            )
+            # UNSEEDED closure (?s p* ?o): transitive-close the step's
+            # full pair relation by semi-naive iteration
+            # (transitive_pairs); zero-length arms pair every graph
+            # node with itself (ZeroOrMorePath over all terms).
+            # O(V·reach) output — the caller owns the judgment that the
+            # relation is hierarchy-shaped, as with owl:TransitiveProperty.
+            base = eval_path(edges_ds, path.path, max_rounds=max_rounds)
+            if isinstance(path, Opt):
+                closed = _distinct(base)
+            else:
+                closed = transitive_pairs(base, max_rounds=max_rounds)
+            if isinstance(path, (Star, Opt)):
+                closed = _distinct(closed.union(_all_nodes_pairs(edges_ds)))
+            return compact_blocks(closed)
         if isinstance(path, Opt):
             one = compact_blocks(
                 _restrict_to_starts(

@@ -1005,6 +1005,18 @@ class _Parser:
             return p
         if k == "op" and v == "!":
             self.next()
+            nk, nv = self.peek()
+            if not (nk == "op" and nv == "("):
+                # !elt / !^elt shorthand: a one-member negated set
+                if nk == "op" and nv == "^":
+                    self.next()
+                    kk, vv = self.next()
+                    return _paths.NegSet(
+                        fwd=(), inv=(self.expand(kk, vv),))
+                kk, vv = self.next()
+                p = (RDF_TYPE if kk == "kw" and vv == "a"
+                     else self.expand(kk, vv))
+                return _paths.NegSet(fwd=(p,), inv=())
             self.expect("op", "(")
             fwd, inv = [], []
             while True:
@@ -2971,11 +2983,8 @@ def _compile_path_pattern(triples_ds, pat):
             path = _invert_path(path)
             s, o = o, s
             seeds = [s]
-        else:
-            raise RDFParseError(
-                "SPARQL: a closure path (*, +, ?) needs a constant subject "
-                "or object in this subset (seeded evaluation)"
-            )
+        # else: both endpoints are vars — eval_path runs the UNSEEDED
+        # distributed closure (transitive_pairs semi-naive iteration)
     # bag semantics: non-closure path operators preserve multiplicities
     # (SPARQL §18.4 — Alt is multiset union, Seq multiplies; the closure
     # forms * + ? stay distinct by definition)
@@ -2992,9 +3001,31 @@ def _compile_path_pattern(triples_ds, pat):
     else:
         filt.append(("end", o))
     if not out_cols:
-        raise RDFParseError("SPARQL: path pattern binds no variable")
+        # all-constant path (ASK-shaped): unit relation keeping the
+        # match count, like the all-constant BGP pattern
+
+        def gate(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table(
+                    {"__exists": pa.array([], pa.large_string())})
+            x = t
+            for col, const in filt:
+                x = x.filter(pc.equal(x[col], const))
+            return pa.table({"__exists": pa.array(
+                ["1"] * x.num_rows, pa.large_string())})
+
+        return pairs.map_batches(gate, batch_format="pyarrow"), []
     if len({n for n, _ in out_cols}) != len(out_cols):
-        raise RDFParseError("SPARQL: same var on both ends of a path")
+        # ?x path ?x: keep the diagonal, bind one column
+        var = out_cols[0][0]
+
+        def diag(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table({var: pa.array([], pa.large_string())})
+            x = t.filter(pc.equal(t["start"], t["end"]))
+            return pa.table({var: x["start"].combine_chunks()})
+
+        return pairs.map_batches(diag, batch_format="pyarrow"), [var]
 
     def project(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
@@ -3574,10 +3605,80 @@ def _compile_group(triples_ds, group: dict, graph=None):
             how = "inner"
         elif el[0] == "path":
             if graph is not None and not isinstance(graph, str):
-                raise RDFParseError(
-                    "SPARQL: property paths under GRAPH ?var are not in "
-                    "this subset (constant graphs are)"
-                )
+                # GRAPH ?g { path }: one seeded evaluation per named
+                # graph, ?g bound to the graph name (Jena iterates the
+                # dataset's graphs the same way). The graph COUNT is
+                # driver-sized here — capped to keep the loop honest.
+                gnames = sorted({
+                    r["g"] for r in triples_ds.map_batches(
+                        lambda t: pa.table({"g": pc.unique(pc.drop_null(
+                            pc.if_else(pc.not_equal(
+                                t["g"].combine_chunks().cast(
+                                    pa.large_string()), ""),
+                                t["g"].combine_chunks().cast(
+                                    pa.large_string()),
+                                pa.scalar(None, pa.large_string()))))})
+                        if t.num_columns and "g" in t.schema.names
+                        else pa.table({"g": pa.array(
+                            [], pa.large_string())}),
+                        batch_format="pyarrow",
+                    ).take_all()
+                })
+                if len(gnames) > 10_000:
+                    raise RDFParseError(
+                        "SPARQL: paths under GRAPH ?var over >10k named "
+                        "graphs are out of subset")
+                from .bgp import meta_cols_of as _mco
+
+                arms = []
+                gname = graph.name
+                for gv in gnames:
+                    scoped = triples_ds.map_batches(
+                        lambda t, _g=gv: t.filter(pc.equal(t["g"], _g))
+                        if t.num_columns and "g" in t.schema.names
+                        else t,
+                        batch_format="pyarrow",
+                    )
+                    arm, arm_vars = _compile_path_pattern(scoped, el[1])
+
+                    def tag_g(t: pa.Table, _g=gv, _v=gname) -> pa.Table:
+                        if t.num_columns == 0:
+                            return t
+                        kc, dc, lc = _mco(_v)
+                        from ..model import KIND_IRI
+
+                        n2 = t.num_rows
+                        return t.append_column(
+                            _v, pa.array([_g] * n2, pa.large_string())
+                        ).append_column(
+                            kc, pa.array([KIND_IRI] * n2, pa.int8())
+                        ).append_column(
+                            dc, pa.array([""] * n2, pa.large_string())
+                        ).append_column(
+                            lc, pa.array([""] * n2, pa.large_string()))
+
+                    arms.append((arm.map_batches(
+                        tag_g, batch_format="pyarrow"),
+                        sorted(arm_vars + [gname])))
+                if not arms:
+                    from ..model import TRIPLE_SCHEMA
+
+                    rel = rd.from_arrow(pa.table(
+                        {gname: pa.array([], pa.large_string())}))
+                    rel_vars = [gname]
+                else:
+                    rel_vars = arms[0][1]
+                    rel = arms[0][0]
+                    for a_ds, _ in arms[1:]:
+                        rel = rel.union(a_ds)
+                how = "inner"
+                if acc is None:
+                    acc = _align_columns(rel, rel_vars, rel_vars)
+                    acc_vars = rel_vars
+                else:
+                    acc, acc_vars = _join_bindings(
+                        acc, acc_vars, rel, rel_vars, how)
+                continue
             scoped = triples_ds
             if isinstance(graph, str):
                 scoped = triples_ds.map_batches(

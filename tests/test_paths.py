@@ -95,9 +95,24 @@ def test_opt_is_zero_or_one():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_star_requires_seeds():
-    with pytest.raises(ValueError):
-        eval_path(_graph(), Star(Link("p")))
+def test_star_unseeded_closure():
+    # ?x p* ?y with no seeds: the transitive closure of p plus the
+    # zero-length (x, x) pair for EVERY graph node (any term)
+    got = _pairs(eval_path(_graph(), Star(Link("p"))))
+    nodes = {"a", "b", "c", "d", "x"}
+    expect = {(n, n) for n in nodes} | {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    assert got == expect
+
+
+def test_plus_unseeded_closure():
+    got = _pairs(eval_path(_graph(), Plus(Link("p"))))
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
 
 
 @pytest.mark.usefixtures("ray_session")

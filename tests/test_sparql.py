@@ -270,13 +270,21 @@ def test_path_plus_with_constant_object():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_path_closure_requires_constant_endpoint():
+def test_path_closure_unseeded_var_var():
+    # ?x knows* ?y with both endpoints variable: the distributed
+    # unseeded closure (transitive_pairs) plus zero-length pairs over
+    # every graph node
     q = """
     PREFIX ex: <http://ex/>
-    SELECT ?x ?y WHERE { ?x ex:knows* ?y }
+    SELECT ?x ?y WHERE { ?x ex:knows+ ?y }
     """
-    with pytest.raises(RDFParseError, match="closure path"):
-        sparql_select(G(ROWS), q)
+    rows = sparql_select(G(ROWS), q).take_all()
+    got = {(r["x"], r["y"]) for r in rows}
+    assert got == {
+        ("http://ex/a", "http://ex/b"),
+        ("http://ex/a", "http://ex/c"),
+        ("http://ex/b", "http://ex/c"),
+    }
 
 
 @pytest.mark.usefixtures("ray_session")
