@@ -527,6 +527,15 @@ class _Parser:
         if froms:
             group = {"elements": [("dataset", froms, group)],
                      "filters": [], "exists": []}
+        plain_proj_vars = [p[1] for p in (proj or []) if p[0] == "var"]
+        aliases_seen: set = set()
+        for p in (proj or []):
+            if p[0] in ("agg", "exprbind"):
+                alias = p[3] if p[0] == "agg" else p[2]
+                if alias in aliases_seen or alias in plain_proj_vars:
+                    raise RDFParseError(
+                        f"SPARQL: duplicate projection of ?{alias}")
+                aliases_seen.add(alias)
         exprbind_map: dict = {}
 
         def _note(e, alias):
@@ -574,6 +583,14 @@ class _Parser:
                     break
             if not group_by:
                 raise RDFParseError("SPARQL: empty GROUP BY")
+            if proj is None:
+                raise RDFParseError(
+                    "SPARQL: SELECT * cannot be used with GROUP BY")
+            bad = [v for v in plain_proj_vars if v not in group_by]
+            if bad:
+                raise RDFParseError(
+                    f"SPARQL: ?{bad[0]} is projected but neither grouped "
+                    "nor aggregated")
             if self.kw("HAVING"):
                 # HAVING over the aliased aggregates; an inline
                 # aggregate call (HAVING (COUNT(?o) > 2)) rewrites to
@@ -625,13 +642,34 @@ class _Parser:
         elements: list = []
         filters: list = []
         exists: list = []
+        # blank-node label scoping (19.6): a _:label may span dots
+        # within ONE basic graph pattern but cannot recur once the BGP
+        # is closed by another pattern element or a nested group
+        blabels_open: set = set()
+        blabels_closed: set = set()
+
+        def _close_labels(extra=()):
+            extra = set(extra)
+            reused = extra & (blabels_open | blabels_closed)
+            if reused:
+                raise RDFParseError(
+                    "SPARQL: blank node label reused across basic "
+                    f"graph patterns: _:{sorted(reused)[0]}")
+            blabels_closed.update(blabels_open)
+            blabels_closed.update(extra)
+            blabels_open.clear()
+
+        def _sub_labels(g):
+            return g.get("_blabels", set()) if isinstance(g, dict) else set()
+
         # GroupGraphPattern ::= '{' ( SubSelect | GroupGraphPatternSub )
         # '}' — a bare SELECT right after the brace is a subquery
         if self.peek()[0] == "kw" and self.peek()[1].upper() == "SELECT":
             sub = self.parse_select_rest()
             self.expect("op", "}")
             return {"elements": [("subquery", sub)], "filters": [],
-                    "exists": []}
+                    "exists": [],
+                    "_blabels": _sub_labels(sub.get("group", {}))}
         while self.peek() != ("op", "}"):
             if self.kw("FILTER"):
                 # FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } are
@@ -667,15 +705,27 @@ class _Parser:
                 else:
                     # FILTER Constraint may be a bare BuiltInCall /
                     # FunctionCall without outer parens (FILTER regex(..))
+                    # — but never a bare variable/literal (grammar:
+                    # BrackettedExpression | BuiltInCall | FunctionCall)
+                    if self.peek()[0] not in ("kw", "iri", "pname"):
+                        raise RDFParseError(
+                            "SPARQL: FILTER needs (expr), a builtin, or "
+                            "a function call")
                     filters.append(self.parse_primary())
             elif self.kw("OPTIONAL"):
-                elements.append(("optional", self.parse_group()))
+                g2 = self.parse_group()
+                _close_labels(_sub_labels(g2))
+                elements.append(("optional", g2))
             elif self.kw("MINUS"):
-                elements.append(("minus", self.parse_group()))
+                g2 = self.parse_group()
+                _close_labels(_sub_labels(g2))
+                elements.append(("minus", g2))
             elif self.kw("GRAPH"):
                 k, v = self.next()
                 term = Var(v[1:]) if k == "var" else self.expand(k, v)
-                elements.append(("graph", term, self.parse_group()))
+                g2 = self.parse_group()
+                _close_labels(_sub_labels(g2))
+                elements.append(("graph", term, g2))
             elif self.kw("VALUES"):
                 elements.append(self.parse_values())
             elif self.kw("BIND"):
@@ -696,31 +746,58 @@ class _Parser:
                     elements.append(("subquery", sub))
                 else:
                     left = self.parse_group()
+                    _close_labels(_sub_labels(left))
                     if self.peek() == ("kw", "UNION") or (
                             self.peek()[0] == "kw"
                             and self.peek()[1].upper() == "UNION"):
                         self.next()
                         right = self.parse_group()
+                        _close_labels(_sub_labels(right))
                         arms = [left, right]
                         while self.kw("UNION"):
-                            arms.append(self.parse_group())
+                            nxt = self.parse_group()
+                            _close_labels(_sub_labels(nxt))
+                            arms.append(nxt)
                         elements.append(("union", arms))
                     else:
                         # bare nested GroupGraphPattern: { P1 } { P2 }
                         # joins like any other group element
                         elements.append(("group", left))
             else:
-                for pat in self.parse_triples_block():
+                pats = self.parse_triples_block()
+                labels = {
+                    x.name[5:] for pat in pats for x in pat
+                    if isinstance(x, Var) and x.name.startswith("__bn_")
+                    and not re.fullmatch(r"anon\d+", x.name[5:])
+                }
+                reused = labels & blabels_closed
+                if reused:
+                    raise RDFParseError(
+                        "SPARQL: blank node label reused across basic "
+                        f"graph patterns: _:{sorted(reused)[0]}")
+                blabels_open.update(labels)
+                for pat in pats:
                     if isinstance(pat[1], _paths.Path):
                         elements.append(("path", pat))
                     elif elements and elements[-1][0] == "bgp":
                         elements[-1][1].append(pat)
                     else:
                         elements.append(("bgp", [pat]))
-            while self.peek() == ("op", "."):
+                # TriplesBlock ::= TriplesSameSubject ('.' TriplesBlock?)?
+                # — consecutive triples need the separating DOT
+                if self.peek() != ("op", ".") and self._starts_term():
+                    raise RDFParseError(
+                        "SPARQL: missing '.' between triples")
+            # at most ONE optional DOT after a group element ('. .' is
+            # a syntax error — syn-bad-08..13)
+            if self.peek() == ("op", "."):
                 self.next()
+                if self.peek() == ("op", "."):
+                    raise RDFParseError("SPARQL: doubled '.' in group")
         self.next()  # }
-        return {"elements": elements, "filters": filters, "exists": exists}
+        _close_labels()
+        return {"elements": elements, "filters": filters,
+                "exists": exists, "_blabels": set(blabels_closed)}
 
     def parse_values(self):
         """VALUES ?v { t ... }  |  VALUES (?v ?w) { (t t) ... }"""
@@ -826,6 +903,16 @@ class _Parser:
             return Lit(v.lower(), dts=("", XSD_NS + "boolean"), lang="")
         raise RDFParseError(f"SPARQL: bad {position} term {v!r}")
 
+    def _starts_term(self) -> bool:
+        k, v = self.peek()
+        if k in ("var", "iri", "num", "string", "langtag"):
+            return True
+        if k == "pname":
+            return True
+        if k == "op" and v in ("[", "("):
+            return True
+        return False
+
     def _skip_lit_suffix(self):
         """Consume an optional @lang / ^^<dt> after a string argument
         (the engine's fn args compare lexically)."""
@@ -864,6 +951,9 @@ class _Parser:
             # a lone '[ po ]' with no outer predicates is complete
             k2, v2 = self.peek()
             if k2 == "op" and v2 in (".", "}"):
+                if not out:
+                    raise RDFParseError(
+                        "SPARQL: '[]' alone is not a triple pattern")
                 return out
         else:
             s = self._bnode_fix(self.parse_term("subject"), as_template)

@@ -280,7 +280,45 @@ def read_rs_ttl(path: str):
     return ("rows", vars_, sols)
 
 
+def read_tsv_results(text: str):
+    """SPARQL 1.1 TSV results (RowSetReaderTSV): header of ?vars, one
+    encoded term per cell (<iri>, "lit"[@lang|^^<dt>], _:b, bare
+    numbers), empty cell = unbound."""
+    lines = [ln for ln in text.split("\n") if ln != ""]
+    vars_ = [h.lstrip("?$") for h in lines[0].split("\t")]
+    sols = []
+    for ln in lines[1:]:
+        sol = {}
+        for var, cell in zip(vars_, ln.split("\t")):
+            if cell == "":
+                continue
+            if cell.startswith("<") and cell.endswith(">"):
+                sol[var] = ("uri", cell[1:-1], None, None)
+            elif cell.startswith("_:"):
+                sol[var] = ("bnode", cell[2:], None, None)
+            elif cell.startswith('"'):
+                body, _, suffix = cell[1:].rpartition('"')
+                dt = lang = None
+                if suffix.startswith("@"):
+                    lang = suffix[1:]
+                elif suffix.startswith("^^<") and suffix.endswith(">"):
+                    dt = suffix[3:-1]
+                body = (body.replace("\\t", "\t").replace("\\n", "\n")
+                        .replace("\\r", "\r").replace('\\"', '"')
+                        .replace("\\\\", "\\"))
+                sol[var] = ("literal", body, dt, lang)
+            else:  # bare numeric shorthand
+                dt = (XSD + "double" if "e" in cell.lower()
+                      else XSD + "decimal" if "." in cell
+                      else XSD + "integer")
+                sol[var] = ("literal", cell, dt, None)
+        sols.append(sol)
+    return ("rows", vars_, sols)
+
+
 def read_expected(path: str):
+    if path.endswith(".tsv"):
+        return read_tsv_results(open(path, encoding="utf-8").read())
     if path.endswith(".srx"):
         return read_srx(open(path, encoding="utf-8").read())
     if path.endswith(".srj"):

@@ -213,7 +213,8 @@ def test_projected_var_must_be_group_key():
     PREFIX ex: <http://ex/>
     SELECT ?y (COUNT(?y) AS ?n) WHERE { ?x ex:knows ?y } GROUP BY ?x
     """
-    with pytest.raises(RDFParseError, match="GROUP BY key"):
+    with pytest.raises(RDFParseError,
+                       match="neither grouped nor aggregated"):
         sparql_select(G(ROWS), q)
 
 

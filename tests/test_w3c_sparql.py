@@ -62,6 +62,8 @@ SUITES = [
     "sparql11/construct",
     "sparql11/functions",
     "sparql11/cast",
+    "sparql11/csv-tsv-res",
+    "sparql11/json-res",
 ]
 
 # engine produces a wrong/mismatched result — tracked, not hidden
