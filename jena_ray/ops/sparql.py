@@ -290,6 +290,21 @@ class _Parser:
         sequentially. GRAPH blocks in templates/data produce quads."""
         self.parse_prologue()
         ops: list[dict] = []
+        seen_data_labels: set = set()
+
+        def _check_data_labels(quads):
+            labels = {
+                x.label for q in quads for x in q[:3]
+                if isinstance(x, BNode) and not x.label.startswith("anon")
+            }
+            reused = labels & seen_data_labels
+            if reused:
+                raise RDFParseError(
+                    "SPARQL update: blank node label reused across DATA "
+                    f"operations: _:{sorted(reused)[0]}")
+            seen_data_labels.update(labels)
+            return quads
+
         while self.peek()[0] != "eof":
             k0, v0 = self.peek()
             word = v0.upper() if k0 == "kw" else ""
@@ -319,8 +334,9 @@ class _Parser:
                 if self.kw("INSERT"):
                     if not with_g and self.kw("DATA"):
                         ops.append({"op": "insert_data",
-                                    "quads": self._parse_template_block(
-                                        constant=True)})
+                                    "quads": _check_data_labels(
+                                        self._parse_template_block(
+                                            constant=True))})
                     else:
                         tmpl = self._parse_template_block(default_g=with_g)
                         using = self._parse_usings()
@@ -337,6 +353,16 @@ class _Parser:
                                         forbid_bnodes=True)})
                     elif self.kw("WHERE"):
                         grp = self.parse_group()
+                        for el in grp["elements"]:
+                            if el[0] != "bgp":
+                                continue
+                            for pat in el[1]:
+                                for x in pat:
+                                    if isinstance(x, Var) and \
+                                            x.name.startswith("__bn_"):
+                                        raise RDFParseError(
+                                            "SPARQL update: DELETE WHERE "
+                                            "cannot contain blank nodes")
                         tmpl = [(s, p, o, with_g)
                                 for el in grp["elements"] if el[0] == "bgp"
                                 for (s, p, o) in el[1]]

@@ -34,6 +34,8 @@ EVAL_TYPES = {MF + "QueryEvaluationTest"}
 UPDATE_EVAL_TYPES = {MF + "UpdateEvaluationTest", UT + "UpdateEvaluationTest"}
 SYNTAX_POS = {MF + "PositiveSyntaxTest", MF + "PositiveSyntaxTest11"}
 SYNTAX_NEG = {MF + "NegativeSyntaxTest", MF + "NegativeSyntaxTest11"}
+SYNTAX_UPDATE_POS = {MF + "PositiveUpdateSyntaxTest11"}
+SYNTAX_UPDATE_NEG = {MF + "NegativeUpdateSyntaxTest11"}
 
 _NUMERIC_DTS = {
     XSD + s
@@ -152,6 +154,12 @@ def read_sparql_manifest(manifest_path: str) -> list[SparqlTest]:
             out.append(SparqlTest(
                 name=name,
                 kind="syntax+" if t in SYNTAX_POS else "syntax-",
+                query=to_path(action[1]),
+            ))
+        elif t in SYNTAX_UPDATE_POS or t in SYNTAX_UPDATE_NEG:
+            out.append(SparqlTest(
+                name=name,
+                kind="usyntax+" if t in SYNTAX_UPDATE_POS else "usyntax-",
                 query=to_path(action[1]),
             ))
         else:

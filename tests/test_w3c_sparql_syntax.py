@@ -26,6 +26,8 @@ SUITES = [
     "sparql10/syntax-sparql4",
     "sparql10/syntax-sparql5",
     "sparql11/syntax-query",
+    "sparql11/syntax-update-1",
+    "sparql11/syntax-update-2",
 ]
 
 # negative-syntax tests the subset parser still accepts (validation the
@@ -48,7 +50,8 @@ def _all_tests():
         if not os.path.exists(path):
             continue
         for t in read_sparql_manifest(path):
-            if t.kind in ("syntax+", "syntax-") and os.path.exists(t.query):
+            if t.kind in ("syntax+", "syntax-", "usyntax+", "usyntax-") \
+                    and os.path.exists(t.query):
                 out.append((f"{suite.split('/')[-1]}:{t.name}", t))
     return out
 
@@ -67,16 +70,21 @@ def pytest_generate_tests(metafunc):
 def test_w3c_sparql_syntax(syntax_test):
     t = syntax_test
     text = open(t.query, encoding="utf-8").read()
-    if t.kind == "syntax+":
+
+    def run():
+        p = _Parser(text, base="file://" + t.query)
+        return p.parse_update() if t.kind.startswith("u") else p.parse()
+
+    if t.kind.endswith("+"):
         try:
-            _Parser(text, base="file://" + t.query).parse()
+            run()
         except RDFParseError as e:
             pytest.skip(f"out of subset: {e}")
         except Exception as e:  # pragma: no cover
             pytest.fail(f"parser crash (not RDFParseError): {e!r}")
     else:
         try:
-            _Parser(text, base="file://" + t.query).parse()
+            run()
         except Exception:
             return  # correctly rejected
         if t.name in KNOWN_ACCEPTED:
