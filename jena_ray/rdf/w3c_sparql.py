@@ -54,6 +54,7 @@ class SparqlTest:
     data: list = field(default_factory=list)        # default-graph files
     graph_data: list = field(default_factory=list)  # named-graph files
     result: str | None = None
+    regimes: list = field(default_factory=list)  # sd:entailmentRegime
     # update-evaluation tests: named-graph inputs/goldens carry labels
     graph_data_labeled: list = field(default_factory=list)  # (file, label)
     result_data: list = field(default_factory=list)         # golden default
@@ -112,10 +113,25 @@ def read_sparql_manifest(manifest_path: str) -> list[SparqlTest]:
             data = [to_path(o) for _, o in getall(action, QT + "data")]
             gdata = [to_path(o) for _, o in getall(action, QT + "graphData")]
             res = get1(entry, MF + "result")
+            SD = "http://www.w3.org/ns/sparql-service-description#"
+            regimes = []
+            reg = get1(action, SD + "entailmentRegime")
+            while reg is not None:
+                first = get1(reg, RDF_FIRST)
+                if first is None:
+                    # a single IRI rather than a list
+                    regimes.append(reg[1].rsplit("/", 1)[-1])
+                    break
+                regimes.append(first[1].rsplit("/", 1)[-1])
+                reg = get1(reg, RDF_REST)
+                if reg is not None and reg[0] == KIND_IRI \
+                        and reg[1] == RDF_NIL:
+                    break
             out.append(SparqlTest(
                 name=name, kind="eval", query=to_path(q[1]), data=data,
                 graph_data=gdata,
                 result=to_path(res[1]) if res else None,
+                regimes=regimes,
             ))
         elif t in UPDATE_EVAL_TYPES:
             req = get1(action, UT + "request")

@@ -64,6 +64,7 @@ SUITES = [
     "sparql11/cast",
     "sparql11/csv-tsv-res",
     "sparql11/json-res",
+    "sparql11/entailment",
 ]
 
 # engine produces a wrong/mismatched result — tracked, not hidden
@@ -149,6 +150,91 @@ def _load_store(test):
     )
 
 
+def _rdfs_closure(store):
+    """RDFS-materialize a test store: the T-box is the data's own RDFS
+    statements (subClassOf/subPropertyOf/domain/range), broadcast into
+    the streaming rule kernel; output deduped to set semantics."""
+    from jena_ray.stages.dedup import exact_dedup
+    from jena_ray.stages.rdfs import (
+        RDFS_SUBCLASSOF,
+        rdfs_inference,
+    )
+
+    RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+    schema_preds = {
+        RDFS_SUBCLASSOF, RDFS_NS + "subPropertyOf",
+        RDFS_NS + "domain", RDFS_NS + "range",
+    }
+    rows = store.take_all()
+    schema = [
+        (r["s_kind"], r["s_lex"], r["p"], r["o_kind"], r["o_lex"],
+         r["o_datatype"], r["o_lang"], r["g"])
+        for r in rows if r["p"] in schema_preds
+    ]
+    # axiom rdf1: every predicate used in a triple is an rdf:Property
+    import ray.data as rd
+
+    from jena_ray.model import KIND_IRI, RDF_TYPE, TRIPLE_SCHEMA
+
+    preds = sorted({r["p"] for r in rows})
+    sub_cls = RDFS_SUBCLASSOF
+    sub_prp = RDFS_NS + "subPropertyOf"
+    classes = sorted(
+        {r["o_lex"] for r in rows if r["p"] == RDF_TYPE}
+        | {x for r in rows if r["p"] == sub_cls
+           for x in (r["s_lex"], r["o_lex"])}
+        | {r["o_lex"] for r in rows
+           if r["p"] in (RDFS_NS + "domain", RDFS_NS + "range")})
+    props = sorted(set(preds)
+                   | {x for r in rows if r["p"] == sub_prp
+                      for x in (r["s_lex"], r["o_lex"])})
+
+    def axiom(s, p, o):
+        ax_cols["s_kind"].append(KIND_IRI)
+        ax_cols["s_lex"].append(s)
+        ax_cols["p"].append(p)
+        ax_cols["o_kind"].append(KIND_IRI)
+        ax_cols["o_lex"].append(o)
+        ax_cols["o_datatype"].append("")
+        ax_cols["o_lang"].append("")
+        ax_cols["g"].append("")
+        ax_cols["doc_id"].append("axiom")
+
+    ax_cols = {n: [] for n in TRIPLE_SCHEMA.names}
+    for p in props:
+        # rdf1 + rdfs6: predicates are Properties, reflexive under
+        # subPropertyOf
+        axiom(p, RDF_TYPE,
+              "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property")
+        axiom(p, sub_prp, p)
+    for c in classes:
+        axiom(c, sub_cls, c)  # rdfs10 reflexivity
+    # materialized transitive closure of the schema hierarchies (rdfs5/11)
+    for pred in (sub_cls, sub_prp):
+        edges = [(r["s_lex"], r["o_lex"]) for r in rows if r["p"] == pred]
+        succ: dict = {}
+        for a, b in edges:
+            succ.setdefault(a, set()).add(b)
+        for a in list(succ):
+            seen, stack = set(), list(succ.get(a, ()))
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(succ.get(x, ()))
+            for b in seen:
+                axiom(a, pred, b)
+    axioms = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(ax_cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+        schema=TRIPLE_SCHEMA))
+    store = store.union(axioms)
+    # two kernel passes reach the chained entailments the single-pass
+    # streaming kernel skips (subPropertyOf THEN domain/range)
+    once = rdfs_inference(store, schema)
+    return exact_dedup(rdfs_inference(once, schema))
+
+
 def _rows_to_solutions(rows):
     out = []
     for r in rows:
@@ -172,6 +258,14 @@ def test_w3c_sparql_eval(sparql_eval):
             pytest.xfail(reason)
     qtext = open(test.query, encoding="utf-8").read()
     store = rd.from_arrow(_load_store(test))
+    if test.regimes:
+        # entailment-regime tests: evaluate under RDFS materialization
+        # when the test's regime list admits it; other regimes (OWL
+        # direct semantics etc.) are out of subset
+        if "RDFS" not in test.regimes and "RDF" not in test.regimes:
+            pytest.skip(
+                f"entailment regime out of subset: {test.regimes}")
+        store = _rdfs_closure(store)
     form = "select"
     m = re.search(r"\b(SELECT|ASK|CONSTRUCT)\b", qtext, re.I)
     if m:
