@@ -76,28 +76,32 @@ def _pattern_vars(pat) -> list[str]:
     return [t.name for t in pat if _is_var(t)]
 
 
-def _order_patterns(patterns):
+def _order_patterns(patterns, sources=None):
     """Greedy connected ordering: seed = most constants; each next pattern
     must share a variable with the prefix when possible. A disconnected
     BGP (no pattern shares a variable — a cartesian product, which
     SPARQL permits) appends the most-constant remaining pattern and the
     join chain cross-joins it; scale note: the product is the query's
-    own semantics, output size multiplies."""
-    pats = list(patterns)
-    if not pats:
+    own semantics, output size multiplies.
+
+    ``sources`` (optional, aligned with ``patterns``): a per-pattern
+    triple Dataset override, carried through the reorder. Returns a list
+    of (pattern, source) pairs (source None = the default dataset)."""
+    items = list(zip(patterns, sources or [None] * len(patterns)))
+    if not items:
         return []
-    pats.sort(key=lambda p: (-sum(0 if _is_var(t) else 1 for t in p),))
-    ordered = [pats.pop(0)]
-    bound = set(_pattern_vars(ordered[0]))
-    while pats:
-        for i, p in enumerate(pats):
+    items.sort(key=lambda it: (-sum(0 if _is_var(t) else 1 for t in it[0]),))
+    ordered = [items.pop(0)]
+    bound = set(_pattern_vars(ordered[0][0]))
+    while items:
+        for i, (p, _src) in enumerate(items):
             if bound & set(_pattern_vars(p)):
-                ordered.append(pats.pop(i))
-                bound |= set(_pattern_vars(ordered[-1]))
+                ordered.append(items.pop(i))
+                bound |= set(_pattern_vars(ordered[-1][0]))
                 break
         else:
-            ordered.append(pats.pop(0))
-            bound |= set(_pattern_vars(ordered[-1]))
+            ordered.append(items.pop(0))
+            bound |= set(_pattern_vars(ordered[-1][0]))
     return ordered
 
 
@@ -272,6 +276,118 @@ def _broadcast_join(big_ds, small_ds, keys: list[str]):
     return compact_blocks(big_ds.map_batches(kern, batch_format="pyarrow"))
 
 
+def _empty_bindings(var_names, with_meta: bool):
+    """A TYPED empty binding relation over ``var_names`` — an all-empty
+    Dataset can lose its schema (Dataset.schema() → None) and poison
+    downstream joins."""
+    import ray.data as rd
+
+    cols: dict[str, pa.Array] = {}
+    for v in sorted(var_names):
+        cols[v] = pa.array([], pa.large_string())
+        if with_meta and v != "__exists":
+            kc, dc, lc = meta_cols_of(v)
+            cols[kc] = pa.array([], pa.int8())
+            cols[dc] = pa.array([], pa.large_string())
+            cols[lc] = pa.array([], pa.large_string())
+    return rd.from_arrow(pa.table(cols))
+
+
+def _join_step(acc, acc_vars, n_acc, nxt, nxt_vars, n_nxt, *,
+               with_meta: bool, num_partitions: int | None = None):
+    """Join two prepared binding relations → (ds, combined_vars, n|None).
+
+    Both sides arrive MATERIALIZED with known counts (util.fast_count),
+    so broadcast-vs-shuffle planning is metadata-only — no plan
+    re-execution (the round-3 double-scan fix). Returned n is 0 for the
+    short-circuit empty case, else None (caller fast_counts if needed)."""
+    all_vars = acc_vars | nxt_vars
+    shared = sorted(acc_vars & nxt_vars)
+    if min(n_acc, n_nxt) == 0:
+        return _empty_bindings(all_vars, with_meta), all_vars, 0
+    if with_meta and shared:
+        # shared vars carry meta on BOTH sides — keep the accumulated
+        # side's columns, drop the new pattern's (joins are on the
+        # lexical form; the engine's documented term-join subset)
+        drop = [m for v in shared for m in meta_cols_of(v)]
+
+        def _drop_meta(t: pa.Table, _d=tuple(drop)) -> pa.Table:
+            keep = [c for c in t.schema.names if c not in _d]
+            return t.select(keep)
+
+        nxt = nxt.map_batches(_drop_meta, batch_format="pyarrow")
+    if not shared:
+        # disconnected component: cartesian product via a constant
+        # join key (SPARQL permits it; the multiply is the query's
+        # own semantics)
+        def _tag_cross(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            return t.append_column(
+                "__cross", pa.array([1] * t.num_rows, pa.int8()))
+
+        lc = compact_blocks(acc.map_batches(
+            _tag_cross, batch_format="pyarrow"))
+        rc = compact_blocks(nxt.map_batches(
+            _tag_cross, batch_format="pyarrow"))
+        out = compact_blocks(
+            lc.join(rc, join_type="inner", num_partitions=1,
+                    on=("__cross",))
+        ).map_batches(
+            lambda t: t.drop_columns(["__cross"])
+            if t.num_columns and "__cross" in t.schema.names
+            else t,
+            batch_format="pyarrow",
+        )
+    elif min(n_acc, n_nxt) <= BGP_BROADCAST_ROWS:
+        big, small = (acc, nxt) if n_acc >= n_nxt else (nxt, acc)
+        out = _broadcast_join(big, small, shared)
+    else:
+        n_parts = num_partitions or max(1, min(64, n_acc // 2_000_000))
+        out = compact_blocks(
+            acc.join(nxt, join_type="inner", num_partitions=n_parts,
+                     on=tuple(shared))
+        )
+    return out, all_vars, None
+
+
+def join_prepared(parts, *, with_meta: bool = True,
+                  num_partitions: int | None = None):
+    """Join a list of PREPARED binding relations ``[(ds, var_names)]`` —
+    the semi-naive rule engine's entry point (stages/rules.py): pattern
+    scans are computed once per round by the caller and reused across
+    the per-position delta variants, so only the joins differ.
+
+    The FIRST element is the seed (callers put the delta there — it is
+    the small side); the rest join greedily on shared variables."""
+    items = [(ds, set(vs)) for ds, vs in parts]
+    if not items:
+        raise ValueError("empty join_prepared")
+    from ..util import fast_count
+
+    acc, acc_vars = items.pop(0)
+    n_acc, acc = fast_count(acc)
+    while items:
+        for i, (_ds, vs) in enumerate(items):
+            if acc_vars & vs:
+                nxt, nxt_vars = items.pop(i)
+                break
+        else:
+            nxt, nxt_vars = items.pop(0)
+        if n_acc == 0:
+            # short-circuit: the result is empty whatever remains —
+            # just accumulate the variable set (typed empty at the end)
+            acc_vars |= nxt_vars
+            acc = _empty_bindings(acc_vars, with_meta)
+            continue
+        n_nxt, nxt = fast_count(nxt)
+        acc, acc_vars, n_known = _join_step(
+            acc, acc_vars, n_acc, nxt, nxt_vars, n_nxt,
+            with_meta=with_meta, num_partitions=num_partitions)
+        n_acc, acc = (n_known, acc) if n_known is not None else fast_count(acc)
+    return acc
+
+
 def _dedup(ds, cols):
     return compact_blocks(
         ds.groupby(list(cols)).count().map_batches(
@@ -287,107 +403,71 @@ def _dedup(ds, cols):
 
 def match_bgp(triples_ds, patterns, *, distinct: bool = False,
               num_partitions: int | None = None, graph=None,
-              with_meta: bool = False):
+              with_meta: bool = False, sources=None):
     """Solve a BGP over the triple Dataset → binding Dataset (one
     large_string column per variable, SPARQL bag semantics unless
     ``distinct``). ``graph`` scopes every pattern (see
     _bindings_for_pattern); a Var graph joins as a shared variable, so
     all patterns bind within the SAME named graph.
 
+    ``sources`` (optional, aligned with ``patterns``): a per-pattern
+    triple-Dataset override — the semi-naive rule engine matches one
+    body position against the round's delta and the rest against the
+    full graph (stages/rules.py).
+
     All-constant patterns contribute no columns but DO gate/multiply the
     solution set: each matching triple contributes one empty binding
     (StageMatchTriple semantics), so 0 matches empties the BGP and a BGP
     of only constant patterns returns the unit relation (``__exists``
     marker column, one row per solution)."""
+    from ..util import fast_count
+
     pats = list(patterns)
     if not pats:
         raise ValueError("empty BGP")
+    srcs = list(sources) if sources is not None else [None] * len(pats)
+    if len(srcs) != len(pats):
+        raise ValueError("sources must align with patterns")
     gvars = {graph.name} if _is_var(graph) else set()
     # a Var graph binds a variable in EVERY pattern, so nothing is constant
-    const_pats = [] if gvars else [p for p in pats if not _pattern_vars(p)]
-    var_pats = pats if gvars else [p for p in pats if _pattern_vars(p)]
+    if gvars:
+        const_items, var_items = [], list(zip(pats, srcs))
+    else:
+        const_items = [(p, s) for p, s in zip(pats, srcs)
+                       if not _pattern_vars(p)]
+        var_items = [(p, s) for p, s in zip(pats, srcs) if _pattern_vars(p)]
     mult = 1
-    for p in const_pats:
-        mult *= _bindings_for_pattern(triples_ds, p, graph, False).count()
+    for p, src in const_items:
+        mult *= fast_count(
+            _bindings_for_pattern(src or triples_ds, p, graph, False))[0]
         if mult == 0:
             break
-    if not var_pats:
+    if not var_items:
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table({"__exists": pa.array(["1"] * mult, pa.large_string())})
         )
-    ordered = _order_patterns(var_pats)
+    ordered = _order_patterns(*zip(*var_items))
 
-    acc = _bindings_for_pattern(triples_ds, ordered[0], graph, with_meta)
-    acc_vars = set(_pattern_vars(ordered[0])) | gvars
-    for pat in ordered[1:]:
-        nxt = _bindings_for_pattern(triples_ds, pat, graph, with_meta)
-        shared = sorted(acc_vars & (set(_pattern_vars(pat)) | gvars))
-        if with_meta and shared:
-            # shared vars carry meta on BOTH sides — keep the accumulated
-            # side's columns, drop the new pattern's (joins are on the
-            # lexical form; the engine's documented term-join subset)
-            drop = [m for v in shared for m in meta_cols_of(v)]
-
-            def _drop_meta(t: pa.Table, _d=tuple(drop)) -> pa.Table:
-                keep = [c for c in t.schema.names if c not in _d]
-                return t.select(keep)
-
-            nxt = nxt.map_batches(_drop_meta, batch_format="pyarrow")
-        n_acc, n_nxt = acc.count(), nxt.count()
-        if min(n_acc, n_nxt) == 0:
-            # empty side ⇒ empty BGP, but an all-empty Dataset can lose
-            # its schema (Dataset.schema() → None) and poison downstream
-            # joins — rebuild a TYPED empty binding table over every
-            # variable seen so far
-            import ray.data as rd
-
-            all_vars = sorted(acc_vars | set(_pattern_vars(pat)) | gvars)
-            cols: dict[str, pa.Array] = {}
-            for v in all_vars:
-                cols[v] = pa.array([], pa.large_string())
-                if with_meta:
-                    kc, dc, lc = meta_cols_of(v)
-                    cols[kc] = pa.array([], pa.int8())
-                    cols[dc] = pa.array([], pa.large_string())
-                    cols[lc] = pa.array([], pa.large_string())
-            acc = rd.from_arrow(pa.table(cols))
-            acc_vars |= set(_pattern_vars(pat)) | gvars
+    pat0, src0 = ordered[0]
+    n_acc, acc = fast_count(
+        _bindings_for_pattern(src0 or triples_ds, pat0, graph, with_meta))
+    acc_vars = set(_pattern_vars(pat0)) | gvars
+    for pat, src in ordered[1:]:
+        pat_vars = set(_pattern_vars(pat)) | gvars
+        if n_acc == 0 and mult != 0:
+            # result is empty whatever remains — skip the scans, just
+            # widen the typed empty relation
+            acc_vars |= pat_vars
+            acc = _empty_bindings(acc_vars, with_meta)
             continue
-        if not shared:
-            # disconnected component: cartesian product via a constant
-            # join key (SPARQL permits it; the multiply is the query's
-            # own semantics)
-            def _tag_cross(t: pa.Table) -> pa.Table:
-                if t.num_columns == 0:
-                    return t
-                return t.append_column(
-                    "__cross", pa.array([1] * t.num_rows, pa.int8()))
-
-            lc = compact_blocks(acc.map_batches(
-                _tag_cross, batch_format="pyarrow"))
-            rc = compact_blocks(nxt.map_batches(
-                _tag_cross, batch_format="pyarrow"))
-            acc = compact_blocks(
-                lc.join(rc, join_type="inner", num_partitions=1,
-                        on=("__cross",))
-            ).map_batches(
-                lambda t: t.drop_columns(["__cross"])
-                if t.num_columns and "__cross" in t.schema.names
-                else t,
-                batch_format="pyarrow",
-            )
-        elif min(n_acc, n_nxt) <= BGP_BROADCAST_ROWS:
-            big, small = (acc, nxt) if n_acc >= n_nxt else (nxt, acc)
-            acc = _broadcast_join(big, small, shared)
-        else:
-            n_parts = num_partitions or max(1, min(64, n_acc // 2_000_000))
-            acc = compact_blocks(
-                acc.join(nxt, join_type="inner", num_partitions=n_parts,
-                         on=tuple(shared))
-            )
-        acc_vars |= set(_pattern_vars(pat)) | gvars
+        n_nxt, nxt = fast_count(
+            _bindings_for_pattern(src or triples_ds, pat, graph, with_meta))
+        acc, acc_vars, n_known = _join_step(
+            acc, acc_vars, n_acc, nxt, pat_vars, n_nxt,
+            with_meta=with_meta, num_partitions=num_partitions)
+        n_acc, acc = (n_known, acc) if n_known is not None else fast_count(acc)
     if mult == 0:
         acc = acc.limit(0)
     elif mult > 1:  # bag semantics: constant matches multiply solutions

@@ -3200,29 +3200,32 @@ def _align_columns(ds, have: list, want: list):
 
 
 def _present_masks(ds, shared: list) -> list:
-    """Distinct bound-masks (tuple of bools per shared var) present in a
-    binding relation — one tiny row per block, distinct on the driver."""
+    """Distinct bound-masks (tuple of bound vars per mask) present in a
+    binding relation — vectorized bit arithmetic per block (the same
+    kernel shape as _minus_bindings' mask_kernel), a few distinct ints
+    per block to the driver."""
 
     def block_masks(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
-            return pa.table({"mask": pa.array([], pa.large_string())})
-        cols = []
-        for v in shared:
-            if v in t.schema.names:
-                cols.append(pc.is_valid(t[v].combine_chunks()))
-            else:
-                cols.append(pa.array([False] * t.num_rows))
-        masks = {
-            "".join("1" if c[i].as_py() else "0" for c in cols)
-            for i in range(t.num_rows)
-        }
-        return pa.table({"mask": pa.array(sorted(masks), pa.large_string())})
+            return pa.table({"mask": pa.array([], pa.int64())})
+        m = None
+        for i, v in enumerate(shared):
+            bit = pc.if_else(
+                pc.is_valid(t[v].combine_chunks())
+                if v in t.schema.names
+                else pa.array([False] * t.num_rows),
+                pa.scalar(1 << i, pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            m = bit if m is None else pc.add(m, bit)
+        return pa.table({"mask": pc.unique(m)})
 
     seen = set()
     for r in ds.map_batches(block_masks, batch_format="pyarrow").take_all():
         seen.add(r["mask"])
     return [
-        tuple(v for v, b in zip(shared, m) if b == "1") for m in sorted(seen)
+        tuple(v for i, v in enumerate(shared) if m & (1 << i))
+        for m in sorted(seen)
     ]
 
 

@@ -75,6 +75,24 @@ def compact_blocks(ds, coalesce: bool = True):
     return rd.from_arrow_refs(out_refs)
 
 
+def fast_count(ds):
+    """(row_count, materialized_ds) WITHOUT executing the plan twice.
+
+    ``Dataset.count()`` on an un-executed pipeline runs the whole plan,
+    and a later join/consume runs it AGAIN — the double-scan flagged in
+    round 3 (VERDICT.md "What's wrong" #2). Materialize once, count from
+    block METADATA (refs stay in the object store), and hand the
+    materialized dataset back so the consumer reuses the same blocks."""
+    mat = ds.materialize()
+    n = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for _, meta in bundle.blocks:
+            if meta.num_rows is None:
+                return mat.count(), mat
+            n += meta.num_rows
+    return n, mat
+
+
 def _concat_remote():
     import ray
 
