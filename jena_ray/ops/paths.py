@@ -92,6 +92,12 @@ class Opt(Path):
     path: Path
 
 
+@dataclass(frozen=True)
+class Zero(Path):
+    """The zero-length relation only — ``p{0}`` (PathCompiler's
+    fixed-length 0): binds start = end, never a one-step pair."""
+
+
 # --- evaluation -------------------------------------------------------------
 
 
@@ -290,6 +296,8 @@ def _inv_push(p: Path) -> Path:
         return Opt(_inv_push(p.path))
     if isinstance(p, NegSet):
         return NegSet(fwd=p.inv, inv=p.fwd)
+    if isinstance(p, Zero):
+        return p  # the identity relation is its own inverse
     raise TypeError(f"unknown path node {p!r}")
 
 
@@ -601,6 +609,10 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None,
             edges_ds, path.path, seeds,
             include_zero=isinstance(path, Star), max_rounds=max_rounds,
         )
+    elif isinstance(path, Zero):
+        if seeds is None:
+            return _all_nodes_pairs(edges_ds)
+        return compact_blocks(_distinct(_seeds_ds(seeds)))
     else:
         raise TypeError(f"unknown path node {path!r}")
 

@@ -103,7 +103,7 @@ class BNode:
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<pname>[^\W\d][\w\-.]*:[\w\-.]*|:[\w\-.]+|[^\W\d][\w\-.]*:|:) |
+        (?P<pname>[^\W\d](?:[\w\-.]*[\w-])?:(?:[\w\-.:]*[\w\-:])?|:(?:[\w\-.:]*[\w\-:])?) |
         (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|a)\b) |
         (?P<var>[?$][A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
@@ -138,9 +138,32 @@ def _sq(v: str) -> str:
     return v[1:-1]
 
 
+_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", re.S)
+_ESC_MAP = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
 def _unesc(s: str) -> str:
-    """SPARQL string-literal escapes (\\n \\t \\" \\\\ \\uXXXX)."""
-    return s.encode("utf-8").decode("unicode_escape").encode("latin-1", "backslashreplace").decode("utf-8", "replace") if "\\" in s else s
+    """SPARQL string-literal escapes (grammar ECHAR + codepoint escapes
+    \\uXXXX / \\UXXXXXXXX), single left-to-right pass — an escape's
+    OUTPUT is never re-scanned, and a lone surrogate codepoint is a
+    syntax error (W3C syntax-query surrogate tests)."""
+    if "\\" not in s:
+        return s
+
+    def rep(m):
+        e = m.group(1)
+        if e[0] in "uU" and len(e) > 1:
+            cp = int(e[1:], 16)
+            if 0xD800 <= cp <= 0xDFFF:
+                raise RDFParseError(
+                    "SPARQL: surrogate codepoint escape in string literal")
+            return chr(cp)
+        if e in _ESC_MAP:
+            return _ESC_MAP[e]
+        raise RDFParseError(f"SPARQL: bad string escape \\{e}")
+
+    return _ESC_RE.sub(rep, s)
 
 
 class _Parser:
@@ -200,6 +223,7 @@ class _Parser:
             froms = self.parse_datasets()
             self.kw("WHERE")
             group = self.parse_group()
+            _validate_scopes(group)
             if froms:
                 group = {"elements": [("dataset", froms, group)],
                          "filters": [], "exists": []}
@@ -218,6 +242,7 @@ class _Parser:
                 # CONSTRUCT WHERE { tp ... } shortform (SPARQL 10.2.2)
                 self.next()
                 group = self.parse_group()
+                _validate_scopes(group)
                 template = [pat for el in group["elements"]
                             if el[0] == "bgp" for pat in el[1]]
                 limit = None
@@ -238,6 +263,7 @@ class _Parser:
             self.next()
             self.expect("kw", "WHERE")
             group = self.parse_group()
+            _validate_scopes(group)
             limit = None
             if self.kw("LIMIT"):
                 limit = int(self.expect("num"))
@@ -253,6 +279,7 @@ class _Parser:
         q = self.parse_select_rest()
         if self.peek()[0] != "eof":
             raise RDFParseError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        _validate_query_scopes(q)
         return q
 
     def parse_prologue(self) -> None:
@@ -260,7 +287,11 @@ class _Parser:
         while True:
             if self.kw("PREFIX"):
                 k, v = self.next()
-                pfx = v.partition(":")[0] if k == "pname" else ""
+                # PNAME_NS only: one ':' and it is final (syn-bad-pname)
+                if k != "pname" or not v.endswith(":") or ":" in v[:-1]:
+                    raise RDFParseError(
+                        f"SPARQL: bad PREFIX declaration {v!r}")
+                pfx = v[:-1]
                 self.prefixes[pfx] = self.expand("iri", self.expect("iri"))
             elif self.kw("BASE"):
                 self.base = self.expect("iri")[1:-1]
@@ -839,6 +870,7 @@ class _Parser:
             multi = True
         self.expect("op", "{")
         rows: list[list] = []
+        metas: list[list] = []
         while self.peek() != ("op", "}"):
             if multi:
                 self.expect("op", "(")
@@ -850,33 +882,42 @@ class _Parser:
                 row = [self._values_term()]
             if len(row) != len(vars_):
                 raise RDFParseError("SPARQL: VALUES row arity mismatch")
-            rows.append(row)
+            rows.append([t[0] if t else None for t in row])
+            metas.append([t[1:] if t else None for t in row])
         self.next()  # }
-        return ("values", vars_, rows)
+        return ("values", vars_, rows, metas)
 
     def _values_term(self):
+        """→ (lex, kind, dt, lang) or None for UNDEF. Joins stay on the
+        lexical form (the engine's binding columns); the term type rides
+        the hidden meta columns so FILTER/ORDER see the datatype/lang
+        ("a"@en is not plain "a" under term comparison)."""
+        from ..model import KIND_IRI, KIND_LITERAL, RDF_LANGSTRING, XSD_NS
+
         k, v = self.next()
         if k in ("iri", "pname"):
-            return self.expand(k, v)
+            return (self.expand(k, v), KIND_IRI, "", "")
         if k == "kw" and v.upper() == "UNDEF":
             return None
         if k == "kw" and v.upper() in ("TRUE", "FALSE"):
-            return v.lower()
+            return (v.lower(), KIND_LITERAL, XSD_NS + "boolean", "")
         if k == "string":
             lex = _unesc(_sq(v))
             nk, nv = self.peek()
-            # typed / lang-tagged VALUES terms join on the lexical form
-            # (the engine's binding columns are lexical)
             if nk == "op" and nv == "^^":
                 self.next()
-                self.next()
-                return lex
+                dk, dv = self.next()
+                if dk not in ("iri", "pname"):
+                    raise RDFParseError(
+                        f"SPARQL: datatype IRI expected after ^^, got {dv!r}")
+                return (lex, KIND_LITERAL, self.expand(dk, dv), "")
             if nk == "langtag":
                 self.next()
-                return lex
-            return lex
+                return (lex, KIND_LITERAL, RDF_LANGSTRING, nv[1:])
+            # plain literal: the engine's untyped tabular convention
+            return (lex, KIND_LITERAL, "", "")
         if k == "num":
-            return v
+            return (v, KIND_LITERAL, "", "")
         raise RDFParseError(f"SPARQL: bad VALUES term {v!r}")
 
     def parse_term(self, position: str):
@@ -886,6 +927,9 @@ class _Parser:
         if k == "kw" and v == "a" and position == "predicate":
             return RDF_TYPE
         if k == "pname" and v.startswith("_:"):
+            if ":" in v[2:]:
+                raise RDFParseError(
+                    f"SPARQL: ':' not allowed in blank node label {v!r}")
             return BNode(v[2:])
         if k == "op" and v == "[" and position in ("subject", "object"):
             self.expect("op", "]")
@@ -1105,7 +1149,11 @@ class _Parser:
                 tail = opt_tail(prim, m - n) if m > n else None
             head = seq_n(prim, n)
             if head is None:
-                return tail if tail is not None else _paths.Opt(prim)
+                if tail is not None:
+                    return tail
+                # p{0}: the zero-length relation ONLY (not Opt — that
+                # would spuriously admit one-step pairs)
+                return _paths.Zero()
             return head if tail is None else _paths.Seq(head, tail)
         return prim
 
@@ -1493,12 +1541,26 @@ class _Parser:
             self.next()
             iri = self.expand(k, v)
             if self.peek() == ("op", "("):
-                # constructor-function call: XSD casts (XSDFuncOp cast)
+                # IRI function call: XSD casts (XSDFuncOp cast) or the
+                # CDT function library (function/library/cdt/*.java)
                 self.next()
-                arg = self.parse_or()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.parse_or())
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.parse_or())
                 self.expect("op", ")")
-                if iri in _CAST_TARGETS:
-                    return ("cast", iri, arg)
+                if iri in _CAST_TARGETS and len(args) == 1:
+                    return ("cast", iri, args[0])
+                from ..rdf.cdt import CDT_NS
+
+                if iri.startswith(CDT_NS):
+                    fn = iri[len(CDT_NS):]
+                    if fn not in _CDT_FNS:
+                        raise RDFParseError(
+                            f"SPARQL: unsupported cdt function <{iri}>")
+                    return ("cdtfn", fn, args)
                 raise RDFParseError(
                     f"SPARQL: unsupported function <{iri}>")
             return ("iriconst", iri)
@@ -1834,8 +1896,121 @@ def _var_col(t: pa.Table, name: str):
     return pa.array([None] * t.num_rows, pa.large_string())
 
 
+_CDT_FNS = {"get", "size", "concat", "contains", "containsKey",
+            "containsTerm", "head", "tail", "keys", "reverse"}
+
+
+def _apply_cdt(fn: str, row: tuple):
+    """One row of a cdt:* call (GetFct.java, ConcatFct.java,
+    ContainsFct.java, ContainsKeyFct.java, HeadFct.java, TailFct.java,
+    KeysFct.java, SizeFct.java, ReverseFct.java semantics over the
+    engine's lexical value convention). Raises on error → null."""
+    from ..rdf.cdt import (format_cdt_list, parse_cdt_list, parse_cdt_map)
+
+    def as_lex(x):
+        if isinstance(x, float) and x == int(x):
+            return str(int(x))
+        return str(x)
+
+    def elem_out(e):
+        # element → the engine's lexical convention (nested CDT values
+        # re-serialize canonically)
+        from ..rdf.cdt import _fmt_term
+
+        if e is None:
+            raise ValueError("null element")
+        if isinstance(e, (list, dict)):
+            return _fmt_term(e)
+        return e[1]
+
+    def container(lex):
+        try:
+            return parse_cdt_list(lex)
+        except Exception:
+            return parse_cdt_map(lex)
+
+    if any(x is None for x in row):
+        raise ValueError("unbound argument")
+    if fn == "size":
+        c = container(row[0])
+        return len(c)
+    if fn == "concat":
+        out = []
+        for lex in row:
+            out.extend(parse_cdt_list(lex))
+        return format_cdt_list(out)
+    if fn == "get":
+        c = container(row[0])
+        if isinstance(c, dict):
+            key = as_lex(row[1])
+            for k, v in c.items():
+                if k[1] == key:
+                    return elem_out(v)
+            raise ValueError("no such key")
+        i = int(float(row[1]))
+        if not 1 <= i <= len(c):  # 1-based (GetFct)
+            raise ValueError("index out of range")
+        return elem_out(c[i - 1])
+    if fn in ("contains", "containsTerm"):
+        vals = parse_cdt_list(row[0])
+        key = as_lex(row[1])
+        return any(v is not None and not isinstance(v, (list, dict))
+                   and v[1] == key for v in vals)
+    if fn == "containsKey":
+        m = parse_cdt_map(row[0])
+        key = as_lex(row[1])
+        return any(k[1] == key for k in m)
+    if fn == "head":
+        vals = parse_cdt_list(row[0])
+        if not vals:
+            raise ValueError("head of empty list")
+        return elem_out(vals[0])
+    if fn == "tail":
+        vals = parse_cdt_list(row[0])
+        if not vals:
+            raise ValueError("tail of empty list")
+        return format_cdt_list(vals[1:])
+    if fn == "reverse":
+        return format_cdt_list(list(reversed(parse_cdt_list(row[0]))))
+    if fn == "keys":
+        return format_cdt_list(list(parse_cdt_map(row[0]).keys()))
+    raise ValueError(f"unknown cdt fn {fn}")
+
+
+def _eval_cdtfn(node, t: pa.Table):
+    """cdt:* library call over a binding batch. CDT literals are nested
+    term structures, so the kernel is per-VALUE structural (not an
+    Arrow kernel); errors yield null per SPARQL error semantics.
+    Results: size → numeric, contains/containsKey → boolean, others →
+    the engine's lexical convention."""
+    fn, args = node[1], node[2]
+    n = t.num_rows
+    cols = []
+    for a in args:
+        v = _eval_value(a, t)
+        if isinstance(v, pa.Scalar):
+            cols.append([v.as_py()] * n)
+        else:
+            arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            cols.append(arr.to_pylist())
+    out = []
+    for row in (zip(*cols) if cols else [()] * n):
+        try:
+            out.append(_apply_cdt(fn, row))
+        except Exception:
+            out.append(None)
+    if fn == "size":
+        return pa.array(
+            [float(x) if x is not None else None for x in out], pa.float64())
+    if fn in ("contains", "containsKey", "containsTerm"):
+        return pa.array(out, pa.bool_())
+    return pa.array(out, pa.large_string())
+
+
 def _eval_value(node, t: pa.Table):
     tag = node[0]
+    if tag == "cdtfn":
+        return _eval_cdtfn(node, t)
     if tag == "var":
         # out-of-scope vars yield nulls (bottom-up semantics: an
         # inner-group FILTER naming an outer var sees it unbound)
@@ -2815,6 +2990,9 @@ def _expr_static_meta(node):
 
 def _eval_bool(node, t: pa.Table):
     tag = node[0]
+    if tag == "cdtfn" and node[1] in ("contains", "containsKey",
+                                      "containsTerm"):
+        return _eval_cdtfn(node, t)
     if tag == "and":
         # SPARQL 3-valued logic (17.2): error && false = false,
         # error && true = error — Kleene semantics over null-as-error
@@ -3002,6 +3180,68 @@ def _term_sort(bindings_ds, order: list):
     return out.map_batches(drop_keys, batch_format="pyarrow")
 
 
+def _proj_alias(p) -> str | None:
+    """The variable a projection item binds: ("var", name) → name,
+    ("agg", fn, var, alias, ...) → alias, ("exprbind", expr, alias) →
+    alias."""
+    if p[0] == "var":
+        return p[1]
+    if p[0] == "agg":
+        return p[3]
+    if p[0] == "exprbind":
+        return p[2]
+    return None
+
+
+def _validate_scopes(group: dict) -> None:
+    """Parse-time in-scope-variable checks (SPARQL §18.2.1; ARQ's
+    SyntaxVarScope): a BIND target must not already be in scope from
+    the preceding elements of its group. Recurses into nested groups,
+    OPTIONAL/MINUS, GRAPH, UNION arms and subqueries."""
+    scope: set = set()
+    for el in group.get("elements", ()):
+        t = el[0]
+        if t == "bind" and el[2] in scope:
+            raise RDFParseError(
+                f"SPARQL: BIND target ?{el[2]} is already in scope (18.2.1)")
+        if t in ("group", "optional", "minus"):
+            _validate_scopes(el[1])
+        elif t in ("graph", "dataset"):
+            _validate_scopes(el[2])
+        elif t == "union":
+            for arm in el[1]:
+                _validate_scopes(arm)
+        elif t == "subquery":
+            _validate_query_scopes(el[1])
+        scope |= _group_vars({"elements": [el]})
+
+
+def _validate_query_scopes(q: dict) -> None:
+    """SELECT-expression scope check (§18.2.1: the target of
+    (expr AS ?v) must not be in-scope from the WHERE group or an
+    earlier projection item). Grouped/aggregate queries keep their
+    own scope rules and are not checked here."""
+    g = q.get("group")
+    if g:
+        _validate_scopes(g)
+    proj = q.get("project")
+    if proj and not q.get("group_by") and not any(
+            p[0] == "agg" for p in proj):
+        gv = _group_vars(g) if g else set()
+        seen: set = set()
+        for p in proj:
+            if p[0] == "var":
+                seen.add(p[1])
+                continue
+            alias = _proj_alias(p)
+            if alias and (alias in gv or alias in seen):
+                raise RDFParseError(
+                    f"SPARQL: SELECT expression re-binds in-scope "
+                    f"?{alias} (18.2.1)")
+            if alias:
+                seen.add(alias)
+
+
 def _group_vars(group: dict) -> set:
     out: set = set()
     for el in group["elements"]:
@@ -3022,7 +3262,7 @@ def _group_vars(group: dict) -> set:
             if q["project"] is None:
                 out |= _group_vars(q["group"])
             else:
-                out |= {p[1] if p[0] == "var" else p[3] for p in q["project"]}
+                out |= {_proj_alias(p) for p in q["project"] if _proj_alias(p)}
         elif el[0] == "graph":
             out |= _group_vars(el[2])
             if isinstance(el[1], Var):
@@ -3036,7 +3276,7 @@ def _group_vars(group: dict) -> set:
 
 
 def _has_closure(p) -> bool:
-    if isinstance(p, (_paths.Star, _paths.Plus, _paths.Opt)):
+    if isinstance(p, (_paths.Star, _paths.Plus, _paths.Opt, _paths.Zero)):
         return True
     if isinstance(p, _paths.Inv):
         return _has_closure(p.path)
@@ -3065,6 +3305,8 @@ def _invert_path(p):
         return _paths.Opt(_invert_path(p.path))
     if isinstance(p, _paths.NegSet):
         return _paths.Inv(p)  # non-closure: generic inversion is fine
+    if isinstance(p, _paths.Zero):
+        return p  # identity relation: self-inverse
     raise RDFParseError(f"SPARQL: cannot invert path {p!r}")
 
 
@@ -3370,11 +3612,24 @@ def _join_bindings(left, left_vars, right, right_vars, how: str,
     # `maybe_partial` flags (tracked structurally by _compile_group)
     # gate the extra null scan so fully-bound pipelines pay nothing.
     left_p, right_p = maybe_partial
-    if how == "inner" and (
-        (left_p and _shared_nulls(left, shared))
-        or (right_p and _shared_nulls(right, shared))
+    if (left_p and _shared_nulls(left, shared)) or (
+        right_p and _shared_nulls(right, shared)
     ):
-        return _join_partial(left, left_vars, right, right_vars, shared)
+        if how == "inner":
+            return _join_partial(left, left_vars, right, right_vars, shared)
+        # left_outer: LeftJoin = Join_compat ∪ Diff (§18.5) — the inner
+        # decomposition for the matched side, the mask-partitioned
+        # compat-removal (diff semantics) for the miss side
+        matched, mvars = _join_partial(left, left_vars, right, right_vars,
+                                       shared)
+        missed, _ = _compat_remove(left, left_vars, right, right_vars,
+                                   shared, diff=True)
+        out_vars = sorted(set(left_vars) | set(right_vars))
+        return (
+            _align_columns(matched, mvars, out_vars).union(
+                _align_columns(missed, left_vars, out_vars)),
+            out_vars,
+        )
     # both sides may carry meta columns for shared vars (name collision in
     # the join) — keep the left side's, drop the right's
     from .bgp import meta_cols_of
@@ -3432,7 +3687,22 @@ def _join_bindings(left, left_vars, right, right_vars, how: str,
 def _minus_bindings(left, left_vars, right, right_vars):
     """OpMinus (§8.3.3): drop a left binding μ when SOME right binding
     μ' is compatible with it (agrees on every var bound in BOTH) and
-    dom(μ)∩dom(μ') is non-empty.
+    dom(μ)∩dom(μ') is non-empty."""
+    shared = sorted(set(left_vars) & set(right_vars))
+    if not shared:
+        # SPARQL: MINUS with disjoint domains removes nothing
+        return left, left_vars
+    return _compat_remove(left, left_vars, right, right_vars, shared,
+                          diff=False)
+
+
+def _compat_remove(left, left_vars, right, right_vars, shared,
+                   *, diff: bool):
+    """Left bindings with NO compatible right binding. ``diff=False`` is
+    MINUS (§8.3.3: removal additionally requires a non-empty domain
+    intersection); ``diff=True`` is Diff (§18.5: a disjoint-domain pair
+    IS compatible, so it removes — the OPTIONAL miss side when either
+    relation holds partially bound solutions).
 
     When every shared var is bound on both sides this is one marker
     anti-join. With OPTIONAL-produced nulls the commonly-bound var set
@@ -3441,11 +3711,6 @@ def _minus_bindings(left, left_vars, right, right_vars):
     masks actually present — two tiny aggregations); each (L, B) mask
     pair with a non-empty intersection contributes one distinct-key
     anti-join on exactly the commonly bound vars."""
-    shared = sorted(set(left_vars) & set(right_vars))
-    if not shared:
-        # SPARQL: MINUS with disjoint domains removes nothing
-        return left, left_vars
-
     from ..util import compact_blocks
 
     def mask_kernel(t: pa.Table) -> pa.Table:
@@ -3470,7 +3735,11 @@ def _minus_bindings(left, left_vars, right, right_vars):
         rows = ds.groupby("__mask").count().take_all()
         return sorted(r["__mask"] for r in rows)
 
-    right_masks = [b for b in masks_of(rm) if b] if rm.count() else []
+    all_right_masks = masks_of(rm) if rm.count() else []
+    # MINUS needs dom(μ)∩dom(μ') non-empty, so an all-unbound right row
+    # (mask 0) removes nothing; for Diff it is compatible with EVERYTHING
+    right_masks = all_right_masks if diff else [b for b in all_right_masks
+                                                if b]
     left_masks = masks_of(lm) if lm.count() else []
     full = (1 << len(shared)) - 1
     if right_masks == [full] and left_masks in ([], [full]):
@@ -3490,7 +3759,19 @@ def _minus_bindings(left, left_vars, right, right_vars):
         for L in left_masks:
             common = L & B
             if not common:
-                continue  # disjoint domains: not removed by this pair
+                if not diff:
+                    continue  # MINUS: disjoint domains don't remove
+                # Diff: a disjoint-domain right row is compatible with
+                # every left row of this mask — the mask is present in
+                # the right relation (masks_of only reports non-empty
+                # classes), so the whole left class is removed
+                acc = compact_blocks(acc.map_batches(
+                    lambda t, _l=L: t.filter(pc.not_equal(t["__mask"], _l))
+                    if t.num_columns
+                    else t,
+                    batch_format="pyarrow",
+                ))
+                continue
             keys = [v for i, v in enumerate(shared) if common & (1 << i)]
             part = acc.map_batches(
                 lambda t, _l=L: t.filter(pc.equal(t["__mask"], _l))
@@ -3651,16 +3932,68 @@ def _filter_bindings(ds, vars_: list, filters: list):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-def _left_join_conditional(left, left_vars, right, right_vars, filters):
+# sentinel standing in for an UNBOUND value in exact-row joins (hash
+# joins drop null keys); contains \x00 so no RDF term collides with it
+_UNBOUND_SENTINEL = "\x00\x1funbound\x1f"
+
+
+def _encode_unbound(ds, cols):
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        for v in cols:
+            if v in t.schema.names:
+                i = t.schema.get_field_index(v)
+                t = t.set_column(
+                    i, v,
+                    pc.fill_null(
+                        t[v].combine_chunks().cast(pa.large_string()),
+                        _UNBOUND_SENTINEL))
+        return t
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def _decode_unbound(ds, cols):
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        for v in cols:
+            if v in t.schema.names:
+                i = t.schema.get_field_index(v)
+                c = t[v].combine_chunks()
+                t = t.set_column(
+                    i, v,
+                    pc.if_else(pc.equal(c, _UNBOUND_SENTINEL),
+                               pa.scalar(None, pa.large_string()), c))
+        return t
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def _left_join_conditional(left, left_vars, right, right_vars, filters,
+                           maybe_partial=(False, False)):
     """LeftJoin with a condition over the merged solution:
     Filter(expr, Join(Ω1, Ω2)) ∪ Diff — left rows with no surviving
-    match re-enter with the right-only vars unbound."""
+    match re-enter with the right-only vars unbound. ``maybe_partial``
+    threads through to the inner join (partially bound solutions need
+    the bound-mask decomposition); the diff's exact-row anti-join
+    sentinel-encodes unbound values so null-keyed left rows are kept
+    (hash joins drop null keys)."""
     joined, joined_vars = _join_bindings(left, left_vars, right,
-                                         right_vars, "inner")
+                                         right_vars, "inner",
+                                         maybe_partial=maybe_partial)
     matched = _filter_bindings(joined, joined_vars, filters)
     matched_left = select(matched, left_vars)
-    unmatched, _ = _exists_bindings(left, left_vars, matched_left,
-                                    left_vars, positive=False)
+    if maybe_partial[0] and _shared_nulls(left, left_vars):
+        unmatched, _ = _exists_bindings(
+            _encode_unbound(left, left_vars), left_vars,
+            _encode_unbound(matched_left, left_vars), left_vars,
+            positive=False)
+        unmatched = _decode_unbound(unmatched, left_vars)
+    else:
+        unmatched, _ = _exists_bindings(left, left_vars, matched_left,
+                                        left_vars, positive=False)
     padded = _align_columns(unmatched, left_vars, joined_vars)
     return matched.union(padded), joined_vars
 
@@ -3672,6 +4005,11 @@ def _group_maybe_partial(group: dict) -> bool:
     for el in group.get("elements", ()):
         t = el[0]
         if t in ("optional", "bind"):
+            return True
+        if t == "values" and any(x is None for r in el[2] for x in r):
+            # UNDEF rows: unbound vars flow out of a NESTED VALUES too
+            # (braced group / GRAPH / dataset / union arm) — without this
+            # the plain hash join silently drops the UNDEF rows
             return True
         if t == "union":
             vs = [frozenset(_group_vars(a)) for a in el[1]]
@@ -3862,7 +4200,9 @@ def _compile_group(triples_ds, group: dict, graph=None):
                     f for f in inner["filters"] if f not in deferred]
                 rel, rel_vars = _compile_group(triples_ds, inner, graph=graph)
                 acc, acc_vars = _left_join_conditional(
-                    acc, acc_vars, rel, rel_vars, deferred)
+                    acc, acc_vars, rel, rel_vars, deferred,
+                    maybe_partial=(acc_partial,
+                                   _group_maybe_partial(inner)))
                 acc_partial = True
                 continue
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
@@ -3876,15 +4216,22 @@ def _compile_group(triples_ds, group: dict, graph=None):
         elif el[0] == "values":
             import ray.data as rd
 
-            _, vnames, rows = el
-            rel = rd.from_arrow(
-                pa.table(
-                    {
-                        v: pa.array([r[i] for r in rows], pa.large_string())
-                        for i, v in enumerate(vnames)
-                    }
-                )
-            )
+            from .bgp import meta_cols_of
+
+            _, vnames, rows, metas = el
+            cols: dict = {}
+            for i, v in enumerate(vnames):
+                cols[v] = pa.array([r[i] for r in rows], pa.large_string())
+                kc, dc, lc = meta_cols_of(v)
+                cols[kc] = pa.array(
+                    [m[i][0] if m[i] else None for m in metas], pa.int8())
+                cols[dc] = pa.array(
+                    [m[i][1] if m[i] else "" for m in metas],
+                    pa.large_string())
+                cols[lc] = pa.array(
+                    [m[i][2] if m[i] else "" for m in metas],
+                    pa.large_string())
+            rel = rd.from_arrow(pa.table(cols))
             rel_vars = sorted(vnames)
             rel_partial = any(x is None for r in rows for x in r)
             how = "inner"
@@ -3917,6 +4264,10 @@ def _compile_group(triples_ds, group: dict, graph=None):
                     col = pa.array([val.as_py()] * t.num_rows)
                 else:
                     col = val
+                if pa.types.is_boolean(col.type):
+                    col = pc.if_else(
+                        col, pa.scalar("true", pa.large_string()),
+                        pa.scalar("false", pa.large_string()))
                 if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
                     # numeric → canonical lexical form (ints print bare)
                     as_int = pc.cast(col, pa.int64(), safe=False)
@@ -3995,6 +4346,10 @@ def _compile_group(triples_ds, group: dict, graph=None):
             else:
                 acc = rel  # unit relation: keep the __exists marker rows
             acc_vars = rel_vars
+            if rel_partial:
+                # a partial FIRST element (mixed-var UNION / nested
+                # VALUES UNDEF) makes the accumulator partial too
+                acc_partial = True
         else:
             acc, acc_vars = _join_bindings(
                 acc, acc_vars, rel, rel_vars, how,
@@ -4114,6 +4469,29 @@ def sparql_construct(triples_ds, query_text: str, base: str = ""):
     return out
 
 
+def _with_block_ordinal(ds):
+    """Append a deterministic per-block ordinal column ``__blk`` —
+    block identity for existential (template-bnode) freshness, assigned
+    from the materialized block order, stable under task retry."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+
+    @ray.remote(num_cpus=0.25)
+    def _tag_blk(t: pa.Table, i: int) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.append_column("__blk",
+                               pa.array([i] * t.num_rows, pa.int64()))
+
+    return rd.from_arrow_refs(
+        [_tag_blk.remote(r, i) for i, r in enumerate(refs)])
+
+
 def _instantiate_template(bindings, all_vars, template, doc_id: str):
     """Binding relation × triple template → TRIPLE_SCHEMA Dataset
     (shared by CONSTRUCT and the update INSERT/DELETE templates; the
@@ -4127,6 +4505,12 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
 
     has_bnode = any(
         isinstance(x, BNode) for q in quads for x in (q[0], q[2]))
+    if has_bnode:
+        # fresh bnode PER SOLUTION requires a globally unique row
+        # identity: a deterministic block ordinal (content hashing is
+        # wrong — two blocks with identical content, e.g. a UNION of
+        # identical arms, must still yield DISTINCT existentials)
+        bindings = _with_block_ordinal(bindings)
 
     def emit(t: pa.Table) -> pa.Table:
         from ..model import KIND_BNODE
@@ -4145,14 +4529,12 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
 
             _NOBIND = _NoBind()
             if has_bnode:
-                import hashlib
-
-                # deterministic batch scope: fresh bnode PER SOLUTION
+                # deterministic block scope: fresh bnode PER SOLUTION
                 # (TemplateLib: template bnodes are existentials), same
-                # across quads of one solution, stable under task retry
-                bscope = hashlib.md5(
-                    (doc_id + "|" + repr(sorted(data.items()))).encode()
-                ).hexdigest()[:10]
+                # across quads of one solution, unique across blocks via
+                # the assigned ordinal, stable under task retry
+                bscope = f"{doc_id}.b{data['__blk'][0]}"
+                data.pop("__blk", None)
             for i in range(n_rows):
                 for s, p, o, g in quads:
                     if isinstance(s, BNode):
@@ -4750,28 +5132,50 @@ def _exec_select(triples_ds, q: dict, graph=""):
             [v for v, _ in q["order"]], descending=[d for _, d in q["order"]]
         )
     if q["offset"]:
-        # Dataset has no offset; skip via a windowed limit on sorted output
-        total = (q["offset"] or 0) + (q["limit"] or 0)
-        if q["limit"] is not None:
-            head = out.limit(total).take_all()
-            rows = head[q["offset"]:]
-            import ray.data as rd
-
-            if not rows:
-                return rd.from_arrow(
-                    pa.table({c: pa.array([], pa.large_string()) for c in proj})
-                ), proj
-            return rd.from_items(rows), proj
-        # OFFSET without LIMIT: the skipped prefix forces an ordered
-        # materialization of the output (OpSlice does the same scan)
-        import ray.data as rd
-
-        rows = out.take_all()[q["offset"]:]
-        if not rows:
-            return rd.from_arrow(
-                pa.table({c: pa.array([], pa.large_string())
-                          for c in proj})), proj
-        return rd.from_items(rows), proj
+        out = _dataset_offset(out, q["offset"], proj)
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out, proj
+
+
+def _dataset_offset(ds, offset: int, proj):
+    """Distributed OFFSET (OpSlice's skipped prefix): drop the first
+    ``offset`` rows by BLOCK-METADATA prefix sums — whole skipped blocks
+    are dropped by ref, only the single straddling block is sliced in a
+    worker task, and nothing is collected to the driver (the round-3
+    take_all() here was a driver OOM on fact-sized results)."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    metas = [meta for b in mat.iter_internal_ref_bundles()
+             for _, meta in b.blocks]
+    refs = mat.to_arrow_refs()
+    counts = [m.num_rows for m in metas]
+    if any(c is None for c in counts):
+        @ray.remote(num_cpus=0.25)
+        def _nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        counts = ray.get([_nrows.remote(r) for r in refs])
+
+    @ray.remote(num_cpus=0.25)
+    def _slice_blk(t: pa.Table, start: int) -> pa.Table:
+        return t.slice(start)
+
+    out_refs = []
+    skip = offset
+    for r, n in zip(refs, counts):
+        if skip >= n:
+            skip -= n
+            continue
+        out_refs.append(_slice_blk.remote(r, skip) if skip else r)
+        skip = 0
+    if not out_refs:
+        schema = mat.schema()
+        base = getattr(schema, "base_schema", None) if schema else None
+        if base is not None:
+            return rd.from_arrow(base.empty_table())
+        return rd.from_arrow(
+            pa.table({c: pa.array([], pa.large_string()) for c in proj}))
+    return rd.from_arrow_refs(out_refs)

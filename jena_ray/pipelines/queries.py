@@ -2381,6 +2381,56 @@ FROM nation
 """
 
 
+def q_cdt_list_funcs(sf_dir: str):
+    """CDT function library through the SPARQL front door (the fork's
+    cdt:List functions — jena-arq function/library/cdt/GetFct.java,
+    SizeFct.java, TailFct.java): per customer a 2-element cdt:List
+    literal "[custkey, nationkey]" is built, then cdt:size / cdt:get /
+    cdt:tail are BIND-evaluated over it."""
+    from ..ops.sparql import sparql_select
+
+    def to_triples(t: pa.Table) -> pa.Table:
+        ls = pa.large_string()
+        key = pc.cast(t["c_custkey"], ls)
+        nk = pc.cast(t["c_nationkey"], ls)
+        s = pc.binary_join_element_wise(
+            pa.scalar("c:", ls), key, pa.scalar("", ls))
+        lst = pc.binary_join_element_wise(
+            pa.scalar("[", ls), key, pa.scalar(", ", ls), nk,
+            pa.scalar("]", ls), pa.scalar("", ls))
+        return pa.table({
+            "s_lex": s,
+            "p": pa.array(["lst"] * t.num_rows, ls),
+            "o_lex": lst,
+        })
+
+    triples = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(to_triples, batch_format="pyarrow")
+    return sparql_select(
+        triples,
+        """
+        PREFIX cdt: <http://w3id.org/awslabs/neptune/SPARQL-CDTs/>
+        SELECT ?s ?size ?k ?nk ?tail WHERE {
+          ?s <lst> ?l .
+          BIND(cdt:size(?l) AS ?size)
+          BIND(cdt:get(?l, 1) AS ?k)
+          BIND(cdt:get(?l, 2) AS ?nk)
+          BIND(cdt:tail(?l) AS ?tail)
+        }
+        """,
+    )
+
+
+SQL_CDT_LIST_FUNCS = """
+SELECT 'c:' || c_custkey AS s,
+       '2' AS size,
+       CAST(c_custkey AS VARCHAR) AS k,
+       CAST(c_nationkey AS VARCHAR) AS nk,
+       '[' || c_nationkey || ']' AS tail
+FROM customer
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
@@ -2445,10 +2495,28 @@ REGISTRY: dict[str, tuple] = {
     "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
     "shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
     "sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
+    "cdt_list_funcs": (q_cdt_list_funcs, SQL_CDT_LIST_FUNCS),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "control_flow": (q_control_flow, SQL_CONTROL_FLOW),
     "unnest": (q_unnest, SQL_UNNEST),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+}
+
+# Driver-sample rotation (VERDICT r3 item 9): the driver's correctness
+# gate caps at 50 sampled queries per round — rotate the queries WITHOUT
+# a driver-green row (not in CORRECTNESS_r03.json) to the front so each
+# gets sampled within two rounds. All 66 stay green in the local oracle
+# mirror (tests/test_queries.py) either way.
+_SAMPLE_FIRST = [
+    "sparql_order_typed", "sparql_subquery", "sparql_graph",
+    "sparql_optional", "sparql_exists", "sparql_expr_funcs",
+    "sparql_group_concat", "shacl_sparql", "sparql_update",
+    "cdt_list_funcs", "mode", "fold_collect", "facet_counts",
+    "control_flow", "unnest", "session_windows",
+]
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _SAMPLE_FIRST},
+    **{k: v for k, v in REGISTRY.items() if k not in _SAMPLE_FIRST},
 }

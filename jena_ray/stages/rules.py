@@ -19,9 +19,13 @@ Implemented subset:
     ``strConcat uriConcat``, ``makeSkolem`` (deterministic hash IRI)
   - ``noValue(s, p, o)`` — negation as failure via a distinct-key
     marker anti-join against the current graph, per round
-- NOT in subset (documented): functors, backward (``<-``) rules,
-  embedded rules, ``@include``, head-position builtins, ``table``/
-  ``tableAll`` hints (no RETE memories to hint)
+- backward rules ``head <- body`` (round 4): pure-Datalog bodies are
+  FORWARD-COMPILED — same derivable fact set, materialized instead of
+  goal-directed (LPBackwardRuleReasoner.java:39 is an execution
+  strategy, not different semantics); head-position builtins reject
+- NOT in subset (documented): functors, embedded rules, ``@include``,
+  head-position builtins, ``table``/``tableAll`` hints (no RETE
+  memories to hint)
 
 Ray realization: SEMI-NAIVE delta evaluation. Round 1 evaluates every
 rule body as a BGP over the input graph (ops/bgp.match_bgp — chained
@@ -114,6 +118,7 @@ _TOKEN = re.compile(
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<num>[+-]?\d+(?:\.\d+)?)
   | (?P<arrow>->)
+  | (?P<barrow><-)
   | (?P<punct>[\[\]():.])
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:?[A-Za-z0-9_.-]*)
     """,
@@ -227,28 +232,48 @@ class _Parser:
             name = tok
             self.next()
             self.next()
-        body, guards, head = [], [], []
-        seen_arrow = False
+        pre, pre_guards, post, post_guards = [], [], [], []
+        direction = None  # 'fwd' ('->') | 'bwd' ('<-')
         while True:
             kind, tok = self.peek()
             if tok == "]":
                 self.next()
                 break
-            if kind == "arrow":
+            if kind in ("arrow", "barrow"):
+                if direction is not None:
+                    raise ValueError("rule has two arrows")
                 self.next()
-                seen_arrow = True
+                direction = "fwd" if kind == "arrow" else "bwd"
                 continue
             ckind, c = self.clause()
-            if not seen_arrow:
-                (body if ckind == "pattern" else guards).append(c)
+            if direction is None:
+                (pre if ckind == "pattern" else pre_guards).append(c)
             else:
-                if ckind != "pattern":
-                    raise ValueError("builtins are body-only in this subset")
-                head.append(c)
+                (post if ckind == "pattern" else post_guards).append(c)
         if self.peek()[1] == ".":
             self.next()
-        if not seen_arrow or not head or not body:
-            raise ValueError("rule needs a non-empty body, '->', and a head")
+        if direction == "fwd":
+            body, guards, head = pre, pre_guards, post
+            if post_guards:
+                raise ValueError("builtins are body-only in this subset")
+        elif direction == "bwd":
+            # backward rule `head <- body` (LPBackwardRuleReasoner.java:39
+            # / FBRuleReasoner hybrid): a pure-Datalog body derives the
+            # SAME fact set under forward materialization, so the engine
+            # forward-compiles it — goal-directed evaluation is an
+            # execution strategy, not different semantics. Functors and
+            # head builtins stay out of subset (they fail clause parsing).
+            body, guards, head = post, post_guards, pre
+            if pre_guards:
+                raise ValueError(
+                    "builtins in a backward rule's HEAD are not in the "
+                    "forward-compilable subset")
+        else:
+            raise ValueError("rule needs a non-empty body, an arrow, "
+                             "and a head")
+        if not head or not body:
+            raise ValueError("rule needs a non-empty body, an arrow, "
+                             "and a head")
         return Rule(name=name, body=body, guards=guards, head=head)
 
 

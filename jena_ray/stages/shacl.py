@@ -64,6 +64,24 @@ class SparqlConstraint:
 
 
 @dataclass
+class SparqlComponent:
+    """A parameterized SPARQL constraint component (SHACL §6;
+    jena-shacl parser/ConstraintComponents.java +
+    engine/constraint/ConstraintComponentSPARQL.java:45-52,
+    SparqlComponent.java). ``params``: (predicate IRI, variable name =
+    the path's local name, optional?) declared via sh:parameter.
+    Validators are the SELECT form only (sh:SPARQLSelectValidator —
+    sh:nodeValidator / sh:propertyValidator / generic sh:validator
+    holding sh:select); ASK validators need per-VALUE pre-binding of
+    possibly-literal focus nodes and are documented out of subset."""
+
+    name: str
+    params: list  # [(pred_iri, var_name, optional)]
+    node_select: tuple | None = None  # (query_text, message|None)
+    prop_select: tuple | None = None
+
+
+@dataclass
 class PropertyShape:
     path: str
     min_count: int | None = None
@@ -110,13 +128,22 @@ def _walk_list(spo, vals, head):
 def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
     triples = parse_turtle(shapes_ttl, base=base)
     spo: dict[tuple, dict[str, list]] = {}
+    spo_full: dict[tuple, dict[str, list]] = {}
     for t in triples:
         spo.setdefault((t[0], t[1]), {}).setdefault(t[2], []).append(
             (t[3], t[4])
         )
+        spo_full.setdefault((t[0], t[1]), {}).setdefault(t[2], []).append(
+            (t[3], t[4], t[5], t[6])
+        )
 
     def vals(node, p):
         return spo.get(node, {}).get(p, [])
+
+    def fvals(node, p):
+        return spo_full.get(node, {}).get(p, [])
+
+    components = _parse_components(spo, vals)
 
     def parse_block(bnode) -> PropertyShape:
         """A value-level constraint block (the operand form of sh:or /
@@ -171,12 +198,127 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
                     setattr(ps, attr, int(v[0][1]))
             _fill_facets(ps, pnode, vals, parse_block)
             ns.properties.append(ps)
+            for comp in components:
+                ns.sparql.extend(_instantiate_component(
+                    comp, pnode, fvals, "prop", path=ps.path))
         for ck, cv in vals(node, SH + "sparql"):
             sc = _parse_sparql_constraint(spo, vals, (ck, cv))
             if sc is not None:
                 ns.sparql.append(sc)
+        for comp in components:
+            ns.sparql.extend(_instantiate_component(comp, node, fvals, "node"))
         shapes.append(ns)
     return shapes
+
+
+def _parse_components(spo, vals) -> list[SparqlComponent]:
+    """sh:ConstraintComponent declarations → SparqlComponent list
+    (parser/ConstraintComponents.java): sh:parameter blocks give the
+    parameter predicates (variable name = the path IRI's local name,
+    Parameter.getSparqlName), sh:nodeValidator / sh:propertyValidator /
+    generic sh:validator give the SELECT validators. ASK validators are
+    skipped (documented out — see SparqlComponent)."""
+    out = []
+    for node, props in spo.items():
+        if not any(v == SH + "ConstraintComponent"
+                   for _, v in props.get(RDF_TYPE, [])):
+            continue
+        params = []
+        for pk, pv in vals(node, SH + "parameter"):
+            pnode = (pk, pv)
+            path = vals(pnode, SH + "path")
+            if not path:
+                continue
+            pred = path[0][1]
+            var = pred.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+            opt = vals(pnode, SH + "optional")
+            params.append((pred, var, bool(opt and opt[0][1] == "true")))
+        if not params:
+            continue
+        comp = SparqlComponent(name=node[1], params=params)
+
+        def select_of(vnode):
+            sel = vals(vnode, SH + "select")
+            if not sel:
+                return None
+            msg = vals(vnode, SH + "message")
+            query = "\n".join(
+                _prefix_lines(spo, vals, vnode) + [sel[0][1]])
+            return (query, msg[0][1] if msg else None)
+
+        for key, attr in [("nodeValidator", "node_select"),
+                          ("propertyValidator", "prop_select"),
+                          ("validator", None)]:
+            for vk, vv in vals(node, SH + key):
+                got = select_of((vk, vv))
+                if got is None:
+                    continue
+                if attr is not None:
+                    setattr(comp, attr, got)
+                else:  # generic validator: fills both unset slots
+                    if comp.node_select is None:
+                        comp.node_select = got
+                    if comp.prop_select is None:
+                        comp.prop_select = got
+        if comp.node_select or comp.prop_select:
+            out.append(comp)
+    return out
+
+
+def _term_text(kind, lex, dt="", lang=""):
+    """A parse-result term → SPARQL term text (for substituting a
+    component parameter binding into the validator query)."""
+    from ..model import XSD_STRING
+
+    if kind == KIND_IRI:
+        return f"<{lex}>"
+    if kind == KIND_BNODE:
+        return f"_:{lex}"
+    esc = (lex.replace("\\", "\\\\").replace('"', '\\"')
+           .replace("\n", "\\n").replace("\r", "\\r"))
+    if lang:
+        return f'"{esc}"@{lang}'
+    if dt and dt != XSD_STRING:
+        return f'"{esc}"^^<{dt}>'
+    return f'"{esc}"'
+
+
+def _instantiate_component(comp: SparqlComponent, node, fvals, kind: str,
+                           path: str | None = None) -> list[SparqlConstraint]:
+    """One SparqlConstraint per combination of the shape's parameter
+    values (ConstraintComponentSPARQL: parameter bindings substituted
+    into the component query as constants, $PATH as the property path;
+    a shape missing a MANDATORY parameter does not invoke the
+    component). Optional parameters referenced by the query but absent
+    on the shape stay free — pair them with COALESCE in the validator."""
+    import itertools
+
+    sel = comp.node_select if kind == "node" else comp.prop_select
+    if sel is None:
+        return []
+    bindings: dict[str, list] = {}
+    for pred, var, optional in comp.params:
+        vs = fvals(node, pred)
+        if not vs:
+            if not optional:
+                return []  # mandatory parameter missing: not invoked
+            continue
+        bindings[var] = vs
+    if not bindings:
+        return []
+    query, msg = sel
+    out = []
+    keys = sorted(bindings)
+    for combo in itertools.product(*(bindings[k] for k in keys)):
+        qtext = query
+        for k, term in zip(keys, combo):
+            qtext = re.sub(r"[?$]" + re.escape(k) + r"\b",
+                           _term_text(*term).replace("\\", "\\\\"), qtext)
+        if path is not None:
+            qtext = qtext.replace("$PATH", f"<{path}>")
+        qtext = re.sub(r"\$([A-Za-z_]\w*)", r"?\1", qtext)
+        out.append(SparqlConstraint(query=qtext, message=msg))
+    return out
 
 
 def _parse_sparql_constraint(spo, vals, cnode):
@@ -196,17 +338,24 @@ def _parse_sparql_constraint(spo, vals, cnode):
     if not sel:
         raise ValueError("sh:sparql block without sh:select")
     query = sel[0][1]
-    prefix_lines = []
-    for pk, pv in vals(cnode, SH + "prefixes"):
+    query = "\n".join(_prefix_lines(spo, vals, cnode)
+                      + [re.sub(r"\$([A-Za-z_]\w*)", r"?\1", query)])
+    msg = vals(cnode, SH + "message")
+    return SparqlConstraint(query=query, message=msg[0][1] if msg else None)
+
+
+def _prefix_lines(spo, vals, node) -> list[str]:
+    """sh:prefixes → PREFIX lines (ShLib.extractSPARQLQuery): the named
+    resource's sh:declare blocks carry sh:prefix / sh:namespace."""
+    out = []
+    for pk, pv in vals(node, SH + "prefixes"):
         for dk, dv in vals((pk, pv), SH + "declare"):
             dnode = (dk, dv)
             pfx = vals(dnode, SH + "prefix")
             ns_ = vals(dnode, SH + "namespace")
             if pfx and ns_:
-                prefix_lines.append(f"PREFIX {pfx[0][1]}: <{ns_[0][1]}>")
-    query = "\n".join(prefix_lines + [re.sub(r"\$([A-Za-z_]\w*)", r"?\1", query)])
-    msg = vals(cnode, SH + "message")
-    return SparqlConstraint(query=query, message=msg[0][1] if msg else None)
+                out.append(f"PREFIX {pfx[0][1]}: <{ns_[0][1]}>")
+    return out
 
 
 def _check_value(ps: PropertyShape, o_kind, o_lex, o_datatype, ctx):
@@ -566,11 +715,11 @@ def _sparql_violations(triples_ds, shapes: list[NodeShape]):
     return out
 
 
-def validate(triples_ds, shapes_ttl: str):
+def validate(triples_ds, shapes_ttl: str, base: str = ""):
     """Violations Dataset (focus, path, constraint, detail)."""
     import ray
 
-    shapes = parse_shapes(shapes_ttl)
+    shapes = parse_shapes(shapes_ttl, base=base)
     ctx = {
         "classes": _class_extents(triples_ds, _collect_classes(shapes)),
         "nodes": {},

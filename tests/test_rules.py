@@ -225,3 +225,28 @@ def test_novalue_negation_as_failure():
     status = {(r["s_lex"], r["o_lex"]) for r in out.take_all()
               if r["p"] == E + "status"}
     assert status == {(E + "a", "vip"), (E + "b", "default")}
+
+
+def test_backward_rule_forward_compiles():
+    """`head <- body` parses and derives the same facts as its forward
+    twin (pure-Datalog forward compilation; LPBackwardRuleReasoner)."""
+    bwd = parse_rules(
+        "[r: (?a <uncle> ?c) <- (?a <parent> ?b) (?b <brother> ?c)]")
+    fwd = parse_rules(
+        "[r: (?a <parent> ?b) (?b <brother> ?c) -> (?a <uncle> ?c)]")
+    assert bwd == fwd
+
+
+def test_backward_rule_with_guard():
+    rules = parse_rules(
+        "[r: (?a <big> 'y') <- (?a <size> ?s) ge(?s 10)]")
+    (r,) = rules
+    assert [g.name for g in r.guards] == ["ge"]
+    assert len(r.body) == 1 and len(r.head) == 1
+
+
+def test_backward_rule_head_builtin_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="HEAD"):
+        parse_rules("[r: (?a <p> ?b) ge(?b 1) <- (?a <q> ?b)]")

@@ -259,3 +259,67 @@ def test_validate_sparql_target_node_and_path():
         (E + "n1", "sparql")
     ]
     assert report[0]["detail"] == "sh:sparql constraint violation"
+
+
+def _fixture_table(path):
+    """Reference SHACL test fixture (shapes == data graph) → triple
+    table via the repo's own Turtle parser."""
+    from jena_ray.rdf.turtle import parse_turtle
+
+    text = open(path, encoding="utf-8").read()
+    cols = {name: [] for name in TRIPLE_SCHEMA.names}
+    for (sk, sl, p, ok, ol, od, olang, g) in parse_turtle(
+            text, base="file://" + path):
+        cols["s_kind"].append(sk)
+        cols["s_lex"].append(sl)
+        cols["p"].append(p)
+        cols["o_kind"].append(ok)
+        cols["o_lex"].append(ol)
+        cols["o_datatype"].append(od)
+        cols["o_lang"].append(olang)
+        cols["g"].append(g)
+        cols["doc_id"].append("d")
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
+        schema=TRIPLE_SCHEMA)
+
+
+COMPONENT_DIR = "/root/reference/jena-shacl/src/test/files/std/sparql/component"
+NV = "http://datashapes.org/sh/tests/sparql/component/nodeValidator-001.test#"
+PV = "http://datashapes.org/sh/tests/sparql/component/propertyValidator-select-001.test#"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_component_node_validator_reference_fixture():
+    """jena-shacl std/sparql/component/nodeValidator-001.ttl: a
+    parameterized component (required + optional param) with a SELECT
+    nodeValidator; expected report flags ex:InvalidResource1 only."""
+    import ray.data as rd
+
+    path = COMPONENT_DIR + "/nodeValidator-001.ttl"
+    shapes_ttl = open(path, encoding="utf-8").read()
+    shapes = parse_shapes(shapes_ttl, base="file://" + path)
+    (ts,) = [s for s in shapes if s.sparql]
+    assert 'ex:property "Value"' in ts.sparql[0].query or \
+        '<' + NV + 'property> "Value"' in ts.sparql[0].query
+    report = validate(
+        rd.from_arrow(_fixture_table(path)), shapes_ttl,
+        base="file://" + path).take_all()
+    focuses = {r["focus"] for r in report}
+    assert focuses == {NV + "InvalidResource1"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_component_property_validator_reference_fixture():
+    """jena-shacl std/sparql/component/propertyValidator-select-001.ttl:
+    $PATH + $lang substitution into a SELECT propertyValidator; expected
+    report flags ex:InvalidCountry1 for both label properties."""
+    import ray.data as rd
+
+    path = COMPONENT_DIR + "/propertyValidator-select-001.ttl"
+    shapes_ttl = open(path, encoding="utf-8").read()
+    report = validate(
+        rd.from_arrow(_fixture_table(path)), shapes_ttl,
+        base="file://" + path).take_all()
+    rows = [(r["focus"], r["constraint"]) for r in report]
+    assert sorted(rows) == [(PV + "InvalidCountry1", "sparql")] * 2

@@ -349,7 +349,7 @@ def test_bind_rejects_rebinding():
     PREFIX ex: <http://ex/>
     SELECT ?x WHERE { ?x ex:age ?n . BIND("x" AS ?n) }
     """
-    with pytest.raises(RDFParseError, match="reassigns"):
+    with pytest.raises(RDFParseError, match="in scope|reassigns"):
         sparql_select(G(ROWS), q)
 
 

@@ -262,7 +262,7 @@ def test_w3c_sparql_eval(sparql_eval):
         # entailment-regime tests: evaluate under RDFS materialization
         # when the test's regime list admits it; other regimes (OWL
         # direct semantics etc.) are out of subset
-        if "RDFS" not in test.regimes and "RDF" not in test.regimes:
+        if not {"RDFS", "RDF", "D"} & set(test.regimes):
             pytest.skip(
                 f"entailment regime out of subset: {test.regimes}")
         store = _rdfs_closure(store)

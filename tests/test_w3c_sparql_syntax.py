@@ -31,16 +31,10 @@ SUITES = [
 ]
 
 # negative-syntax tests the subset parser still accepts (validation the
-# engine does not implement — documented conformance gaps)
-KNOWN_ACCEPTED = {
-    "syntax-BINDscope6.rq": "BIND in-scope-variable validation",
-    "syntax-BINDscope7.rq": "BIND in-scope-variable validation",
-    "syntax-BINDscope8.rq": "BIND in-scope-variable validation",
-    "syntax-SELECTscope2": "subquery SELECT-scope validation",
-    "syn-bad-pname-08": "prefixed-name character validation",
-    "\\u unicode codepoint escaping in literal using partial surrogate "
-    "pair": "surrogate-pair escape validation",
-}
+# engine does not implement — documented conformance gaps).
+# Round 4 closed the previous six: BIND/SELECT scope validation
+# (_validate_scopes), PN_LOCAL colon handling, surrogate escapes.
+KNOWN_ACCEPTED: dict = {}
 
 
 def _all_tests():
