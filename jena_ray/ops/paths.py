@@ -301,6 +301,58 @@ def _inv_push(p: Path) -> Path:
     raise TypeError(f"unknown path node {p!r}")
 
 
+# Below this many step pairs, a SEEDED closure runs in-memory on the
+# driver (same constant as transitive_pairs.driver_threshold)
+CLOSURE_DRIVER_THRESHOLD = 1_000_000
+
+
+def _small_seed_list(seeds):
+    """Seeds as a list of node strings when driver-sized, else None."""
+    if not _is_ds(seeds):
+        return sorted(set(seeds))
+    from ..util import fast_count
+
+    n, seeds = fast_count(seeds)
+    if n > CLOSURE_DRIVER_THRESHOLD:
+        return None
+    out = []
+    for b in seeds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        col = "node" if "node" in b.schema.names else b.schema.names[0]
+        out.extend(b[col].to_pylist())
+    return sorted(set(out))
+
+
+def _closure_driver(step_pairs, seed_list, include_zero: bool):
+    """Driver BFS over a materialized (start, end) step relation from a
+    seed list → (start, end) reachability pairs (deterministic order)."""
+    import ray.data as rd
+
+    succ: dict[str, list] = {}
+    for b in step_pairs.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+        for s, e in zip(b["start"].to_pylist(), b["end"].to_pylist()):
+            succ.setdefault(s, []).append(e)
+    starts, ends = [], []
+    for seed in seed_list:
+        seen: set = set()
+        stack = list(succ.get(seed, ()))
+        while stack:
+            y = stack.pop()
+            if y in seen:
+                continue
+            seen.add(y)
+            stack.extend(succ.get(y, ()))
+        if include_zero:
+            seen.add(seed)
+        for y in sorted(seen):
+            starts.append(seed)
+            ends.append(y)
+    return rd.from_arrow(pa.table({
+        "start": pa.array(starts, pa.large_string()),
+        "end": pa.array(ends, pa.large_string()),
+    }))
+
+
 def _closure(edges_ds, step: Path, seeds, include_zero: bool,
              max_rounds: int | None = None):
     """Seeded semi-naive reachability over one path step (to fixpoint).
@@ -311,7 +363,26 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
     round: materializing p∘q unseeded is a join whose size is unrelated
     to the reachable set and can explode quadratically."""
     seeded_step = _step_needs_seeding(step)
-    step_pairs = None if seeded_step else eval_path(edges_ds, step)
+    # bag=True: the step relation needs no up-front distinct — the BFS
+    # visits once regardless, and the iterative loop's min-tag merge
+    # dedups every round (one groupby of pure overhead saved)
+    step_pairs = None if seeded_step else eval_path(edges_ds, step, bag=True)
+    if step_pairs is not None:
+        from ..util import fast_count
+
+        n_step, step_pairs = fast_count(step_pairs)
+        # max_rounds is a ROUND-count contract (raise, never truncate)
+        # that only the iterative realization can honor
+        seed_list = None if max_rounds is not None else _small_seed_list(seeds)
+        if n_step <= CLOSURE_DRIVER_THRESHOLD and seed_list is not None:
+            # strategy switch (same shape as transitive_pairs /
+            # sameas.components_driver, and the same documented
+            # threshold): below it, each DISTRIBUTED round costs
+            # several fixed-overhead executions that dwarf the data —
+            # run the BFS on the driver over the materialized step
+            # relation instead. The distributed semi-naive loop below
+            # remains the 100×-scale path.
+            return _closure_driver(step_pairs, seed_list, include_zero)
 
     def apply_step(frontier_pairs):
         if seeded_step:
@@ -321,7 +392,9 @@ def _closure(edges_ds, step: Path, seeds, include_zero: bool,
             )
         else:
             stepped = step_pairs
-        return _join_seq(frontier_pairs, stepped)
+        # distinct=False: the min-tag merge dedups every round anyway —
+        # a per-step _distinct is one full groupby of pure overhead
+        return _join_seq(frontier_pairs, stepped, distinct=False)
 
     zero = compact_blocks(_distinct(_seeds_ds(seeds)))
     # first application restricted to the seeds (identity ⋈ step)
@@ -401,8 +474,18 @@ def transitive_pairs(pairs_ds, max_rounds: int | None = None,
     closure runs in-memory on the driver — each distributed round costs
     several fixed-overhead executions, which dominates small relations —
     and the iterative Dataset algebra handles the large case."""
-    base = _distinct(pairs_ds)
-    if base.count() <= driver_threshold:
+    from ..util import fast_count
+
+    # count the RAW pairs first: the driver path dedups for free while
+    # building its succ sets, so the _distinct shuffle is only paid on
+    # the distributed path (raw count ≥ distinct count keeps the
+    # threshold decision conservative)
+    n_raw, pairs_ds = fast_count(pairs_ds)
+    if n_raw <= driver_threshold:
+        base = pairs_ds
+    else:
+        base = _distinct(pairs_ds)
+    if n_raw <= driver_threshold:
         import ray.data as rd
 
         succ: dict[str, set] = {}
@@ -496,7 +579,18 @@ def eval_path(edges_ds, path: Path, seeds=None, max_rounds: int | None = None,
     operator form. ``bag=True`` preserves multiplicities for the
     non-closure operators (SPARQL §18.4 path semantics: Alt is multiset
     union, Seq multiplies multiplicities — W3C pp31); the closure forms
-    * + ? are distinct by definition (ZeroOrMorePath etc.) either way."""
+    * + ? are distinct by definition (ZeroOrMorePath etc.) either way.
+
+    The edge Dataset is MATERIALIZED once per eval tree (a sentinel
+    attribute marks it): every Link/NegSet arm scans it, and a lazy
+    pipeline would re-execute the upstream read per arm and per
+    closure round."""
+    if not getattr(edges_ds, "_jr_materialized", False):
+        edges_ds = compact_blocks(edges_ds)
+        try:
+            edges_ds._jr_materialized = True
+        except AttributeError:  # exotic Dataset subclass with __slots__
+            pass
     if isinstance(path, Link):
         lit = path.p
 

@@ -72,14 +72,30 @@ def q_agg_groupby(sf_dir: str):
             .append_column("qty_centi", qty_c)
         )
 
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        # combiner: per-batch arrow group_by BEFORE the shuffle — the
+        # group count is tiny (~6), so each 6M-row scan ships a
+        # handful of rows into the global groupby instead of the
+        # whole table (partial aggregation; SURVEY §7 "pre-aggregate
+        # inside map_batches")
+        g = b.group_by(keys).aggregate(
+            [("qty_centi", "sum"), ("rev_cents", "sum"),
+             ("disc_micros", "sum"), ("qty_centi", "count")]
+        )
+        return g.rename_columns(
+            keys + ["sum_qty_centi", "revenue_cents", "disc_micros", "cnt"])
+
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
         .aggregate(
-            Sum("qty_centi", alias_name="sum_qty_centi"),
-            Sum("rev_cents", alias_name="revenue_cents"),
+            Sum("sum_qty_centi", alias_name="sum_qty_centi"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
             Sum("disc_micros", alias_name="disc_micros"),
-            Count(alias_name="cnt"),
+            Sum("cnt", alias_name="cnt"),
         )
     )
 
