@@ -104,7 +104,7 @@ _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
         (?P<pname>[^\W\d](?:[\w\-.]*[\w-])?:(?:[\w\-.:]*[\w\-:])?|:(?:[\w\-.:]*[\w\-:])?) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|a)\b) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|FOLD|UNFOLD|a)\b) |
         (?P<var>[?$][A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
         (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?) |
@@ -566,6 +566,40 @@ class _Parser:
                         alias = self.expect("var")[1:]
                         self.expect("op", ")")
                         proj.append(("agg", fn, var, alias, agg_distinct, sep))
+                    elif fn == "FOLD":
+                        # FOLD(?v) / FOLD(DISTINCT ?v) / FOLD(?v ORDER BY
+                        # [DESC(]?o[)]) → cdt:List; FOLD(?k, ?v ...) →
+                        # cdt:Map (the fork's AggFoldList/AggFoldMap)
+                        self.next()
+                        self.expect("op", "(")
+                        agg_distinct = self.kw("DISTINCT")
+                        v1 = self.expect("var")[1:]
+                        var2 = None
+                        if self.peek() == ("op", ","):
+                            self.next()
+                            var2 = self.expect("var")[1:]
+                        order = None
+                        if self.kw("ORDER"):
+                            self.expect("kw", "BY")
+                            odesc = False
+                            if self.kw("DESC"):
+                                odesc = True
+                                self.expect("op", "(")
+                                ov = self.expect("var")[1:]
+                                self.expect("op", ")")
+                            elif self.kw("ASC"):
+                                self.expect("op", "(")
+                                ov = self.expect("var")[1:]
+                                self.expect("op", ")")
+                            else:
+                                ov = self.expect("var")[1:]
+                            order = (ov, odesc)
+                        self.expect("op", ")")
+                        self.expect("kw", "AS")
+                        alias = self.expect("var")[1:]
+                        self.expect("op", ")")
+                        proj.append(("agg", "FOLD", v1, alias, agg_distinct,
+                                     {"var2": var2, "order": order}))
                     else:
                         # SELECT (expr AS ?v) — a non-aggregate projection
                         # expression, desugared into a trailing BIND
@@ -769,6 +803,20 @@ class _Parser:
                             "SPARQL: FILTER needs (expr), a builtin, or "
                             "a function call")
                     filters.append(self.parse_primary())
+            elif self.kw("UNFOLD"):
+                # UNFOLD( ?cdt AS ?v1 [, ?v2] ) — the fork's CDT clause:
+                # one solution per list element (v2 = 1-based index) or
+                # map entry (v1 = key, v2 = value)
+                self.expect("op", "(")
+                src = self.expect("var")[1:]
+                self.expect("kw", "AS")
+                v1 = self.expect("var")[1:]
+                v2 = None
+                if self.peek() == ("op", ","):
+                    self.next()
+                    v2 = self.expect("var")[1:]
+                self.expect("op", ")")
+                elements.append(("unfold", src, v1, v2))
             elif self.kw("OPTIONAL"):
                 g2 = self.parse_group()
                 _close_labels(_sub_labels(g2))
@@ -1897,114 +1945,329 @@ def _var_col(t: pa.Table, name: str):
 
 
 _CDT_FNS = {"get", "size", "concat", "contains", "containsKey",
-            "containsTerm", "head", "tail", "keys", "reverse"}
+            "containsTerm", "head", "tail", "keys", "reverse",
+            "subseq", "put", "remove", "merge", "List", "Map"}
+
+# sentinel: an UNBOUND argument (distinct from a CDT null element)
+_CDT_UNBOUND = object()
+
+
+def _cdt_term_of(lex, cls, dt, lang):
+    """One evaluated argument → a cdt.py term tuple (kind, lex, dt,
+    lang), a nested list/dict for CDT composites, or _CDT_UNBOUND."""
+    from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL
+    from ..rdf.cdt import (CDT_LIST, CDT_MAP, parse_cdt_list,
+                           parse_cdt_map)
+
+    if lex is None:
+        return _CDT_UNBOUND
+    if dt == CDT_LIST:
+        return parse_cdt_list(lex)
+    if dt == CDT_MAP:
+        return parse_cdt_map(lex)
+    if cls == _CLS_IRI:
+        return (KIND_IRI, lex, "", "")
+    if cls == _CLS_BNODE:
+        return (KIND_BNODE, lex, "", "")
+    if cls == _CLS_NUM and not dt:
+        # numeric expression result (arith/strlen): typed per lexical
+        from ..model import XSD_NS
+
+        dt = XSD_NS + ("integer" if re.fullmatch(r"[+-]?\d+", lex)
+                       else "decimal")
+    return (KIND_LITERAL, lex, dt or "", lang or "")
+
+
+def _cdt_value_key(term):
+    """Value-space identity for map keys / contains checks: numeric
+    literals normalize across lexical forms; plain ≡ xsd:string; lang
+    tags case-fold (CompositeDatatypeMap key identity)."""
+    from ..model import KIND_LITERAL, XSD_STRING
+
+    from ..model import RDF_LANGSTRING
+
+    if term is None or isinstance(term, (list, dict)):
+        raise ValueError("composite/null is not an atomic key")
+    kind, lex, dt, lang = term
+    if kind == KIND_LITERAL and not lang:
+        if dt in _NUMERIC_DTS or dt == "":
+            try:
+                f = float(lex)
+                return ("num", int(f) if f == int(f) else f)
+            except ValueError:
+                pass
+        if dt == XSD_STRING:
+            dt = ""
+    if lang:  # lang literal: datatype is rdf:langString by definition
+        dt = RDF_LANGSTRING
+    return (kind, lex, dt, (lang or "").lower())
+
+
+def _cdt_term_key(term):
+    """TERM identity for map keys (CompositeDatatypeMap: keys are
+    unique RDF terms — '02'^^xsd:integer and 2 are DISTINCT keys;
+    plain ≡ xsd:string is the one abstract-syntax identification)."""
+    from ..model import KIND_LITERAL, RDF_LANGSTRING, XSD_STRING
+
+    if term is None or isinstance(term, (list, dict)):
+        raise ValueError("composite/null is not an atomic key")
+    kind, lex, dt, lang = term
+    if kind == KIND_LITERAL and dt == XSD_STRING and not lang:
+        dt = ""
+    if lang:
+        dt = RDF_LANGSTRING
+    return (kind, lex, dt, (lang or "").lower())
 
 
 def _apply_cdt(fn: str, row: tuple):
-    """One row of a cdt:* call (GetFct.java, ConcatFct.java,
-    ContainsFct.java, ContainsKeyFct.java, HeadFct.java, TailFct.java,
-    KeysFct.java, SizeFct.java, ReverseFct.java semantics over the
-    engine's lexical value convention). Raises on error → null."""
-    from ..rdf.cdt import (format_cdt_list, parse_cdt_list, parse_cdt_map)
+    """One row of a cdt:* call (function/library/cdt/*.java semantics:
+    GetFct, ConcatFct, ContainsFct, ContainsKeyFct, HeadFct, TailFct,
+    KeysFct, SizeFct, ReverseFct, SubSeqFct, PutFct, RemoveFct,
+    MergeFct, ListFct, MapFct). Arguments are cdt term tuples / nested
+    structures; raises on error → null."""
+    from ..model import KIND_BNODE, KIND_LITERAL, XSD_NS as XSD
+    from ..rdf.cdt import format_cdt_list, format_cdt_map
 
-    def as_lex(x):
-        if isinstance(x, float) and x == int(x):
-            return str(int(x))
-        return str(x)
+    def want_list(x):
+        # only a parsed composite qualifies (an untyped string is NOT a
+        # cdt:List — get-error-01); dt-typed args were parsed upstream
+        if isinstance(x, list):
+            return x
+        raise ValueError("not a cdt:List")
+
+    def want_map(x):
+        if isinstance(x, dict):
+            return x
+        raise ValueError("not a cdt:Map")
+
+    _INT_DTS = {XSD + s for s in (
+        "integer", "int", "long", "short", "byte", "nonNegativeInteger",
+        "positiveInteger", "nonPositiveInteger", "negativeInteger",
+        "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte")}
+
+    def want_int(x):
+        # an xsd:integer-family term (GetFct/SubSeqFct type-check:
+        # 2.0 is NOT a valid index even though its value is integral)
+        if (isinstance(x, tuple) and x[0] == KIND_LITERAL
+                and (x[2] in _INT_DTS
+                     or (not x[2] and re.fullmatch(r"[+-]?\d+", x[1])))):
+            return int(x[1])
+        raise ValueError("not an integer")
 
     def elem_out(e):
-        # element → the engine's lexical convention (nested CDT values
-        # re-serialize canonically)
-        from ..rdf.cdt import _fmt_term
-
+        # element → an ("ELEM", term) marker: the caller re-attaches
+        # per-row term metadata (kind/dt/lang); null element → unbound
         if e is None:
             raise ValueError("null element")
-        if isinstance(e, (list, dict)):
-            return _fmt_term(e)
-        return e[1]
+        return ("ELEM", e)
 
-    def container(lex):
-        try:
-            return parse_cdt_list(lex)
-        except Exception:
-            return parse_cdt_map(lex)
-
-    if any(x is None for x in row):
+    if fn == "List":  # constructor: unbound args become null elements
+        return format_cdt_list(
+            [None if x is _CDT_UNBOUND else x for x in row])
+    if fn == "Map":  # constructor: (k1, v1, k2, v2, ...), later key wins
+        if len(row) % 2:
+            raise ValueError("cdt:Map needs key/value pairs")
+        out: dict = {}
+        seen: dict = {}
+        for i in range(0, len(row), 2):
+            k, v = row[i], row[i + 1]
+            if k is _CDT_UNBOUND or (
+                    isinstance(k, tuple) and k[0] == KIND_BNODE):
+                # unbound / blank-node KEY: the pair is skipped (MapFct —
+                # a bnode is not a valid map key)
+                continue
+            if isinstance(k, (list, dict)):
+                raise ValueError("bad map key")
+            kk = _cdt_term_key(k)
+            if kk in seen:
+                del out[seen[kk]]
+            seen[kk] = k
+            out[k] = None if v is _CDT_UNBOUND else v
+        return format_cdt_map(out)
+    if fn == "put":
+        # an unbound VALUE becomes a null entry (PutFct); unbound
+        # container/key stay errors
+        if row[0] is _CDT_UNBOUND or row[1] is _CDT_UNBOUND:
+            raise ValueError("unbound argument")
+        m = dict(want_map(row[0]))
+        k = row[1]
+        # 2-arg form / unbound value → null entry (PutFct)
+        v = None if len(row) < 3 or row[2] is _CDT_UNBOUND else row[2]
+        if isinstance(k, (list, dict)):
+            raise ValueError("composite map key")
+        if isinstance(k, tuple) and k[0] == KIND_BNODE:
+            raise ValueError("bnode map key")
+        kk = _cdt_term_key(k)
+        for old in list(m):
+            if _cdt_term_key(old) == kk:
+                del m[old]
+        m[k] = v
+        return format_cdt_map(m)
+    if any(x is _CDT_UNBOUND for x in row):
         raise ValueError("unbound argument")
     if fn == "size":
-        c = container(row[0])
-        return len(c)
+        if not isinstance(row[0], (list, dict)):
+            raise ValueError("size needs a cdt:List or cdt:Map")
+        return len(row[0])
     if fn == "concat":
         out = []
-        for lex in row:
-            out.extend(parse_cdt_list(lex))
+        for x in row:
+            out.extend(want_list(x))
         return format_cdt_list(out)
     if fn == "get":
-        c = container(row[0])
+        c = row[0]
         if isinstance(c, dict):
-            key = as_lex(row[1])
+            key = _cdt_term_key(row[1])
             for k, v in c.items():
-                if k[1] == key:
+                if _cdt_term_key(k) == key:
                     return elem_out(v)
             raise ValueError("no such key")
-        i = int(float(row[1]))
+        i = want_int(row[1])
+        c = want_list(c)
         if not 1 <= i <= len(c):  # 1-based (GetFct)
             raise ValueError("index out of range")
         return elem_out(c[i - 1])
     if fn in ("contains", "containsTerm"):
-        vals = parse_cdt_list(row[0])
-        key = as_lex(row[1])
-        return any(v is not None and not isinstance(v, (list, dict))
-                   and v[1] == key for v in vals)
+        from ..rdf.cdt import _elem_same
+
+        vals = want_list(row[0])
+        unknown = False
+        for v in vals:
+            try:
+                if _elem_same(v, row[1]):
+                    return True
+            except Exception:
+                if (isinstance(v, tuple) and v[0] == KIND_BNODE
+                        and isinstance(row[1], tuple)
+                        and row[1][0] == KIND_BNODE):
+                    continue  # bnode membership is sameTerm: a distinct
+                    # label is a definite miss (ContainsFct)
+                unknown = True
+        if unknown:
+            raise ValueError("membership unknown")
+        return False
     if fn == "containsKey":
-        m = parse_cdt_map(row[0])
-        key = as_lex(row[1])
-        return any(k[1] == key for k in m)
+        m = want_map(row[0])
+        key = _cdt_term_key(row[1])
+        return any(_cdt_term_key(k) == key for k in m)
     if fn == "head":
-        vals = parse_cdt_list(row[0])
+        vals = want_list(row[0])
         if not vals:
             raise ValueError("head of empty list")
         return elem_out(vals[0])
     if fn == "tail":
-        vals = parse_cdt_list(row[0])
+        vals = want_list(row[0])
         if not vals:
             raise ValueError("tail of empty list")
         return format_cdt_list(vals[1:])
     if fn == "reverse":
-        return format_cdt_list(list(reversed(parse_cdt_list(row[0]))))
+        return format_cdt_list(list(reversed(want_list(row[0]))))
+    if fn == "subseq":
+        vals = want_list(row[0])
+        start = want_int(row[1])
+        length = want_int(row[2]) if len(row) > 2 else len(vals) - start + 1
+        if start < 1 or length < 0 or start + length - 1 > len(vals):
+            raise ValueError("subseq out of range")
+        return format_cdt_list(vals[start - 1:start - 1 + length])
     if fn == "keys":
-        return format_cdt_list(list(parse_cdt_map(row[0]).keys()))
+        return format_cdt_list(list(want_map(row[0]).keys()))
+    if fn == "remove":
+        if isinstance(row[1], tuple) and row[1][0] == KIND_BNODE:
+            # a bnode is never a map key: by definition the input term
+            # is returned UNCHANGED (RemoveFct special case)
+            return ("PASSTHROUGH", 0)
+        m = dict(want_map(row[0]))
+        kk = _cdt_term_key(row[1])
+        for old in list(m):
+            if _cdt_term_key(old) == kk:
+                del m[old]
+        return format_cdt_map(m)
+    if fn == "merge":
+        m1, m2 = want_map(row[0]), want_map(row[1])
+        out = dict(m1)
+        keys1 = {_cdt_term_key(k) for k in m1}
+        for k, v in m2.items():
+            if _cdt_term_key(k) not in keys1:
+                out[k] = v
+        return format_cdt_map(out)
     raise ValueError(f"unknown cdt fn {fn}")
 
 
-def _eval_cdtfn(node, t: pa.Table):
+def _eval_cdtfn(node, t: pa.Table, with_meta: bool = False):
     """cdt:* library call over a binding batch. CDT literals are nested
     term structures, so the kernel is per-VALUE structural (not an
     Arrow kernel); errors yield null per SPARQL error semantics.
     Results: size → numeric, contains/containsKey → boolean, others →
-    the engine's lexical convention."""
+    the engine's lexical convention (CDT outputs canonical).
+    ``with_meta=True`` additionally returns per-row (kind, dt, lang)
+    arrays — get/head elements keep their term identity (a blank-node
+    element stays a blank node through BIND)."""
+    from ..rdf.cdt import CDT_LIST, CDT_MAP
+
     fn, args = node[1], node[2]
     n = t.num_rows
     cols = []
     for a in args:
-        v = _eval_value(a, t)
-        if isinstance(v, pa.Scalar):
-            cols.append([v.as_py()] * n)
-        else:
-            arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
-            cols.append(arr.to_pylist())
+        S = _eq_side(a, t)
+        lex = S["lex"].to_pylist()
+        cls = S["cls"].to_pylist()
+        dt = S["dt"].to_pylist()
+        lang = S["lang"].to_pylist()
+        # a statically CDT-typed expression (nested cdt:List(...) /
+        # typed literal) parses as a nested structure even when the
+        # generic classifier lost the datatype
+        static = _expr_static_meta(a)
+        sdt = static[1] if static else None
+        if sdt in (CDT_LIST, CDT_MAP):
+            dt = [sdt] * n
+        cols.append(list(zip(lex, cls, dt, lang)))
+    from ..model import KIND_LITERAL
+    from ..rdf.cdt import format_cdt_list, format_cdt_map
+
     out = []
-    for row in (zip(*cols) if cols else [()] * n):
+    kinds: list = []
+    dts: list = []
+    langs: list = []
+    for i in range(n):
+        kind = dt = lang = None
         try:
-            out.append(_apply_cdt(fn, row))
+            row = tuple(_cdt_term_of(*c[i]) for c in cols)
+            res = _apply_cdt(fn, row)
+            if isinstance(res, tuple) and res[0] == "PASSTHROUGH":
+                res = cols[res[1]][i][0]  # input lexical unchanged
+                kind, dt, lang = KIND_LITERAL, CDT_MAP, ""
+            elif isinstance(res, tuple) and res[0] == "ELEM":
+                e = res[1]
+                if isinstance(e, list):
+                    res, kind, dt, lang = (format_cdt_list(e),
+                                           KIND_LITERAL, CDT_LIST, "")
+                elif isinstance(e, dict):
+                    res, kind, dt, lang = (format_cdt_map(e),
+                                           KIND_LITERAL, CDT_MAP, "")
+                else:
+                    kind, res, dt, lang = e
+            out.append(res)
         except Exception:
             out.append(None)
+        kinds.append(kind)
+        dts.append(dt or "")
+        langs.append(lang or "")
     if fn == "size":
         return pa.array(
             [float(x) if x is not None else None for x in out], pa.float64())
     if fn in ("contains", "containsKey", "containsTerm"):
         return pa.array(out, pa.bool_())
-    return pa.array(out, pa.large_string())
+    lex_arr = pa.array(out, pa.large_string())
+    if with_meta:
+        static = _expr_static_meta(node)
+        if static is not None:
+            kinds = [static[0] if x is not None else None for x in out]
+            dts = [static[1] if x is not None else "" for x in out]
+            langs = [static[2] if x is not None else "" for x in out]
+        return (lex_arr, pa.array(kinds, pa.int8()),
+                pa.array(dts, pa.large_string()),
+                pa.array(langs, pa.large_string()))
+    return lex_arr
 
 
 def _eval_value(node, t: pa.Table):
@@ -2620,6 +2883,14 @@ def _classify_var(v: str, t: pa.Table) -> dict:
             "tz": tzb, "tprim": tprim}
 
 
+def _classify_term_arrays(lex, kind, dt, lang) -> dict:
+    """Classify per-row term arrays (lex, kind, dt, lang) — reuses the
+    variable classifier over a synthesized one-variable table."""
+    tmp = pa.table({"__x": lex, "__x__kind": kind,
+                    "__x__dt": dt, "__x__lang": lang})
+    return _classify_var("__x", tmp)
+
+
 def _eq_side(node, t: pa.Table) -> dict:
     from ..model import XSD_NS, XSD_STRING
 
@@ -2651,7 +2922,8 @@ def _eq_side(node, t: pa.Table) -> dict:
     if tag == "num":
         x = node[1]
         lex = str(int(x)) if x == int(x) else str(x)
-        return const(lex, _CLS_NUM, dt=XSD_NS + "decimal", num=float(x))
+        dt = node[2] if len(node) > 2 and node[2] else XSD_NS + "decimal"
+        return const(lex, _CLS_NUM, dt=dt, num=float(x))
     if tag == "typedlit":
         lex, dt, lang = node[1], node[2], node[3]
         if lang:
@@ -2676,6 +2948,51 @@ def _eq_side(node, t: pa.Table) -> dict:
         return const(lex, _CLS_OTHER, dt=dt)
     if tag == "var":
         return _classify_var(node[1], t)
+    if tag == "bnodefn":
+        val = _eval_value(node, t)
+        lex = _to_lexical(val, n)
+        if isinstance(lex, pa.Scalar):
+            lex = pa.array([lex.as_py()] * n, pa.large_string())
+        if isinstance(lex, pa.ChunkedArray):
+            lex = lex.combine_chunks()
+        return {"lex": lex,
+                "cls": pa.array([_CLS_BNODE] * n, pa.int8()),
+                "dt": pa.array([""] * n, pa.large_string()),
+                "lang": pa.array([""] * n, pa.large_string()),
+                "num": pa.nulls(n, pa.float64())}
+    if tag == "cdtfn":
+        empty = pa.array([""] * n, pa.large_string())
+        val = _eval_cdtfn(node, t)
+        if node[1] == "size":
+            lex = _to_lexical(val, n)
+            if isinstance(lex, pa.ChunkedArray):
+                lex = lex.combine_chunks()
+            return {"lex": lex,
+                    "cls": pc.if_else(pc.is_valid(val), _i8(_CLS_NUM),
+                                      _i8(_CLS_OTHER)),
+                    "dt": pa.array([XSD_NS + "integer"] * n,
+                                   pa.large_string()),
+                    "lang": empty, "num": val}
+        if node[1] in ("contains", "containsKey", "containsTerm"):
+            lexb = pc.if_else(
+                val, pa.scalar("true", pa.large_string()),
+                pa.scalar("false", pa.large_string()))
+            return {"lex": lexb,
+                    "cls": pa.array([_CLS_BOOL] * n, pa.int8()),
+                    "dt": pa.array([XSD_NS + "boolean"] * n,
+                                   pa.large_string()),
+                    "lang": empty, "num": pc.cast(val, pa.float64())}
+        static = _expr_static_meta(node)
+        dtv = static[1] if static else ""
+        if dtv:  # CDT composite output: typed, no numeric value
+            return {"lex": val,
+                    "cls": pa.array([_CLS_OTHER] * n, pa.int8()),
+                    "dt": pa.array([dtv] * n, pa.large_string()),
+                    "lang": empty, "num": pa.nulls(n, pa.float64())}
+        # get/head: dynamic element type — re-evaluate with per-row
+        # term metadata and classify each row by its own kind/dt/lang
+        lex2, kind2, dt2, lang2 = _eval_cdtfn(node, t, with_meta=True)
+        return _classify_term_arrays(lex2, kind2, dt2, lang2)
     # computed expression → static class by producing tag
     val = _eval_value(node, t)
     lex = _to_lexical(val, n)
@@ -2810,6 +3127,32 @@ def _term_eq(op: str, l, r, t: pa.Table):
                          pc.equal(cr, _i8(_CLS_UNTYPED)))
     acc = pc.if_else(untyped_any, lex_eq, acc)
     acc = pc.if_else(pairm(_CLS_UNTYPED, _CLS_NUM), num_eq, acc)
+    # CDT composite literals (the fork's cdt:List / cdt:Map VALUE
+    # space, CompositeDatatypeList.java): equal iff canonical forms
+    # equal; ill-formed lexicals are a type error. Per-row structural
+    # compare, only on rows where both sides carry a CDT datatype.
+    from ..rdf.cdt import CDT_LIST, CDT_MAP, cdt_same_value
+
+    cdt_set = pa.array([CDT_LIST, CDT_MAP], pa.large_string())
+    cdt_mask = pc.fill_null(pc.and_(
+        pc.is_in(L["dt"], value_set=cdt_set),
+        pc.is_in(R["dt"], value_set=cdt_set)), False)
+    if pc.any(cdt_mask).as_py():
+        ll, rr = L["lex"].to_pylist(), R["lex"].to_pylist()
+        ld, rd = L["dt"].to_pylist(), R["dt"].to_pylist()
+        vals: list = []
+        for i, m in enumerate(cdt_mask.to_pylist()):
+            if not m:
+                vals.append(None)
+                continue
+            if ld[i] != rd[i]:
+                vals.append(False)
+                continue
+            try:
+                vals.append(cdt_same_value(ll[i], rr[i], ld[i]))
+            except Exception:
+                vals.append(None)  # unknown / ill-formed → error
+        acc = pc.if_else(cdt_mask, pa.array(vals, pa.bool_()), acc)
     acc = pc.if_else(same_term, pa.scalar(True), acc)
     bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
     acc = pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
@@ -2854,6 +3197,31 @@ def _term_ord(op: str, l, r, t: pa.Table):
         both(_CLS_TIME),
         pc.if_else(time_ok, num_cmp, pa.scalar(None, pa.bool_())),
         acc)
+    # CDT composite literals: the fork's list/map less-than semantics
+    # (CompositeDatatypeList/Map.compare, sortOrderingCompare=false);
+    # incomparable pairs / ill-formed lexicals stay type errors (null)
+    from ..rdf.cdt import CDT_LIST, CDT_MAP, cdt_compare
+
+    cdt_set = pa.array([CDT_LIST, CDT_MAP], pa.large_string())
+    cdt_mask = pc.fill_null(pc.and_(
+        pc.is_in(L["dt"], value_set=cdt_set),
+        pc.is_in(R["dt"], value_set=cdt_set)), False)
+    if pc.any(cdt_mask).as_py():
+        ll, rr = L["lex"].to_pylist(), R["lex"].to_pylist()
+        ld, rd = L["dt"].to_pylist(), R["dt"].to_pylist()
+        vals: list = []
+        for i, m in enumerate(cdt_mask.to_pylist()):
+            if not m or ld[i] != rd[i]:
+                vals.append(None)
+                continue
+            try:
+                c = cdt_compare(ll[i], rr[i], ld[i])
+            except Exception:
+                vals.append(None)
+                continue
+            vals.append({"<": c < 0, "<=": c <= 0,
+                         ">": c > 0, ">=": c >= 0}[op])
+        acc = pc.if_else(cdt_mask, pa.array(vals, pa.bool_()), acc)
     bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
     return pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
 
@@ -2985,6 +3353,23 @@ def _expr_static_meta(node):
         return (KIND_LITERAL, XSD_STRING, "")
     if tag == "fn1" and node[1] in ("STR", "UCASE", "LCASE"):
         return (KIND_LITERAL, XSD_STRING, "")
+    if tag in _BOOL_EXPR_TAGS:
+        # BIND of a boolean expression yields an xsd:boolean value
+        # (EBV of the bound var then follows boolean, not string, rules)
+        return (KIND_LITERAL, XSD_NS + "boolean", "")
+    if tag == "cdtfn":
+        from ..rdf.cdt import CDT_LIST, CDT_MAP
+
+        fn = node[1]
+        if fn in ("concat", "tail", "keys", "reverse", "subseq", "List"):
+            return (KIND_LITERAL, CDT_LIST, "")
+        if fn == "size":
+            return (KIND_LITERAL, XSD_NS + "integer", "")
+        if fn in ("contains", "containsKey", "containsTerm"):
+            return (KIND_LITERAL, XSD_NS + "boolean", "")
+        if fn in ("put", "remove", "merge", "Map"):
+            return (KIND_LITERAL, CDT_MAP, "")
+        return None  # get/head: element type is dynamic
     return None
 
 
@@ -3257,6 +3642,10 @@ def _group_vars(group: dict) -> set:
             out |= set(el[1])
         elif el[0] == "bind":
             out.add(el[2])
+        elif el[0] == "unfold":
+            out.add(el[2])
+            if el[3]:
+                out.add(el[3])
         elif el[0] == "subquery":
             q = el[1]
             if q["project"] is None:
@@ -4004,7 +4393,7 @@ def _group_maybe_partial(group: dict) -> bool:
     drives the partially-bound join decomposition.)"""
     for el in group.get("elements", ()):
         t = el[0]
-        if t in ("optional", "bind"):
+        if t in ("optional", "bind", "unfold"):
             return True
         if t == "values" and any(x is None for r in el[2] for x in r):
             # UNDEF rows: unbound vars flow out of a NESTED VALUES too
@@ -4207,6 +4596,16 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 continue
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
             how = "left_outer"
+        elif el[0] == "unfold":
+            if acc is None:
+                raise RDFParseError("SPARQL: UNFOLD cannot open a group")
+            _, src, v1, v2 = el
+            acc = acc.map_batches(_unfold_kernel(src, v1, v2),
+                                  batch_format="pyarrow")
+            acc_vars = sorted(set(acc_vars) | {v1}
+                              | ({v2} if v2 else set()))
+            acc_partial = True  # null elements leave v1/v2 unbound
+            continue
         elif el[0] == "minus":
             if acc is None:
                 raise RDFParseError("SPARQL: MINUS cannot open a group")
@@ -4291,7 +4690,14 @@ def _compile_group(triples_ds, group: dict, graph=None):
                     from ..model import KIND_LITERAL, XSD_NS
 
                     static = _expr_static_meta(_expr)
-                    if static is not None:
+                    if (_expr[0] == "cdtfn"
+                            and _expr[1] in ("get", "head")):
+                        # dynamic element type: per-row term metadata
+                        # (a blank-node element stays a blank node)
+                        _l2, k2, d2, g2 = _eval_cdtfn(
+                            _expr, t, with_meta=True)
+                        out[kc], out[dc], out[lc] = k2, d2, g2
+                    elif static is not None:
                         s_kind, s_dt, s_lang = static
                         valid = pc.is_valid(out[_var])
                         out[kc] = pc.if_else(
@@ -4467,6 +4873,90 @@ def sparql_construct(triples_ds, query_text: str, base: str = ""):
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
+
+
+def _unfold_kernel(src: str, v1: str, v2: str | None):
+    """UNFOLD(?src AS ?v1[, ?v2]) batch kernel: one output row per CDT
+    element/entry of each input row's ?src (per-row term metadata on
+    the new vars; ill-typed / unbound ?src eliminates the row)."""
+    from ..model import KIND_LITERAL, XSD_NS
+    from ..rdf.cdt import (CDT_LIST, CDT_MAP, format_cdt_list,
+                           format_cdt_map, parse_cdt_list, parse_cdt_map)
+    from .bgp import meta_cols_of
+
+    int_dt = XSD_NS + "integer"
+
+    def term_cols(e):
+        # element → (lex, kind, dt, lang); None = unbound
+        if e is None:
+            return (None, None, "", "")
+        if isinstance(e, list):
+            return (format_cdt_list(e), KIND_LITERAL, CDT_LIST, "")
+        if isinstance(e, dict):
+            return (format_cdt_map(e), KIND_LITERAL, CDT_MAP, "")
+        k, l, d, g = e
+        return (l, k, d, g)
+
+    def kern(t: pa.Table) -> pa.Table:
+        new_vars = [v1] + ([v2] if v2 else [])
+        if t.num_columns == 0:
+            cols0: dict = {}
+            for v in new_vars:
+                cols0[v] = pa.array([], pa.large_string())
+                kc, dc, lc = meta_cols_of(v)
+                cols0[kc] = pa.array([], pa.int8())
+                cols0[dc] = pa.array([], pa.large_string())
+                cols0[lc] = pa.array([], pa.large_string())
+            return pa.table(cols0)
+        names = t.schema.names
+        lex = (t[src].combine_chunks().cast(pa.large_string()).to_pylist()
+               if src in names else [None] * t.num_rows)
+        dc_src = src + "__dt"
+        dts = (pc.fill_null(t[dc_src].combine_chunks()
+                            .cast(pa.large_string()), "").to_pylist()
+               if dc_src in names else [""] * t.num_rows)
+        take: list[int] = []
+        out1: list = []
+        out2: list = []
+        for i, (lx, d) in enumerate(zip(lex, dts)):
+            if lx is None:
+                continue  # unbound source: row eliminated
+            try:
+                if d == CDT_MAP:
+                    entries = [(term_cols(k), term_cols(v))
+                               for k, v in parse_cdt_map(lx).items()]
+                elif d == CDT_LIST:
+                    vals = parse_cdt_list(lx)
+                    entries = [
+                        (term_cols(e),
+                         (str(j + 1), KIND_LITERAL, int_dt, ""))
+                        for j, e in enumerate(vals)]
+                else:
+                    continue  # not a CDT literal: row eliminated
+            except Exception:
+                continue
+            for a, b in entries:
+                take.append(i)
+                out1.append(a)
+                out2.append(b)
+        base = t.take(pa.array(take, pa.int64()))
+        cols = {c: base[c].combine_chunks() for c in names}
+
+        def put(v, data):
+            kc, dc, lc = meta_cols_of(v)
+            cols[v] = pa.array([x[0] for x in data], pa.large_string())
+            cols[kc] = pa.array([x[1] for x in data], pa.int8())
+            cols[dc] = pa.array([x[2] or "" for x in data],
+                                pa.large_string())
+            cols[lc] = pa.array([x[3] or "" for x in data],
+                                pa.large_string())
+
+        put(v1, out1)
+        if v2:
+            put(v2, out2)
+        return pa.table(cols)
+
+    return kern
 
 
 def _with_block_ordinal(ds):
@@ -4921,6 +5411,107 @@ def _agg_group_concat(col: str, alias: str, sep: str):
     )
 
 
+def _agg_fold(i: int, alias: str, distinct: bool, extra: dict):
+    """FOLD as a distributed AggregateFn (the fork's AggFoldList /
+    AggFoldMap): per-block TERM tuples accumulate in row order,
+    concatenate at merge, optional ORDER BY key sort + DISTINCT dedup
+    at finalize, then one canonical cdt:List / cdt:Map lexical."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..model import KIND_BNODE
+    from ..rdf.cdt import format_cdt_list, format_cdt_map
+
+    from ..model import KIND_LITERAL, XSD_NS
+
+    is_map = bool(extra.get("var2"))
+    order = extra.get("order")
+    col = f"__a{i}"
+
+    def term(k, l, d, g):
+        if l is None:
+            return None
+        d, g = d or "", g or ""
+        if k == KIND_LITERAL and not d and not g:
+            # the engine's untyped convention: numeric lexicals are
+            # numbers (a tabular int folds as an integer, not a string)
+            if re.fullmatch(r"[+-]?\d+", l):
+                d = XSD_NS + "integer"
+            elif re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+)", l):
+                d = XSD_NS + "decimal"
+        return (k, l, d, g)
+
+    def acc_block(a, blk):
+        lex = _block_col_values(blk, col)
+        kind = _block_col_values(blk, col + "k")
+        dt = _block_col_values(blk, col + "d")
+        lang = _block_col_values(blk, col + "g")
+        quads = [term(k, l, d, g)
+                 for l, k, d, g in zip(lex, kind, dt, lang)]
+        if is_map:
+            kl = _block_col_values(blk, col + "2")
+            kk = _block_col_values(blk, col + "2k")
+            kd = _block_col_values(blk, col + "2d")
+            kg = _block_col_values(blk, col + "2g")
+            keys = [term(k, l, d, g)
+                    for l, k, d, g in zip(kl, kk, kd, kg)]
+        else:
+            keys = [None] * len(quads)
+        if order:
+            on = _block_col_values(blk, col + "o")
+            ol = _block_col_values(blk, col + "ol")
+        else:
+            on = ol = [None] * len(quads)
+        return a + list(zip(quads, keys, on, ol))
+
+    def fin(a):
+        rows = list(a)
+        if order:
+            def skey(r):
+                onum, olex = r[2], r[3]
+                # SPARQL ordering: unbound lowest, numbers before
+                # other literals, then lexical
+                unbound = olex is None and onum is None
+                return (0 if unbound else 1,
+                        0 if onum is not None else 1,
+                        onum if onum is not None else 0.0,
+                        olex or "")
+
+            rows.sort(key=skey, reverse=order[1])
+        if is_map:
+            # FOLD(?k, ?v): the FIRST var is the key, the second the value
+            out: dict = {}
+            seen: dict = {}
+            for key, val, _o, _ol in rows:
+                if key is None or key[0] == KIND_BNODE:
+                    continue  # unbound / bnode keys are skipped
+                kk2 = _cdt_term_key(key)
+                if kk2 in seen:
+                    del out[seen[kk2]]
+                seen[kk2] = key
+                out[key] = val
+            return format_cdt_map(out)
+        terms = [r[0] for r in rows]
+        if distinct:
+            seen2: set = set()
+            uniq = []
+            for x in terms:
+                k2 = ("null",) if x is None else x
+                if k2 in seen2:
+                    continue
+                seen2.add(k2)
+                uniq.append(x)
+            terms = uniq
+        return format_cdt_list(terms)
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_block,
+        finalize=fin,
+        name=alias,
+    )
+
+
 def _agg_count_distinct(col: str, alias: str):
     """COUNT(DISTINCT ?v) as a distributed AggregateFn: per-group value
     SETS merged across blocks (exact distinct needs the set; state is
@@ -4999,22 +5590,85 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 fn == "COUNT" and distinct_i
             )
 
+        def _fold_cols(t: pa.Table, i: int, item, cols: dict) -> None:
+            """FOLD travels as TERM tuples: lex/kind/dt/lang per folded
+            var (+ the map-key var, + the ORDER BY key)."""
+            from ..model import KIND_LITERAL
+
+            _, _fn, var, _al, _d, extra = item
+            n = t.num_rows
+            names = t.schema.names
+
+            def quad(v, tag):
+                cols[f"__a{i}{tag}"] = (
+                    t[v].combine_chunks().cast(pa.large_string())
+                    if v in names
+                    else pa.nulls(n, pa.large_string()))
+                kc, dc, lc = v + "__kind", v + "__dt", v + "__lang"
+                cols[f"__a{i}{tag}k"] = (
+                    pc.fill_null(t[kc].combine_chunks().cast(pa.int8()),
+                                 KIND_LITERAL)
+                    if kc in names
+                    else pa.array([KIND_LITERAL] * n, pa.int8()))
+                cols[f"__a{i}{tag}d"] = (
+                    pc.fill_null(t[dc].combine_chunks()
+                                 .cast(pa.large_string()), "")
+                    if dc in names
+                    else pa.array([""] * n, pa.large_string()))
+                cols[f"__a{i}{tag}g"] = (
+                    pc.fill_null(t[lc].combine_chunks()
+                                 .cast(pa.large_string()), "")
+                    if lc in names
+                    else pa.array([""] * n, pa.large_string()))
+
+            quad(var, "")
+            if extra.get("var2"):
+                quad(extra["var2"], "2")
+            order = extra.get("order")
+            if order:
+                ov = order[0]
+                olex = (t[ov].combine_chunks().cast(pa.large_string())
+                        if ov in names
+                        else pa.nulls(n, pa.large_string()))
+                num_ok = pc.fill_null(
+                    pc.match_substring_regex(olex, _NUM_RE), False)
+                cols[f"__a{i}o"] = pc.cast(
+                    pc.if_else(num_ok, olex, pa.scalar(None, olex.type)),
+                    pa.float64())
+                cols[f"__a{i}ol"] = olex  # nulls mark UNBOUND sort keys
+
+        def _fold_empty_cols(i: int, item, cols: dict) -> None:
+            _, _fn, _var, _al, _d, extra = item
+            tags = [""] + (["2"] if extra.get("var2") else [])
+            for tag in tags:
+                cols[f"__a{i}{tag}"] = pa.array([], pa.large_string())
+                cols[f"__a{i}{tag}k"] = pa.array([], pa.int8())
+                cols[f"__a{i}{tag}d"] = pa.array([], pa.large_string())
+                cols[f"__a{i}{tag}g"] = pa.array([], pa.large_string())
+            if extra.get("order"):
+                cols[f"__a{i}o"] = pa.array([], pa.float64())
+                cols[f"__a{i}ol"] = pa.array([], pa.large_string())
+
         def prep(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
                 cols = {k: pa.array([], pa.large_string()) for k in keys}
                 for i, item in enumerate(agg_items):
                     fn = item[1]
-                    if _is_string_agg(item):
-                        typ = pa.large_string()
+                    if fn == "FOLD":
+                        _fold_empty_cols(i, item, cols)
+                    elif _is_string_agg(item):
+                        cols[f"__a{i}"] = pa.array([], pa.large_string())
                     elif fn == "COUNT":
-                        typ = pa.int64()
+                        cols[f"__a{i}"] = pa.array([], pa.int64())
                     else:
-                        typ = pa.float64()
-                    cols[f"__a{i}"] = pa.array([], typ)
+                        cols[f"__a{i}"] = pa.array([], pa.float64())
                 return pa.table(cols)
             cols = {k: t[k].combine_chunks() for k in keys}
             for i, item in enumerate(agg_items):
                 _, fn, var, _al, _d, _s = item
+                if fn == "FOLD":
+                    _fold_cols(t, i, item, cols)
+                    continue
                 if _is_string_agg(item):
                     # the value itself travels to the aggregate
                     col = t[var].combine_chunks().cast(pa.large_string())
@@ -5036,7 +5690,9 @@ def _exec_select(triples_ds, q: dict, graph=""):
         for i, item in enumerate(agg_items):
             _, fn, _var, alias, distinct_i, sep = item
             col = f"__a{i}"
-            if fn == "COUNT" and distinct_i:
+            if fn == "FOLD":
+                aggs.append(_agg_fold(i, alias, distinct_i, sep))
+            elif fn == "COUNT" and distinct_i:
                 aggs.append(_agg_count_distinct(col, alias))
             elif fn == "GROUP_CONCAT":
                 aggs.append(_agg_group_concat(col, alias, sep))
@@ -5057,6 +5713,9 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     return t.filter(pc.fill_null(_eval_bool(having, t), False))
 
                 grouped = grouped.map_batches(having_kernel, batch_format="pyarrow")
+            fold_meta = {p[3]: (p[5].get("var2") is not None)
+                         for p in agg_items if p[1] == "FOLD"}
+
             def project_cast(t: pa.Table) -> pa.Table:
                 if t.num_columns == 0:
                     return t
@@ -5068,6 +5727,22 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     if pa.types.is_string(c.type):
                         c = c.cast(pa.large_string())
                     cols[n] = c
+                # FOLD aliases are CDT-typed literals — stamp the meta
+                # so value-space equality sees the datatype
+                if fold_meta:
+                    from ..model import KIND_LITERAL
+                    from ..rdf.cdt import CDT_LIST, CDT_MAP
+
+                    nr = t.num_rows
+                    for al, im in fold_meta.items():
+                        if al not in cols:
+                            continue
+                        kc, dc, lc = al + "__kind", al + "__dt", al + "__lang"
+                        cols[kc] = pa.array([KIND_LITERAL] * nr, pa.int8())
+                        cols[dc] = pa.array(
+                            [CDT_MAP if im else CDT_LIST] * nr,
+                            pa.large_string())
+                        cols[lc] = pa.array([""] * nr, pa.large_string())
                 return pa.table(cols)
 
             out = grouped.map_batches(project_cast, batch_format="pyarrow")
@@ -5076,14 +5751,28 @@ def _exec_select(triples_ds, q: dict, graph=""):
 
             row = prepped.aggregate(*aggs) or {}
             # SPARQL defines COUNT/SUM/AVG over the empty group as 0
-            # (§18.5.1.4 Avg(∅)=0); MIN/MAX/SAMPLE stay unbound (None)
+            # (§18.5.1.4 Avg(∅)=0); MIN/MAX/SAMPLE stay unbound (None);
+            # FOLD over the empty group is the empty list / map
             zero_fns = {"COUNT", "SUM", "AVG"}
             fn_by_alias = {p[3]: p[1] for p in agg_items}
-            vals = {
-                n: (0 if row.get(n) is None and fn_by_alias.get(n) in zero_fns
-                    else row.get(n))
-                for n in proj
-            }
+            fold_items = {p[3]: p for p in agg_items if p[1] == "FOLD"}
+            vals = {}
+            for n in proj:
+                v = row.get(n)
+                if v is None and fn_by_alias.get(n) in zero_fns:
+                    v = 0
+                if v is None and n in fold_items:
+                    v = "{}" if fold_items[n][5].get("var2") else "[]"
+                vals[n] = v
+            if fold_items:
+                from ..model import KIND_LITERAL
+                from ..rdf.cdt import CDT_LIST, CDT_MAP
+
+                for al, item in fold_items.items():
+                    vals[al + "__kind"] = KIND_LITERAL
+                    vals[al + "__dt"] = (CDT_MAP if item[5].get("var2")
+                                         else CDT_LIST)
+                    vals[al + "__lang"] = ""
             out = rd.from_items([vals])
     else:
         if q["order"] and not q["distinct"]:

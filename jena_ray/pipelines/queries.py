@@ -2418,6 +2418,11 @@ def q_cdt_list_funcs(sf_dir: str):
             "s_lex": s,
             "p": pa.array(["lst"] * t.num_rows, ls),
             "o_lex": lst,
+            # data-graph CDT literals carry their datatype — the
+            # function library type-checks its container arguments
+            "o_datatype": pa.array(
+                ["http://w3id.org/awslabs/neptune/SPARQL-CDTs/List"]
+                * t.num_rows, ls),
         })
 
     triples = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \

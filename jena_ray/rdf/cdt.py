@@ -36,6 +36,7 @@ CDT_MAP = CDT_NS + "Map"
 
 _TOKEN_SPEC = [
     ("WS", r"[ \t\r\n]+"),
+    ("BNODE", g.BLANK_NODE_LABEL),
     ("IRIREF", g.IRIREF),
     ("STRING2", g.STRING_LITERAL_QUOTE),
     ("STRING1", g.STRING_LITERAL_SINGLE_QUOTE),
@@ -89,6 +90,8 @@ class _P:
         if (k, v) == ("PUNCT", "{"):
             return self.map_()
         self.next()
+        if k == "BNODE":
+            return (KIND_BNODE, v[2:], "", "")
         if k == "IRIREF":
             return (KIND_IRI, unescape_iri(v[1:-1]), "", "")
         if k in ("STRING2", "STRING1"):
@@ -231,6 +234,215 @@ def cdt_get(lex: str, index_or_key, datatype: str = CDT_LIST):
     if not 1 <= i <= len(values):  # 1-based per the CDT spec
         raise RDFParseError(f"cdt:get index {i} out of range")
     return values[i - 1]
+
+
+_NUM_DTS = {XSD_NS + s for s in (
+    "integer", "decimal", "double", "float", "int", "long", "short",
+    "byte", "nonNegativeInteger", "positiveInteger",
+    "nonPositiveInteger", "negativeInteger", "unsignedLong",
+    "unsignedInt", "unsignedShort", "unsignedByte")}
+
+
+def _elem_cmp(e1, e2) -> int:
+    """Element comparison for the CDT less-than semantics
+    (NodeValue.compare + sameValueAs fallback inside
+    CompositeDatatypeList.compare, sortOrderingCompare=false):
+    -1/0/1, raising ValueError when the pair is not comparable."""
+    e1, e2 = _norm_composite(e1), _norm_composite(e2)
+    if e1 is None and e2 is None:
+        return 0  # null vs null: advance
+    if e1 is None or e2 is None:
+        raise ValueError("null is not comparable to a value")
+    if isinstance(e1, list) and isinstance(e2, list):
+        return _list_cmp(e1, e2)
+    if isinstance(e1, dict) and isinstance(e2, dict):
+        return _map_cmp(e1, e2)
+    if isinstance(e1, (list, dict)) or isinstance(e2, (list, dict)):
+        raise ValueError("composite vs non-composite")
+    k1, l1, d1, g1 = e1
+    k2, l2, d2, g2 = e2
+    if k1 == KIND_BNODE or k2 == KIND_BNODE:
+        raise ValueError("blank nodes in lists cannot be compared")
+    if k1 == KIND_IRI or k2 == KIND_IRI:
+        if k1 == k2 and l1 == l2:
+            return 0  # same IRI (sameValueAs) → advance
+        raise ValueError("IRIs have no < order")
+    num1 = d1 in _NUM_DTS
+    num2 = d2 in _NUM_DTS
+    if num1 and num2:
+        f1, f2 = float(l1), float(l2)
+        return (f1 > f2) - (f1 < f2)
+    if d1 == XSD_NS + "boolean" and d2 == XSD_NS + "boolean":
+        b1, b2 = l1 in ("true", "1"), l2 in ("true", "1")
+        return (b1 > b2) - (b1 < b2)
+    s1 = d1 in ("", XSD_STRING) and not g1
+    s2 = d2 in ("", XSD_STRING) and not g2
+    if s1 and s2:
+        return (l1 > l2) - (l1 < l2)
+    if g1 and g2:  # lang literals: same tag → lexical order
+        if g1.lower() == g2.lower():
+            return (l1 > l2) - (l1 < l2)
+        raise ValueError("different language tags")
+    # incomparable value spaces: sameValueAs fallback (identical term
+    # → advance), else error
+    if (k1, l1, d1, (g1 or "").lower()) == (k2, l2, d2, (g2 or "").lower()):
+        return 0
+    raise ValueError("not comparable")
+
+
+def _list_cmp(v1: list, v2: list) -> int:
+    if not v1 or not v2:
+        if v1:
+            return 1
+        if v2:
+            return -1
+        return 0
+    for a, b in zip(v1, v2):
+        c = _elem_cmp(a, b)
+        if c:
+            return c
+    return (len(v1) > len(v2)) - (len(v1) < len(v2))
+
+
+def _key_sort_key(k):
+    """CDTKeySorter: IRIs first (by IRI), then literals by (datatype,
+    lexical, lang); plain literals sort as xsd:string."""
+    kind, lex, dt, lang = k
+    if kind == KIND_IRI:
+        return (0, lex, "", "")
+    if not dt and not lang:
+        dt = XSD_STRING
+    if lang:
+        dt = RDF_LANGSTRING
+    return (1, dt, lex, lang or "")
+
+
+def _map_cmp(m1: dict, m2: dict) -> int:
+    if not m1 or not m2:
+        if m1:
+            return 1
+        if m2:
+            return -1
+        return 0
+    ks1 = sorted(m1, key=_key_sort_key)
+    ks2 = sorted(m2, key=_key_sort_key)
+    for k1, k2 in zip(ks1, ks2):
+        s1, s2 = _key_sort_key(k1), _key_sort_key(k2)
+        if s1 != s2:
+            return -1 if s1 < s2 else 1
+        c = _elem_cmp(m1[k1], m2[k2])
+        if c:
+            return c
+    return (len(m1) > len(m2)) - (len(m1) < len(m2))
+
+
+def _norm_composite(e):
+    """A literal term typed cdt:List / cdt:Map IS the composite value
+    (nested literals given in lexical form, e.g. '[2]'^^cdt:List)."""
+    if isinstance(e, tuple) and e[0] == KIND_LITERAL:
+        if e[2] == CDT_LIST:
+            return parse_cdt_list(e[1])
+        if e[2] == CDT_MAP:
+            return parse_cdt_map(e[1])
+    return e
+
+
+def _elem_same(e1, e2) -> bool:
+    """sameValueAs for CDT elements: True / False, raising ValueError
+    when unknown (e.g. distinct blank-node labels)."""
+    e1, e2 = _norm_composite(e1), _norm_composite(e2)
+    if e1 is None and e2 is None:
+        return True
+    if e1 is None or e2 is None:
+        return False
+    if isinstance(e1, list) and isinstance(e2, list):
+        return _list_same(e1, e2)
+    if isinstance(e1, dict) and isinstance(e2, dict):
+        return _map_same(e1, e2)
+    if isinstance(e1, (list, dict)) or isinstance(e2, (list, dict)):
+        return False
+    k1, l1, d1, g1 = e1
+    k2, l2, d2, g2 = e2
+    if k1 == KIND_BNODE or k2 == KIND_BNODE:
+        if k1 != k2:
+            return False  # a bnode is never the same value as a non-bnode
+        if l1 == l2:
+            return True  # same label within the compared literals
+        raise ValueError("distinct blank nodes: unknown")
+    if k1 != k2:
+        return False
+    if k1 == KIND_IRI:
+        return l1 == l2
+    num1, num2 = d1 in _NUM_DTS, d2 in _NUM_DTS
+    if num1 and num2:
+        return float(l1) == float(l2)
+    if num1 != num2:
+        return False
+    if g1 or g2:
+        return (g1 or "").lower() == (g2 or "").lower() and l1 == l2
+    dd1 = "" if d1 == XSD_STRING else d1
+    dd2 = "" if d2 == XSD_STRING else d2
+    if dd1 != dd2:
+        return False
+    if dd1 == "":
+        return l1 == l2
+    if d1 == XSD_NS + "boolean":
+        return (l1 in ("true", "1")) == (l2 in ("true", "1"))
+    # unknown datatype: identical term → same, else unknown
+    if l1 == l2:
+        return True
+    raise ValueError("unknown datatype values")
+
+
+def _list_same(v1: list, v2: list) -> bool:
+    if len(v1) != len(v2):
+        return False
+    for a, b in zip(v1, v2):
+        if not _elem_same(a, b):
+            return False
+    return True
+
+
+def _map_same(m1: dict, m2: dict) -> bool:
+    if len(m1) != len(m2):
+        return False
+
+    def tkey(k):
+        kind, lex, dt, lang = k
+        if kind == KIND_LITERAL and dt == XSD_STRING and not lang:
+            dt = ""
+        if lang:
+            dt = RDF_LANGSTRING
+        return (kind, lex, dt, (lang or "").lower())
+
+    i2 = {tkey(k): v for k, v in m2.items()}
+    for k, v in m1.items():
+        kk = tkey(k)
+        if kk not in i2:
+            return False  # map keys are TERM-identified
+        if not _elem_same(v, i2[kk]):
+            return False
+    return True
+
+
+def cdt_same_value(lex1: str, lex2: str, datatype: str) -> bool:
+    """Value-space equality of two CDT literals (sameValueAs:
+    element-wise for lists, term-keyed entry-wise for maps); raises
+    when the answer is unknown (distinct blank nodes / unknown
+    datatypes) or a lexical is ill-formed."""
+    if datatype == CDT_MAP:
+        return _map_same(parse_cdt_map(lex1), parse_cdt_map(lex2))
+    return _list_same(parse_cdt_list(lex1), parse_cdt_list(lex2))
+
+
+def cdt_compare(lex1: str, lex2: str, datatype: str) -> int:
+    """-1/0/1 per the CDT less-than semantics
+    (CompositeDatatypeList.compare / CompositeDatatypeMap.compare with
+    sortOrderingCompare=false). Raises when the pair is not comparable
+    or a lexical is ill-formed (→ SPARQL type error)."""
+    if datatype == CDT_MAP:
+        return _map_cmp(parse_cdt_map(lex1), parse_cdt_map(lex2))
+    return _list_cmp(parse_cdt_list(lex1), parse_cdt_list(lex2))
 
 
 def register(datatype_registry) -> None:
