@@ -103,7 +103,9 @@ class BNode:
 _TOK = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
-        (?P<pname>[^\W\d](?:[\w\-.]*[\w-])?:(?:[\w\-.:]*[\w\-:])?|:(?:[\w\-.:]*[\w\-:])?) |
+        # PN_CHARS includes U+00B7, combining marks U+0300-U+036F and
+        # U+203F-U+2040 in non-first position (grammar PN_CHARS)
+        (?P<pname>[^\W\d](?:[\w\-.·̀-ͯ‿-⁀]*[\w\-·̀-ͯ‿-⁀])?:(?:[\w\-.:·̀-ͯ‿-⁀]*[\w\-:·̀-ͯ‿-⁀])?|:(?:[\w\-.:·̀-ͯ‿-⁀]*[\w\-:·̀-ͯ‿-⁀])?) |
         (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|FOLD|UNFOLD|a)\b) |
         (?P<var>[?$][A-Za-z_]\w*) |
         (?P<iri><[^>\s]*>) |
@@ -164,6 +166,21 @@ def _unesc(s: str) -> str:
         raise RDFParseError(f"SPARQL: bad string escape \\{e}")
 
     return _ESC_RE.sub(rep, s)
+
+
+# keywords that can open an ORDER BY expression condition (grammar
+# OrderCondition ::= (ASC|DESC) BrackettedExpression | Constraint | Var;
+# Constraint = BrackettedExpression | BuiltInCall | FunctionCall)
+_ORDER_FN_KWS = frozenset({
+    "STR", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR", "STRLEN",
+    "BOUND", "LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+    "REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "MD5",
+    "SHA1", "SHA256", "SHA384", "SHA512", "YEAR", "MONTH", "DAY", "HOURS",
+    "MINUTES", "SECONDS", "TIMEZONE", "TZ", "NOW", "RAND", "UUID",
+    "STRUUID", "BNODE", "IRI", "URI", "ENCODE_FOR_URI", "SAMETERM",
+    "ISNUMERIC", "STRDT", "STRLANG", "CONCAT", "COALESCE", "SUBSTR",
+    "REPLACE", "STRBEFORE", "STRAFTER", "IF",
+})
 
 
 class _Parser:
@@ -238,13 +255,18 @@ class _Parser:
                                     "in this subset")
             return {"form": "describe", "node": node}
         if self.kw("CONSTRUCT"):
-            if self.peek()[0] == "kw" and self.peek()[1].upper() == "WHERE":
-                # CONSTRUCT WHERE { tp ... } shortform (SPARQL 10.2.2)
-                self.next()
+            if self.peek() != ("op", "{"):
+                # CONSTRUCT DatasetClause* WHERE { tp ... } shortform
+                # (SPARQL 10.2.2; the template is the WHERE pattern)
+                froms = self.parse_datasets()
+                self.expect("kw", "WHERE")
                 group = self.parse_group()
                 _validate_scopes(group)
                 template = [pat for el in group["elements"]
                             if el[0] == "bgp" for pat in el[1]]
+                if froms:
+                    group = {"elements": [("dataset", froms, group)],
+                             "filters": [], "exists": []}
                 limit = None
                 if self.kw("LIMIT"):
                     limit = int(self.expect("num"))
@@ -261,9 +283,13 @@ class _Parser:
                 while self.peek() == ("op", "."):
                     self.next()
             self.next()
+            froms = self.parse_datasets()
             self.expect("kw", "WHERE")
             group = self.parse_group()
             _validate_scopes(group)
+            if froms:
+                group = {"elements": [("dataset", froms, group)],
+                         "filters": [], "exists": []}
             limit = None
             if self.kw("LIMIT"):
                 limit = int(self.expect("num"))
@@ -511,13 +537,21 @@ class _Parser:
         distinct = self.kw("DISTINCT")
         self.kw("REDUCED")  # REDUCED may keep the bag unchanged (18.2.5)
         proj: list | None
-        agg_binds = []
+        agg_binds: list = []
+        hidden_aggs: list = []
+        # aggregate-in-expression context: active while parsing SELECT
+        # expressions and HAVING (saved/restored — subqueries nest)
+        prev_ctx = (getattr(self, "_agg_collect", None),
+                    getattr(self, "_agg_expr_binds", None),
+                    getattr(self, "_agg_aliases", None))
+        self._agg_collect = hidden_aggs
+        self._agg_expr_binds = agg_binds
+        self._agg_aliases = None
         if self.peek() == ("op", "*"):
             self.next()
             proj = None
         else:
             proj = []
-            agg_binds: list = []
             while True:
                 k, v = self.peek()
                 if k == "var":
@@ -601,17 +635,27 @@ class _Parser:
                         proj.append(("agg", "FOLD", v1, alias, agg_distinct,
                                      {"var2": var2, "order": order}))
                     else:
-                        # SELECT (expr AS ?v) — a non-aggregate projection
-                        # expression, desugared into a trailing BIND
+                        # SELECT (expr AS ?v) — a projection expression.
+                        # With no aggregates inside: desugared into a
+                        # trailing BIND. With aggregates inside (e.g.
+                        # ((MIN(?p)+MAX(?p))/2 AS ?c)): a POST-GROUP bind
+                        # evaluated over the aggregated relation.
+                        n_hidden0 = len(hidden_aggs)
                         expr = self.parse_or()
                         self.expect("kw", "AS")
                         alias = self.expect("var")[1:]
                         self.expect("op", ")")
-                        proj.append(("exprbind", expr, alias))
+                        if len(hidden_aggs) > n_hidden0:
+                            proj.append(("postbind", expr, alias))
+                        else:
+                            proj.append(("exprbind", expr, alias))
                 else:
                     break
             if not proj:
                 raise RDFParseError("SPARQL: empty projection")
+        # aggregates are not expressions inside WHERE / GROUP BY
+        self._agg_collect = None
+        self._agg_expr_binds = None
         froms = self.parse_datasets()
         self.kw("WHERE")  # the WHERE keyword is optional (SELECT * { })
         group = self.parse_group()
@@ -621,7 +665,7 @@ class _Parser:
         plain_proj_vars = [p[1] for p in (proj or []) if p[0] == "var"]
         aliases_seen: set = set()
         for p in (proj or []):
-            if p[0] in ("agg", "exprbind"):
+            if p[0] in ("agg", "exprbind", "postbind"):
                 alias = p[3] if p[0] == "agg" else p[2]
                 if alias in aliases_seen or alias in plain_proj_vars:
                     raise RDFParseError(
@@ -682,32 +726,66 @@ class _Parser:
                 raise RDFParseError(
                     f"SPARQL: ?{bad[0]} is projected but neither grouped "
                     "nor aggregated")
-            if self.kw("HAVING"):
-                # HAVING over the aliased aggregates; an inline
-                # aggregate call (HAVING (COUNT(?o) > 2)) rewrites to
-                # the matching projected alias
-                self._agg_aliases = {
-                    (p[1], p[2], p[4]): p[3]
-                    for p in (proj or []) if p[0] == "agg"
-                }
-                self.expect("op", "(")
-                having = self.parse_or()
-                self.expect("op", ")")
-                self._agg_aliases = None
+        if self.kw("HAVING"):
+            # HAVING over the aliased aggregates (an inline aggregate
+            # call rewrites to the matching projected alias, or
+            # registers a hidden aggregate). Legal WITHOUT GROUP BY —
+            # aggregates then run over the one implicit group (§11.1,
+            # agg06); new hidden pre-group binds flush below.
+            self._agg_aliases = {
+                (p[1], p[2], p[4]): p[3]
+                for p in (proj or []) if p[0] == "agg"
+            }
+            self._agg_collect = hidden_aggs
+            self._agg_expr_binds = agg_binds
+            n_binds0 = len(agg_binds)
+            self.expect("op", "(")
+            having = self.parse_or()
+            self.expect("op", ")")
+            self._agg_aliases = None
+            self._agg_collect = None
+            self._agg_expr_binds = None
+            for e, v2 in agg_binds[n_binds0:]:
+                group["elements"].append(("bind", e, v2))
+            if not group_by and not hidden_aggs and not any(
+                    p[0] == "agg" for p in (proj or [])):
+                raise RDFParseError(
+                    "SPARQL: HAVING without GROUP BY needs an aggregate")
         order = []
         if self.kw("ORDER"):
             self.expect("kw", "BY")
             while True:
                 k, v = self.peek()
-                if k == "kw" and v.upper() in ("ASC", "DESC"):
+                U = v.upper() if k == "kw" else None
+
+                def _order_cond(e, desc):
+                    # expression order condition → hidden BIND in the
+                    # WHERE group; the term sort runs on the computed
+                    # column (with its stamped meta), projected away
+                    if e[0] == "var":
+                        order.append((e[1], desc))
+                        return
+                    alias = f"__oexpr_{len(order)}"
+                    group["elements"].append(("bind", e, alias))
+                    order.append((alias, desc))
+
+                if U in ("ASC", "DESC"):
                     self.next()
                     self.expect("op", "(")
-                    var = self.expect("var")[1:]
+                    _order_cond(self.parse_or(), U == "DESC")
                     self.expect("op", ")")
-                    order.append((var, v.upper() == "DESC"))
                 elif k == "var":
                     self.next()
                     order.append((v[1:], False))
+                elif k == "op" and v == "(":
+                    # bracketted expression condition: ORDER BY (?a+?b)
+                    self.next()
+                    _order_cond(self.parse_or(), False)
+                    self.expect("op", ")")
+                elif k in ("iri", "pname") or U in _ORDER_FN_KWS:
+                    # BuiltInCall / FunctionCall condition:
+                    # ORDER BY str(?o), ORDER BY xsd:integer(?o)
+                    _order_cond(self.parse_primary(), False)
                 else:
                     break
         limit = offset = None
@@ -720,10 +798,13 @@ class _Parser:
         if self.kw("VALUES"):
             # trailing ValuesClause joins onto the WHERE pattern (§10.2)
             group["elements"].append(self.parse_values())
+        (self._agg_collect, self._agg_expr_binds,
+         self._agg_aliases) = prev_ctx
         return {
             "form": "select", "distinct": distinct, "project": proj,
             "group": group, "group_by": group_by, "having": having,
             "order": order, "limit": limit, "offset": offset,
+            "hidden_aggs": hidden_aggs,
         }
 
     def parse_group(self) -> dict:
@@ -775,24 +856,20 @@ class _Parser:
                         )
                     exists.append((False, self.parse_group()))
                 elif self.peek() == ("op", "("):
+                    # EXISTS parses as an expression operand now — a
+                    # filter that is EXACTLY [NOT] EXISTS routes to the
+                    # efficient semi-join gate; EXISTS nested in ||/&&
+                    # stays in the expression (marker-column compile)
                     self.next()
-                    nk, nv = self.peek()
-                    word = nv.upper() if nk == "kw" else ""
-                    if word == "EXISTS":
-                        self.next()
-                        exists.append((True, self.parse_group()))
-                        self.expect("op", ")")
-                    elif word == "NOT":
-                        self.next()
-                        if not self.kw("EXISTS"):
-                            raise RDFParseError(
-                                "SPARQL: FILTER(NOT ...) must be NOT "
-                                "EXISTS")
-                        exists.append((False, self.parse_group()))
-                        self.expect("op", ")")
+                    e = self.parse_or()
+                    self.expect("op", ")")
+                    if e[0] == "existsexpr":
+                        exists.append((e[1], e[2]))
+                    elif (e[0] == "not" and isinstance(e[1], tuple)
+                          and e[1][0] == "existsexpr"):
+                        exists.append((not e[1][1], e[1][2]))
                     else:
-                        filters.append(self.parse_or())
-                        self.expect("op", ")")
+                        filters.append(e)
                 else:
                     # FILTER Constraint may be a bare BuiltInCall /
                     # FunctionCall without outer parens (FILTER regex(..))
@@ -1073,6 +1150,11 @@ class _Parser:
                     raise RDFParseError(
                         "SPARQL: '[]' alone is not a triple pattern")
                 return out
+        elif k == "op" and v == "(":
+            # collection as SUBJECT: ( e1 e2 ) :p ?o (grammar
+            # TriplesSameSubject ::= TriplesNode PropertyList) — the
+            # rdf:first/rest chain's head node takes the po-list
+            s = self._object_node(out, as_template)
         else:
             s = self._bnode_fix(self.parse_term("subject"), as_template)
         self._po_list(s, out, as_template)
@@ -1358,6 +1440,14 @@ class _Parser:
                 if e[0] == "var":
                     return (fn, e[1])
                 return ("datatype_expr", e)
+            if fn == "strlen":
+                # STRLEN over a var or a computed string expression
+                # (E_StrLength takes any expression)
+                e = self.parse_add()
+                self.expect("op", ")")
+                if e[0] == "var":
+                    return (fn, e[1])
+                return ("strlenx", e)
             var = self.expect("var")[1:]
             self.expect("op", ")")
             return (fn, var)
@@ -1375,23 +1465,67 @@ class _Parser:
             self.expect("op", ")")
             return ("langmatches", var, rng)
         U = v.upper() if k == "kw" else None
+        if U == "EXISTS":
+            # EXISTS { P } inside an expression (E_Exists as an operand,
+            # e.g. FILTER(?a = ?b || NOT EXISTS {...})) — compiled to a
+            # per-row marker column by a semi-join before the filter
+            self.next()
+            return ("existsexpr", True, self.parse_group())
+        if U == "NOT":
+            self.next()
+            if not self.kw("EXISTS"):
+                raise RDFParseError(
+                    "SPARQL: NOT at expression start must be NOT EXISTS")
+            return ("existsexpr", False, self.parse_group())
         if U in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
-                 "GROUP_CONCAT") and getattr(self, "_agg_aliases", None) \
-                is not None:
+                 "GROUP_CONCAT") and (
+                getattr(self, "_agg_aliases", None) is not None
+                or getattr(self, "_agg_collect", None) is not None):
+            # an aggregate call INSIDE an expression (SELECT expression
+            # or HAVING): reuse the matching projected alias when one
+            # exists, else register a hidden aggregate (ExprTransform-
+            # style rewrite to an ExprVar over a synthesized AggExpr)
             self.next()
             self.expect("op", "(")
             distinct = self.kw("DISTINCT")
+            if distinct and U != "COUNT":
+                raise RDFParseError(
+                    "SPARQL: DISTINCT inside aggregates is supported "
+                    "for COUNT only")
+            sep = " "
             if self.peek() == ("op", "*"):
                 self.next()
                 var = None
+                if U != "COUNT":
+                    raise RDFParseError("SPARQL: only COUNT(*) allowed")
             else:
-                var = self.expect("var")[1:]
+                arg = self.parse_add()
+                if arg[0] == "var":
+                    var = arg[1]
+                else:
+                    binds = getattr(self, "_agg_expr_binds", None)
+                    if binds is None:
+                        raise RDFParseError(
+                            "SPARQL: aggregate over an expression is "
+                            "only allowed in SELECT/HAVING")
+                    var = f"__aggexpr_h{len(binds)}"
+                    binds.append((arg, var))
+            if U == "GROUP_CONCAT" and self.peek() == ("op", ";"):
+                self.next()
+                self.expect("kw", "SEPARATOR")
+                self.expect("op", "=")
+                sep = _unesc(_sq(self.expect("string")))
             self.expect("op", ")")
-            alias = self._agg_aliases.get((U, var, distinct))
+            aliases = getattr(self, "_agg_aliases", None)
+            alias = aliases.get((U, var, distinct)) if aliases else None
             if alias is None:
-                raise RDFParseError(
-                    "SPARQL: HAVING aggregate must match a projected "
-                    "(agg AS ?alias)")
+                collect = getattr(self, "_agg_collect", None)
+                if collect is None:
+                    raise RDFParseError(
+                        "SPARQL: HAVING aggregate must match a projected "
+                        "(agg AS ?alias)")
+                alias = f"__hagg_{len(collect)}"
+                collect.append(("agg", U, var, alias, distinct, sep))
             return ("var", alias)
         if U in ("STR", "UCASE", "LCASE", "ABS", "ROUND", "CEIL", "FLOOR"):
             self.next()
@@ -1486,12 +1620,16 @@ class _Parser:
                     "SPARQL: STRLANG tag must be a constant string")
             return ("strlang", a, b[1])
         if U in ("CONCAT", "COALESCE"):
+            # zero args allowed (ExpressionList ::= NIL | ...):
+            # CONCAT() = "", COALESCE() = error
             self.next()
             self.expect("op", "(")
-            args = [self.parse_add()]
-            while self.peek() == ("op", ","):
-                self.next()
+            args = []
+            if self.peek() != ("op", ")"):
                 args.append(self.parse_add())
+                while self.peek() == ("op", ","):
+                    self.next()
+                    args.append(self.parse_add())
             self.expect("op", ")")
             return ("concat" if U == "CONCAT" else "coalesce", args)
         if U == "SUBSTR":
@@ -1623,30 +1761,47 @@ class _Parser:
             return ("cmp", v, left, right)
         if k == "kw" and v.upper() == "IN":
             self.next()
-            return ("inlist", left, self.parse_in_list(), True)
+            return self._in_node(left, self.parse_in_list(), True)
         if k == "kw" and v.upper() == "NOT":
             self.next()
             if not self.kw("IN"):
                 raise RDFParseError(
                     "SPARQL: NOT in an expression must be followed by IN"
                 )
-            return ("inlist", left, self.parse_in_list(), False)
+            return self._in_node(left, self.parse_in_list(), False)
         return left
 
+    @staticmethod
+    def _in_node(left, members, positive: bool):
+        """IN over a constant list stays the vectorized set-membership
+        node; general expression members desugar per §17.4.1.9:
+        e IN (x1..xn) ≡ (e = x1 || ...), NOT IN ≡ its 3-valued negation
+        (errors in non-matching members follow ||/&& Kleene logic)."""
+        consts: list = []
+        for e in members:
+            c = ("lit", e[1]) if e[0] == "iriconst" else e
+            if c[0] not in ("lit", "num"):
+                consts = None
+                break
+            consts.append(c)
+        if consts is not None:
+            return ("inlist", left, consts, positive)
+        node = None
+        for e in members:
+            eq = ("cmp", "=", left, e)
+            node = eq if node is None else ("or", node, eq)
+        if node is None:  # e IN () = false, e NOT IN () = true
+            node = ("inlist", left, [], positive)
+            return node
+        return node if positive else ("not", node)
+
     def parse_in_list(self):
-        """'(' expr, expr, ... ')' — IN members restricted to constants."""
+        """'(' expr, expr, ... ')' — members are arbitrary expressions."""
         self.expect("op", "(")
         vals: list = []
         if self.peek() != ("op", ")"):
             while True:
-                e = self.parse_add()
-                if e[0] == "iriconst":
-                    e = ("lit", e[1])
-                if e[0] not in ("lit", "num"):
-                    raise RDFParseError(
-                        "SPARQL: IN list members must be constants"
-                    )
-                vals.append(e)
+                vals.append(self.parse_add())
                 if self.peek() == ("op", ","):
                     self.next()
                     continue
@@ -1736,7 +1891,7 @@ def _is_numeric_node(node) -> bool:
     """Nodes whose value is already in the numeric value space — they put
     a comparison into the engine's numeric context."""
     tag = node[0] if node else None
-    return (tag in ("num", "strlen", "arith", "rand")
+    return (tag in ("num", "strlen", "strlenx", "arith", "rand")
             or (tag == "typedlit" and node[2] in _NUMERIC_DTS)
             or (tag == "cast" and node[1] in _CAST_NUMERIC)
             or (tag == "dtfn" and node[1] not in ("tz", "timezone"))
@@ -2286,6 +2441,11 @@ def _eval_value(node, t: pa.Table):
         return pa.scalar(node[1], pa.float64())
     if tag == "strlen":
         return pc.cast(pc.utf8_length(_var_col(t, node[1])), pa.float64())
+    if tag == "strlenx":  # STRLEN over a computed expression
+        v = _to_lexical(_eval_value(node[1], t), t.num_rows)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * t.num_rows, pa.large_string())
+        return pc.cast(pc.utf8_length(v), pa.float64())
     if tag == "lang":
         from ..model import KIND_LITERAL
 
@@ -2440,12 +2600,16 @@ def _eval_value(node, t: pa.Table):
         # ROUND: xpath fn:round — ties toward positive infinity
         return pc.round(num, 0, round_mode="half_up")
     if tag == "concat":
+        if not node[1]:  # CONCAT() = the empty string
+            return pa.scalar("", pa.large_string())
         parts = [_str_arg(e, t, _to_lexical(_eval_value(e, t), t.num_rows))
                  for e in node[1]]
         return pc.binary_join_element_wise(
             *parts, pa.scalar("", pa.large_string())
         )
     if tag == "coalesce":
+        if not node[1]:  # COALESCE() = error
+            return pa.scalar(None, pa.large_string())
         out = None
         for e in node[1]:
             v = _to_lexical(_eval_value(e, t), t.num_rows)
@@ -3386,6 +3550,10 @@ def _eval_bool(node, t: pa.Table):
         return pc.or_kleene(_eval_bool(node[1], t), _eval_bool(node[2], t))
     if tag == "not":
         return pc.invert(_eval_bool(node[1], t))
+    if tag == "exists_marker":
+        # EXISTS-in-expression marker column (never null — a definite
+        # true/false per row), appended by _exists_mark
+        return t[node[1]].combine_chunks()
     if tag == "bound":
         return pc.is_valid(_var_col(t, node[1]))
     if tag == "sameterm":
@@ -3640,6 +3808,8 @@ def _group_vars(group: dict) -> set:
             out |= _group_vars(el[2])
         elif el[0] == "values":
             out |= set(el[1])
+        elif el[0] == "relation":
+            out |= set(el[2])
         elif el[0] == "bind":
             out.add(el[2])
         elif el[0] == "unfold":
@@ -4203,6 +4373,69 @@ def _exists_bindings(left, left_vars, right, right_vars, positive: bool):
                             keep_matched=positive), left_vars
 
 
+def _exists_mark(left, left_vars, right, right_vars, colname: str):
+    """EXISTS { P } as an expression OPERAND (nested in ||/&&): append a
+    per-row boolean column — does a compatible right binding exist —
+    via the same distinct-key marker join as _marker_semijoin, but
+    tagging instead of filtering."""
+    from ..util import compact_blocks
+
+    shared = sorted(set(left_vars) & set(right_vars))
+    if not shared:
+        nonempty = right.limit(1).count() > 0
+        return left.map_batches(
+            lambda t, _v=nonempty, _c=colname: t.append_column(
+                _c, pa.array([_v] * t.num_rows, pa.bool_()))
+            if t.num_columns else t,
+            batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {**{v: pa.array([], pa.large_string()) for v in shared},
+                 "__minus": pa.array([], pa.int8())})
+        out = {v: t[v].combine_chunks() for v in shared}
+        out["__minus"] = pa.array([1] * t.num_rows, pa.int8())
+        return pa.table(out)
+
+    rkeys = compact_blocks(
+        right.map_batches(mark, batch_format="pyarrow")
+        .groupby(shared)
+        .min("__minus")
+        .map_batches(
+            lambda t: t.rename_columns(shared + ["__minus"])
+            if t.num_columns else t,
+            batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {**{v: t[v].combine_chunks().cast(pa.large_string())
+                    for v in shared},
+                 "__minus": t["__minus"].combine_chunks()})
+            if t.num_columns else t,
+            batch_format="pyarrow"))
+    lc = compact_blocks(left)
+    if lc.count() == 0:
+        return lc
+    if rkeys.count() == 0:
+        return lc.map_batches(
+            lambda t, _c=colname: t.append_column(
+                _c, pa.array([False] * t.num_rows, pa.bool_()))
+            if t.num_columns else t,
+            batch_format="pyarrow")
+    n_parts = max(1, min(64, lc.count() // 2_000_000))
+    joined = lc.join(rkeys, join_type="left_outer",
+                     num_partitions=n_parts, on=tuple(shared))
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        m = pc.is_valid(t["__minus"].combine_chunks())
+        keep = [c for c in t.schema.names if c != "__minus"]
+        return t.select(keep).append_column(colname, m)
+
+    return joined.map_batches(tag, batch_format="pyarrow")
+
+
 def _marker_semijoin(left, left_vars, right, shared, keep_matched: bool):
     """Distinct right-side keys on ``shared`` get a marker; a left-outer
     join then keeps left rows whose marker is (non-)null."""
@@ -4612,6 +4845,13 @@ def _compile_group(triples_ds, group: dict, graph=None):
             rel, rel_vars = _compile_group(triples_ds, el[1], graph=graph)
             acc, acc_vars = _minus_bindings(acc, acc_vars, rel, rel_vars)
             continue
+        elif el[0] == "relation":
+            # a pre-bound binding relation injected programmatically
+            # (sparql_select_prebound — SHACL ASK-validator pre-binding
+            # as a join): a Dataset whose columns are the named vars
+            # (+ optional __kind/__dt/__lang meta columns)
+            rel, rel_vars = el[1], sorted(el[2])
+            how = "inner"
         elif el[0] == "values":
             import ray.data as rd
 
@@ -4820,6 +5060,28 @@ def _compile_group(triples_ds, group: dict, graph=None):
         raise RDFParseError("SPARQL: empty WHERE block")
     if group["filters"]:
         filters = group["filters"]
+        # EXISTS nested inside a filter EXPRESSION: each occurrence is
+        # compiled to a per-row boolean marker column by a semi-join
+        # over the accumulated bindings, and the AST node rewritten to
+        # a column reference the kernel reads
+        ex_nodes: list = []
+
+        def _rw_exists(n):
+            if isinstance(n, list):
+                return [_rw_exists(x) for x in n]
+            if not isinstance(n, tuple) or not n:
+                return n
+            if n[0] == "existsexpr":
+                col = f"__exm_{len(ex_nodes)}"
+                ex_nodes.append((col, n[2]))
+                markref = ("exists_marker", col)
+                return markref if n[1] else ("not", markref)
+            return tuple(_rw_exists(x) for x in n)
+
+        filters = [_rw_exists(f) for f in filters]
+        for col, sub in ex_nodes:
+            rel, rel_vars = _compile_group(triples_ds, sub, graph=graph)
+            acc = _exists_mark(acc, acc_vars, rel, rel_vars, col)
 
         def kernel(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
@@ -4839,7 +5101,11 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 # SPARQL: an error/null in a FILTER is effective false
                 m = pc.fill_null(m, False)
                 mask = m if mask is None else pc.and_(mask, m)
-            return t.filter(mask)
+            x = t.filter(mask)
+            if ex_nodes:
+                x = x.select([c for c in x.schema.names
+                              if not c.startswith("__exm_")])
+            return x
 
         acc = acc.map_batches(kernel, batch_format="pyarrow")
     for positive, sub in group.get("exists", ()):
@@ -5385,6 +5651,23 @@ def sparql_select(triples_ds, query_text: str, base: str = ""):
     return out
 
 
+def sparql_select_prebound(triples_ds, query_text: str, relation_ds,
+                           rel_vars, base: str = ""):
+    """SELECT with a PRE-BOUND binding relation joined in as the first
+    WHERE element (SPARQL pre-binding expressed as a join — the SHACL
+    ASK-validator execution shape: the (this, value) candidate pairs
+    Dataset is the relation; the body's patterns/FILTERs restrict it).
+    ``relation_ds`` columns: one large_string per var in ``rel_vars``
+    (+ optional <var>__kind/__dt/__lang term-meta columns)."""
+    q = _Parser(query_text, base=base).parse()
+    if q["form"] != "select":
+        raise RDFParseError("sparql_select_prebound: not a SELECT query")
+    q["group"]["elements"].insert(
+        0, ("relation", relation_ds, list(rel_vars)))
+    out, _cols = _exec_select(triples_ds, q)
+    return out
+
+
 def _block_col_values(blk, col: str) -> list:
     """Column values of an aggregate block (arrow Table or pandas frame)."""
     if isinstance(blk, pa.Table):
@@ -5551,10 +5834,12 @@ def _exec_select(triples_ds, q: dict, graph=""):
         has_aggs = any(p[0] == "agg" for p in proj_items)
         if (has_aggs or q["group_by"]) and graph.name not in q["group_by"]:
             q = {**q, "group_by": q["group_by"] + [graph.name]}
-    agg_items = [p for p in proj_items if p[0] == "agg"]
+    agg_items = [p for p in proj_items if p[0] == "agg"] + list(
+        q.get("hidden_aggs") or [])
+    post_items = [(p[1], p[2]) for p in proj_items if p[0] == "postbind"]
     var_items = [p[1] for p in proj_items if p[0] == "var"]
     aliases = [p[3] for p in agg_items]
-    known = set(all_vars) | set(aliases)
+    known = set(all_vars) | set(aliases) | {a for _, a in post_items}
     for v in var_items + q["group_by"]:
         if v not in all_vars:
             raise RDFParseError(f"SPARQL: unbound variable ?{v}")
@@ -5562,7 +5847,9 @@ def _exec_select(triples_ds, q: dict, graph=""):
         if v not in known:
             raise RDFParseError(f"SPARQL: unbound variable ?{v}")
 
-    proj = [p[1] if p[0] == "var" else p[3] for p in proj_items]
+    proj = [p[1] if p[0] == "var"
+            else p[2] if p[0] == "postbind"
+            else p[3] for p in proj_items]
     if q["group_by"] and not agg_items:
         # GROUP BY with no aggregates in the projection: one solution
         # per group — distinct over the group keys (OpGroup with an
@@ -5662,6 +5949,7 @@ def _exec_select(triples_ds, q: dict, graph=""):
                         cols[f"__a{i}"] = pa.array([], pa.int64())
                     else:
                         cols[f"__a{i}"] = pa.array([], pa.float64())
+                        cols[f"__e{i}"] = pa.array([], pa.int64())
                 return pa.table(cols)
             cols = {k: t[k].combine_chunks() for k in keys}
             for i, item in enumerate(agg_items):
@@ -5679,14 +5967,29 @@ def _exec_select(triples_ds, q: dict, graph=""):
                         else pc.cast(pc.is_valid(t[var].combine_chunks()), pa.int64())
                     )
                 else:
-                    # SPARQL numeric aggregate: coerce the lexical form
-                    col = pc.cast(t[var].combine_chunks(), pa.float64())
+                    # SPARQL numeric aggregate: coerce the lexical form;
+                    # a BOUND non-numeric value makes the whole group's
+                    # aggregate a type error → unbound (agg-err-01):
+                    # the error travels as a summed flag column
+                    lex = (t[var].combine_chunks().cast(pa.large_string())
+                           if var in t.schema.names
+                           else pa.nulls(t.num_rows, pa.large_string()))
+                    num_ok = pc.fill_null(
+                        pc.match_substring_regex(lex, _NUM_RE), False)
+                    col = pc.cast(
+                        pc.if_else(num_ok, lex,
+                                   pa.scalar(None, pa.large_string())),
+                        pa.float64())
+                    cols[f"__e{i}"] = pc.cast(
+                        pc.and_(pc.is_valid(lex), pc.invert(num_ok)),
+                        pa.int64())
                 cols[f"__a{i}"] = col
             return pa.table(cols)
 
         prepped = bindings.map_batches(prep, batch_format="pyarrow")
         agg_cls = {"COUNT": Sum, "SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}
         aggs = []
+        err_aliases: list[tuple[str, str]] = []  # (err col, agg alias)
         for i, item in enumerate(agg_items):
             _, fn, _var, alias, distinct_i, sep = item
             col = f"__a{i}"
@@ -5702,8 +6005,45 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 aggs.append(Min(col, alias_name=alias))
             else:
                 aggs.append(agg_cls[fn](col, alias_name=alias))
+                if fn in ("SUM", "MIN", "MAX", "AVG"):
+                    ec = f"__err{i}"
+                    aggs.append(Sum(f"__e{i}", alias_name=ec))
+                    err_aliases.append((ec, alias))
+
+        def errfix_kernel(t: pa.Table) -> pa.Table:
+            """Null out numeric aggregates of groups holding a bound
+            non-numeric value (SPARQL: aggregate error → unbound),
+            dropping the flag columns."""
+            if t.num_columns == 0:
+                return t
+            ecols = {e for e, _ in err_aliases}
+            cols = {c: t[c].combine_chunks() for c in t.schema.names
+                    if c not in ecols}
+            for ec, alias in err_aliases:
+                bad = pc.fill_null(pc.greater(t[ec].combine_chunks(), 0),
+                                   False)
+                cols[alias] = pc.if_else(
+                    bad, pa.scalar(None, cols[alias].type), cols[alias])
+            return pa.table(cols)
+
+        def postbind_kernel(t: pa.Table) -> pa.Table:
+            """SELECT expressions over aggregates — evaluated on the
+            aggregated relation, appended as lexical columns."""
+            if t.num_columns == 0:
+                return t
+            cols = {c: t[c].combine_chunks() for c in t.schema.names}
+            for expr, alias in post_items:
+                v = _to_lexical(_eval_value(expr, t), t.num_rows)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * t.num_rows,
+                                 pa.large_string())
+                cols[alias] = v
+            return pa.table(cols)
         if keys:
             grouped = prepped.groupby(keys).aggregate(*aggs)
+            if err_aliases:
+                grouped = grouped.map_batches(
+                    errfix_kernel, batch_format="pyarrow")
             if q.get("having") is not None:
                 having = q["having"]
 
@@ -5713,6 +6053,9 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     return t.filter(pc.fill_null(_eval_bool(having, t), False))
 
                 grouped = grouped.map_batches(having_kernel, batch_format="pyarrow")
+            if post_items:
+                grouped = grouped.map_batches(
+                    postbind_kernel, batch_format="pyarrow")
             fold_meta = {p[3]: (p[5].get("var2") is not None)
                          for p in agg_items if p[1] == "FOLD"}
 
@@ -5752,14 +6095,21 @@ def _exec_select(triples_ds, q: dict, graph=""):
             row = prepped.aggregate(*aggs) or {}
             # SPARQL defines COUNT/SUM/AVG over the empty group as 0
             # (§18.5.1.4 Avg(∅)=0); MIN/MAX/SAMPLE stay unbound (None);
-            # FOLD over the empty group is the empty list / map
+            # FOLD over the empty group is the empty list / map; a group
+            # holding a bound non-numeric value is an ERROR → unbound
             zero_fns = {"COUNT", "SUM", "AVG"}
             fn_by_alias = {p[3]: p[1] for p in agg_items}
             fold_items = {p[3]: p for p in agg_items if p[1] == "FOLD"}
+            err_by_alias = {alias: ec for ec, alias in err_aliases}
+            post_aliases = {a for _, a in post_items}
+            needed = [n for n in proj if n not in post_aliases]
+            needed += [a for a in aliases if a not in needed]
             vals = {}
-            for n in proj:
+            for n in needed:
                 v = row.get(n)
-                if v is None and fn_by_alias.get(n) in zero_fns:
+                if err_by_alias.get(n) and (row.get(err_by_alias[n]) or 0) > 0:
+                    v = None
+                elif v is None and fn_by_alias.get(n) in zero_fns:
                     v = 0
                 if v is None and n in fold_items:
                     v = "{}" if fold_items[n][5].get("var2") else "[]"
@@ -5769,11 +6119,33 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 from ..rdf.cdt import CDT_LIST, CDT_MAP
 
                 for al, item in fold_items.items():
+                    if al not in vals:
+                        continue
                     vals[al + "__kind"] = KIND_LITERAL
                     vals[al + "__dt"] = (CDT_MAP if item[5].get("var2")
                                          else CDT_LIST)
                     vals[al + "__lang"] = ""
             out = rd.from_items([vals])
+            if q.get("having") is not None:
+                having_g = q["having"]
+                out = out.map_batches(
+                    lambda t, _h=having_g: t.filter(
+                        pc.fill_null(_eval_bool(_h, t), False))
+                    if t.num_columns else t,
+                    batch_format="pyarrow")
+            if post_items:
+                out = out.map_batches(postbind_kernel,
+                                      batch_format="pyarrow")
+            hidden_in_vals = [n for n in needed if n not in proj]
+            if hidden_in_vals:
+                keep = proj + [m for al in fold_items if al in proj
+                               for m in (al + "__kind", al + "__dt",
+                                         al + "__lang")]
+                out = out.map_batches(
+                    lambda t, _k=tuple(keep): pa.table(
+                        {c: t[c].combine_chunks() for c in _k})
+                    if t.num_columns else t,
+                    batch_format="pyarrow")
     else:
         if q["order"] and not q["distinct"]:
             # SPARQL term ordering needs the term metadata — sort the

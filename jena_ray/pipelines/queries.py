@@ -2452,6 +2452,152 @@ FROM customer
 """
 
 
+def _balance_triples(sf_dir: str):
+    """customer → triples: c:<k> <in_nation> n:<k> and c:<k> <bal>
+    "<acctbal cents>"^^xsd:integer (term metadata columns included)."""
+    from ..model import KIND_IRI, KIND_LITERAL, XSD_NS
+
+    xsd_int = XSD_NS + "integer"
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        s = [f"c:{k}" for k in keys]
+        n = len(s)
+        return pa.table({
+            "s_kind": pa.array([KIND_IRI] * (2 * n), pa.int8()),
+            "s_lex": pa.array(s * 2, pa.large_string()),
+            "p": pa.array(["in_nation"] * n + ["bal"] * n,
+                          pa.large_string()),
+            "o_kind": pa.array(
+                [KIND_IRI] * n + [KIND_LITERAL] * n, pa.int8()),
+            "o_lex": pa.array(
+                [f"n:{k}" for k in nk] + [str(c) for c in cents],
+                pa.large_string()),
+            "o_datatype": pa.array([""] * n + [xsd_int] * n,
+                                   pa.large_string()),
+            "o_lang": pa.array([""] * (2 * n), pa.large_string()),
+        })
+
+    return _read(
+        sf_dir, "customer",
+        ["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(to_triples, batch_format="pyarrow")
+
+
+def q_sparql_agg_expr(sf_dir: str):
+    """Aggregates INSIDE a projection expression (agg-err-01's shape,
+    ExprAggregator rewrite): ((MIN(?b)+MAX(?b))/2 AS ?mid) compiles to
+    hidden aggregates + a post-group bind over the aggregated
+    relation."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _balance_triples(sf_dir),
+        """
+        SELECT ?n ((MIN(?b) + MAX(?b)) / 2 AS ?mid) WHERE {
+          ?c <in_nation> ?n .
+          ?c <bal> ?b .
+        } GROUP BY ?n
+        """,
+    )
+
+
+SQL_SPARQL_AGG_EXPR = """
+WITH b AS (
+  SELECT 'n:' || c_nationkey AS n,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS b
+  FROM customer
+)
+SELECT n,
+       CASE WHEN (MIN(b) + MAX(b)) % 2 = 0
+            THEN CAST((MIN(b) + MAX(b)) // 2 AS VARCHAR)
+            ELSE CAST(CAST(MIN(b) + MAX(b) AS DOUBLE) / 2 AS VARCHAR)
+       END AS mid
+FROM b GROUP BY n
+"""
+
+
+def q_sparql_order_expr(sf_dir: str):
+    """ORDER BY over an EXPRESSION condition (query-sort-numbers's
+    shape): the condition compiles to a hidden pre-projection BIND and
+    the term sort runs on the computed column."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _typed_price_triples(sf_dir),
+        """
+        SELECT ?s ?price WHERE { ?s <price_d> ?price }
+        ORDER BY DESC(?price * 2) ?s LIMIT 10
+        """,
+    )
+
+
+SQL_SPARQL_ORDER_EXPR = SQL_SPARQL_ORDER_TYPED
+
+
+def q_sparql_exists_expr(sf_dir: str):
+    """EXISTS nested inside a filter EXPRESSION (subset-02's shape):
+    FILTER(?n = ... || NOT EXISTS {...}) — each EXISTS occurrence
+    becomes a per-row marker column via a distributed semi-join, read
+    back as a boolean operand of the Kleene ||."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?c ?n WHERE {
+          ?c <in_nation> ?n .
+          FILTER(?n = "n:3" || NOT EXISTS { ?n <in_region> "r:0" })
+        }
+        """,
+    )
+
+
+SQL_SPARQL_EXISTS_EXPR = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS c, n FROM members
+WHERE n = 'n:3' OR NOT EXISTS (
+  SELECT 1 FROM nation
+  WHERE 'n:' || n_nationkey = members.n AND n_regionkey = 0)
+"""
+
+
+def q_sparql_in_expr(sf_dir: str):
+    """IN over EXPRESSION members (§17.4.1.9 desugar to an = / ||
+    chain; notin02's error semantics): a member that errors (1/0) is
+    ignored when another member matches, and poisons only the
+    non-matching rows (effective-false)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _typed_price_triples(sf_dir),
+        """
+        SELECT ?s ?price WHERE {
+          ?s <price_d> ?price .
+          FILTER(?price IN (90000 + 10, 1/0, 90050))
+        }
+        """,
+    )
+
+
+SQL_SPARQL_IN_EXPR = """
+SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS s,
+       CAST(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         AS price
+FROM part
+WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) IN (90010, 90050)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
@@ -2516,6 +2662,10 @@ REGISTRY: dict[str, tuple] = {
     "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
     "shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
     "sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
+    "sparql_agg_expr": (q_sparql_agg_expr, SQL_SPARQL_AGG_EXPR),
+    "sparql_order_expr": (q_sparql_order_expr, SQL_SPARQL_ORDER_EXPR),
+    "sparql_exists_expr": (q_sparql_exists_expr, SQL_SPARQL_EXISTS_EXPR),
+    "sparql_in_expr": (q_sparql_in_expr, SQL_SPARQL_IN_EXPR),
     "cdt_list_funcs": (q_cdt_list_funcs, SQL_CDT_LIST_FUNCS),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
@@ -2531,6 +2681,8 @@ REGISTRY: dict[str, tuple] = {
 # gets sampled within two rounds. All 66 stay green in the local oracle
 # mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
+    "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
+    "sparql_in_expr",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

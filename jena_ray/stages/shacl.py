@@ -61,6 +61,12 @@ class SparqlConstraint:
 
     query: str
     message: str | None = None
+    # "select": every solution row is a violation. "ask" (component
+    # ASK validators): ``query`` is the body rewritten to
+    # SELECT ?this ?value; a candidate (this, value) pair CONFORMS iff
+    # it survives the pre-bound evaluation — misses are violations.
+    form: str = "select"
+    path: str | None = None  # property-shape components: the sh:path
 
 
 @dataclass
@@ -70,15 +76,22 @@ class SparqlComponent:
     engine/constraint/ConstraintComponentSPARQL.java:45-52,
     SparqlComponent.java). ``params``: (predicate IRI, variable name =
     the path's local name, optional?) declared via sh:parameter.
-    Validators are the SELECT form only (sh:SPARQLSelectValidator —
-    sh:nodeValidator / sh:propertyValidator / generic sh:validator
-    holding sh:select); ASK validators need per-VALUE pre-binding of
-    possibly-literal focus nodes and are documented out of subset."""
+    Validators: the SELECT form (sh:SPARQLSelectValidator via
+    sh:nodeValidator / sh:propertyValidator / generic sh:validator —
+    every solution row is a violation) and the ASK form
+    (sh:SPARQLAskValidator, sh:ask — per-(this, value) pre-binding,
+    rewritten to SELECT ?this ?value and run ONCE over the candidate
+    pair Dataset with pre-binding expressed as a join; pairs the body
+    does not return are violations)."""
 
     name: str
     params: list  # [(pred_iri, var_name, optional)]
     node_select: tuple | None = None  # (query_text, message|None)
     prop_select: tuple | None = None
+    # ASK validators (sh:SPARQLAskValidator, sh:ask): stored as the
+    # rewritten SELECT ?this ?value body (see SparqlConstraint.form)
+    node_ask: tuple | None = None
+    prop_ask: tuple | None = None
 
 
 @dataclass
@@ -106,6 +119,9 @@ class NodeShape:
     target_nodes: list[str] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
     sparql: list[SparqlConstraint] = field(default_factory=list)
+    # sh:targetNode TERMS (kind, lex, dt, lang) — ASK validators need
+    # the value's term metadata (focus nodes may be literals)
+    target_node_terms: list = field(default_factory=list)
 
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -186,6 +202,7 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
         ns = NodeShape(name=node[1])
         ns.target_classes = [v for _, v in vals(node, SH + "targetClass")]
         ns.target_nodes = [v for _, v in vals(node, SH + "targetNode")]
+        ns.target_node_terms = list(fvals(node, SH + "targetNode"))
         for pk, pv in vals(node, SH + "property"):
             pnode = (pk, pv)
             paths = vals(pnode, SH + "path")
@@ -218,9 +235,28 @@ def _parse_components(spo, vals) -> list[SparqlComponent]:
     Parameter.getSparqlName), sh:nodeValidator / sh:propertyValidator /
     generic sh:validator give the SELECT validators. ASK validators are
     skipped (documented out — see SparqlComponent)."""
+    # subclass-aware detection: a component may be typed with a class
+    # that is rdfs:subClassOf* sh:ConstraintComponent within the shapes
+    # graph (std/sparql/component/validator-001.ttl does exactly this)
+    RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    parents: dict[str, set] = {}
+    for node, props in spo.items():
+        for _, sup in props.get(RDFS_SUBCLASS, []):
+            parents.setdefault(node[1], set()).add(sup)
+
+    def _is_component_class(c: str, seen=None) -> bool:
+        if c == SH + "ConstraintComponent":
+            return True
+        seen = seen or set()
+        if c in seen:
+            return False
+        seen.add(c)
+        return any(_is_component_class(p, seen)
+                   for p in parents.get(c, ()))
+
     out = []
     for node, props in spo.items():
-        if not any(v == SH + "ConstraintComponent"
+        if not any(_is_component_class(v)
                    for _, v in props.get(RDF_TYPE, [])):
             continue
         params = []
@@ -246,21 +282,49 @@ def _parse_components(spo, vals) -> list[SparqlComponent]:
                 _prefix_lines(spo, vals, vnode) + [sel[0][1]])
             return (query, msg[0][1] if msg else None)
 
-        for key, attr in [("nodeValidator", "node_select"),
-                          ("propertyValidator", "prop_select"),
-                          ("validator", None)]:
+        def ask_of(vnode):
+            """sh:ask body → SELECT ?this ?value text (the pre-binding-
+            as-a-join execution evaluates it once over the candidate
+            (this, value) pair Dataset; conformance = row survives)."""
+            ask = vals(vnode, SH + "ask")
+            if not ask:
+                return None
+            msg = vals(vnode, SH + "message")
+            text = ask[0][1]
+            m = re.search(r"\bASK\b", text, re.I)
+            if m is None:
+                return None
+            body = text[m.end():].strip()
+            query = "\n".join(
+                _prefix_lines(spo, vals, vnode)
+                + ["SELECT ?this ?value WHERE " + body])
+            return (query, msg[0][1] if msg else None)
+
+        for key, sel_attr, ask_attr in [
+                ("nodeValidator", "node_select", "node_ask"),
+                ("propertyValidator", "prop_select", "prop_ask"),
+                ("validator", None, None)]:
             for vk, vv in vals(node, SH + key):
                 got = select_of((vk, vv))
-                if got is None:
-                    continue
-                if attr is not None:
-                    setattr(comp, attr, got)
+                got_ask = ask_of((vk, vv))
+                if sel_attr is not None:
+                    if got is not None:
+                        setattr(comp, sel_attr, got)
+                    if got_ask is not None:
+                        setattr(comp, ask_attr, got_ask)
                 else:  # generic validator: fills both unset slots
-                    if comp.node_select is None:
-                        comp.node_select = got
-                    if comp.prop_select is None:
-                        comp.prop_select = got
-        if comp.node_select or comp.prop_select:
+                    if got is not None:
+                        if comp.node_select is None:
+                            comp.node_select = got
+                        if comp.prop_select is None:
+                            comp.prop_select = got
+                    if got_ask is not None:
+                        if comp.node_ask is None:
+                            comp.node_ask = got_ask
+                        if comp.prop_ask is None:
+                            comp.prop_ask = got_ask
+        if (comp.node_select or comp.prop_select
+                or comp.node_ask or comp.prop_ask):
             out.append(comp)
     return out
 
@@ -293,7 +357,11 @@ def _instantiate_component(comp: SparqlComponent, node, fvals, kind: str,
     on the shape stay free — pair them with COALESCE in the validator."""
     import itertools
 
+    form = "select"
     sel = comp.node_select if kind == "node" else comp.prop_select
+    if sel is None:
+        sel = comp.node_ask if kind == "node" else comp.prop_ask
+        form = "ask"
     if sel is None:
         return []
     bindings: dict[str, list] = {}
@@ -317,7 +385,8 @@ def _instantiate_component(comp: SparqlComponent, node, fvals, kind: str,
         if path is not None:
             qtext = qtext.replace("$PATH", f"<{path}>")
         qtext = re.sub(r"\$([A-Za-z_]\w*)", r"?\1", qtext)
-        out.append(SparqlConstraint(query=qtext, message=msg))
+        out.append(SparqlConstraint(query=qtext, message=msg,
+                                    form=form, path=path))
     return out
 
 
@@ -672,6 +741,13 @@ def _sparql_violations(triples_ds, shapes: list[NodeShape]):
         for sc in shape.sparql:
             from ..ops.sparql import sparql_select
 
+            if sc.form == "ask":
+                pairs = _ask_pairs(triples_ds, shape, fkeys, sc.path)
+                if pairs is None:
+                    continue
+                per_constraint.append(
+                    _ask_violations(triples_ds, sc, pairs))
+                continue
             res = compact_blocks(sparql_select(triples_ds, sc.query))
             if "this" not in res.schema().names:
                 raise ValueError(
@@ -713,6 +789,116 @@ def _sparql_violations(triples_ds, shapes: list[NodeShape]):
     for p in per_constraint[1:]:
         out = out.union(p)
     return out
+
+
+def _ask_pairs(triples_ds, shape: NodeShape, fkeys, path: str | None):
+    """Candidate (this, value) pairs for an ASK component constraint,
+    with per-pair value TERM metadata. Node form (``path`` None): the
+    value IS the focus node — sh:targetNode terms keep their parsed
+    meta (focus nodes may be literals), class-targeted focus nodes are
+    IRIs. Property form: one pair per path triple of a focus node —
+    ONE distributed predicate filter + a hash join against the focus
+    keys (never a per-focus loop)."""
+    import ray.data as rd
+
+    if path is not None:
+        def scan(t: pa.Table) -> pa.Table:
+            x = t.filter(pc.equal(t.column("p"), path))
+            return pa.table({
+                "this": x.column("s_lex").combine_chunks()
+                .cast(pa.large_string()),
+                "this__kind": x.column("s_kind").combine_chunks()
+                .cast(pa.int8()),
+                "value": x.column("o_lex").combine_chunks()
+                .cast(pa.large_string()),
+                "value__kind": x.column("o_kind").combine_chunks()
+                .cast(pa.int8()),
+                "value__dt": x.column("o_datatype").combine_chunks()
+                .cast(pa.large_string()),
+                "value__lang": x.column("o_lang").combine_chunks()
+                .cast(pa.large_string()),
+            })
+
+        cand = triples_ds.map_batches(scan, batch_format="pyarrow")
+        joined = cand.join(fkeys, join_type="inner", num_partitions=4,
+                           on=("this",))
+        return joined.map_batches(
+            lambda t: t.select([c for c in t.schema.names if c != "__f"])
+            if t.num_columns else t,
+            batch_format="pyarrow")
+    parts = []
+    if shape.target_node_terms:
+        ks = pa.array([k for k, *_ in shape.target_node_terms], pa.int8())
+        lex = pa.array([x[1] for x in shape.target_node_terms],
+                       pa.large_string())
+        dts = pa.array([x[2] for x in shape.target_node_terms],
+                       pa.large_string())
+        lgs = pa.array([x[3] for x in shape.target_node_terms],
+                       pa.large_string())
+        parts.append(rd.from_arrow(pa.table({
+            "this": lex, "this__kind": ks, "this__dt": dts,
+            "this__lang": lgs, "value": lex, "value__kind": ks,
+            "value__dt": dts, "value__lang": lgs})))
+    if shape.target_classes:
+        classes = pa.array(shape.target_classes, pa.large_string())
+
+        def scan_cls(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(t.column("p"), RDF_TYPE),
+                pc.is_in(t.column("o_lex").cast(pa.large_string()),
+                         value_set=classes))
+            s = t.filter(m).column("s_lex").combine_chunks().cast(
+                pa.large_string())
+            n = len(s)
+            meta_k = pa.array([KIND_IRI] * n, pa.int8())
+            empty = pa.array([""] * n, pa.large_string())
+            return pa.table({
+                "this": s, "this__kind": meta_k, "this__dt": empty,
+                "this__lang": empty, "value": s, "value__kind": meta_k,
+                "value__dt": empty, "value__lang": empty})
+
+        parts.append(triples_ds.map_batches(scan_cls,
+                                            batch_format="pyarrow"))
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def _ask_violations(triples_ds, sc: SparqlConstraint, pairs):
+    """One ASK component constraint → violation rows: evaluate the
+    rewritten SELECT ?this ?value body ONCE pre-bound over the pairs
+    Dataset (pre-binding as a join); pairs that do NOT survive are the
+    violations (anti marker join)."""
+    from ..ops.sparql import _marker_semijoin, sparql_select_prebound
+
+    conf = sparql_select_prebound(
+        triples_ds, sc.query, pairs, ["this", "value"])
+    viol = _marker_semijoin(
+        pairs, ["this", "value"], conf, ["this", "value"],
+        keep_matched=False)
+    msg = sc.message or "sh:ask constraint violation"
+    pth = sc.path or ""
+
+    def to_viol(t: pa.Table) -> pa.Table:
+        names = t.schema.names
+        if t.num_columns == 0 or "this" not in names:
+            return pa.table({
+                "focus": pa.array([], pa.large_string()),
+                "path": pa.array([], pa.large_string()),
+                "constraint": pa.array([], pa.large_string()),
+                "detail": pa.array([], pa.large_string())})
+        n = t.num_rows
+        return pa.table({
+            "focus": t.column("this").combine_chunks()
+            .cast(pa.large_string()),
+            "path": pa.array([pth] * n, pa.large_string()),
+            "constraint": pa.array(["sparql"] * n, pa.large_string()),
+            "detail": pa.array([msg] * n, pa.large_string())})
+
+    return viol.map_batches(to_viol, batch_format="pyarrow")
 
 
 def validate(triples_ds, shapes_ttl: str, base: str = ""):

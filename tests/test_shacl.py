@@ -323,3 +323,39 @@ def test_component_property_validator_reference_fixture():
         base="file://" + path).take_all()
     rows = [(r["focus"], r["constraint"]) for r in report]
     assert sorted(rows) == [(PV + "InvalidCountry1", "sparql")] * 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_component_ask_validator_reference_fixture():
+    """jena-shacl std/sparql/component/validator-001.ttl: a generic
+    sh:validator holding sh:ask (SPARQLAskValidator), component typed
+    via an rdfs:subClassOf chain; pairs that fail the pre-bound ASK
+    body are violations. Expected: "Hallo Welt" only."""
+    import ray.data as rd
+
+    path = COMPONENT_DIR + "/validator-001.ttl"
+    shapes_ttl = open(path, encoding="utf-8").read()
+    report = validate(
+        rd.from_arrow(_fixture_table(path)), shapes_ttl,
+        base="file://" + path).take_all()
+    rows = sorted((r["focus"], r["constraint"]) for r in report)
+    assert rows == [("Hallo Welt", "sparql")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_component_ask_optional_param_reference_fixture():
+    """jena-shacl std/sparql/component/optional-001.ttl: optional
+    parameters — a shape missing the MANDATORY parameter is not
+    invoked; an absent optional parameter stays an unbound var (the
+    validator pairs it with COALESCE). Expected violations per the
+    fixture's mf:result: One (TestShape1+TestShape2), Three
+    (TestShape1), Two (TestShape2)."""
+    import ray.data as rd
+
+    path = COMPONENT_DIR + "/optional-001.ttl"
+    shapes_ttl = open(path, encoding="utf-8").read()
+    report = validate(
+        rd.from_arrow(_fixture_table(path)), shapes_ttl,
+        base="file://" + path).take_all()
+    focuses = sorted(r["focus"] for r in report)
+    assert focuses == ["One", "One", "Three", "Two"]
