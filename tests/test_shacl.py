@@ -51,7 +51,7 @@ def test_parse_shapes():
     assert len(s.properties) == 3
     by_path = {p.path: p for p in s.properties}
     assert by_path[E + "name"].min_count == 1
-    assert by_path[E + "age"].max_inclusive == 150
+    assert by_path[E + "age"].max_inclusive == ("150", "http://www.w3.org/2001/XMLSchema#integer")
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -107,7 +107,7 @@ def test_parse_boolean_shapes():
     assert by_path[E + "id"].ors[0][0].datatype == XSD + "integer"
     assert by_path[E + "tag"].nots[0].pattern == "^bad"
     assert len(by_path[E + "score"].ands[0]) == 2
-    assert by_path[E + "owner"].cls == E + "Agent"
+    assert by_path[E + "owner"].clss == [E + "Agent"]
 
 
 @pytest.mark.usefixtures("ray_session")

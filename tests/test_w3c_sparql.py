@@ -50,6 +50,7 @@ SUITES = [
     "sparql10/i18n",
     "sparql10/bnode-coreference",
     "sparql10/dataset",
+    "sparql10/construct",
     "sparql11/aggregates",
     "sparql11/bind",
     "sparql11/bindings",
