@@ -1703,7 +1703,16 @@ class _Parser:
                 if dk not in ("iri", "pname"):
                     raise RDFParseError(
                         f"SPARQL: datatype IRI expected after ^^, got {dv!r}")
-                return ("typedlit", lex, self.expand(dk, dv), "")
+                dt = self.expand(dk, dv)
+                from ..rdf.cdt import CDT_LIST, CDT_MAP, scope_cdt_bnodes
+
+                if dt in (CDT_LIST, CDT_MAP) and "_:" in lex:
+                    # bnode labels inside a query's CDT literal are
+                    # QUERY-scoped — distinct from any data document's
+                    # (bnodes-turtle-sparql-01..04); "q0_" cannot
+                    # collide with a document scope (those end "_ttl_")
+                    lex = scope_cdt_bnodes(lex, dt, "q0_")
+                return ("typedlit", lex, dt, "")
             if nk == "langtag":
                 self.next()
                 return ("typedlit", lex, "", nv[1:])
@@ -3713,6 +3722,25 @@ def _term_sort(bindings_ds, order: list):
                 is_num, pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())
             )
             s = pc.if_else(is_num, pa.scalar("", lex.type), pc.fill_null(lex, ""))
+            # CDT-typed literals sort by the structural ORDER BY
+            # comparator (sortOrderingCompare) — realized as an
+            # order-preserving encoded key (rdf/cdt.cdt_sort_key);
+            # the per-row python encode runs only on CDT rows
+            from ..rdf.cdt import CDT_LIST, CDT_MAP, cdt_sort_key
+
+            is_cdt = pc.fill_null(pc.is_in(
+                dt, value_set=pa.array([CDT_LIST, CDT_MAP], dt.type)),
+                False)
+            if pc.any(is_cdt).as_py():
+                s_py = s.to_pylist()
+                dt_py = dt.to_pylist()
+                for i, hit in enumerate(is_cdt.to_pylist()):
+                    if hit:
+                        try:
+                            s_py[i] = cdt_sort_key(s_py[i], dt_py[i])
+                        except ValueError:
+                            pass  # ill-formed: keep the lexical
+                s = pa.array(s_py, pa.large_string())
             cols[f"__ok_{v}"] = klass
             cols[f"__of_{v}"] = flag
             cols[f"__on_{v}"] = pc.fill_null(num, 0.0)

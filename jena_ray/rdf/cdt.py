@@ -445,6 +445,119 @@ def cdt_compare(lex1: str, lex2: str, datatype: str) -> int:
     return _list_cmp(parse_cdt_list(lex1), parse_cdt_list(lex2))
 
 
+def scope_cdt_bnodes(lex: str, datatype: str, scope: str) -> str:
+    """Rewrite blank-node labels INSIDE a CDT literal's lexical form
+    with a document/query scope prefix (the fork's Turtle/SPARQL
+    parsers resolve ``_:b`` inside cdt:List/cdt:Map lexicals against
+    the SAME label map as graph bnodes — labels are document-scoped,
+    so two files' ``_:b`` are different bnodes; bnodes-turtle-15..19).
+    Returns the canonical lexical of the rewritten value; ill-formed
+    lexicals are returned unchanged (they stay type errors)."""
+
+    def walk(e):
+        if e is None:
+            return None
+        if isinstance(e, list):
+            return [walk(x) for x in e]
+        if isinstance(e, dict):
+            return {k: walk(v) for k, v in e.items()}
+        k, lx, dt, lg = e
+        if k == KIND_BNODE:
+            return (k, scope + lx, dt, lg)
+        if dt == CDT_LIST:
+            return (k, scope_cdt_bnodes(lx, CDT_LIST, scope), dt, lg)
+        if dt == CDT_MAP:
+            return (k, scope_cdt_bnodes(lx, CDT_MAP, scope), dt, lg)
+        return e
+
+    if "_:" not in lex:
+        return lex
+    try:
+        if datatype == CDT_MAP:
+            return format_cdt_map(
+                {k: walk(v) for k, v in parse_cdt_map(lex).items()})
+        return format_cdt_list([walk(e) for e in parse_cdt_list(lex)])
+    except ValueError:
+        return lex
+
+
+def cdt_sort_key(lex: str, datatype: str) -> str:
+    """Order-preserving SORT KEY for a CDT literal under the ORDER BY
+    semantics (CompositeDatatypeList/Map.compare with
+    sortOrderingCompare=true): bytewise key order == the comparator's
+    order for the cases it defines. Encoding per element class
+    (null < bnode < IRI < numeric < boolean < string < lang-tagged <
+    other-typed < nested list < nested map), element-wise
+    concatenation with a low terminator (prefix lists sort first — the
+    size rule), and the canonical LEXICAL form appended after the
+    terminator (the comparator's equal-elements tie-break). Mixed
+    literal value spaces get a deterministic class order where jena
+    reports CMP_INDETERMINATE — a sort resolves those arbitrarily
+    anyway. Ill-formed lexicals raise (type error, same as
+    cdt_compare)."""
+    import struct
+
+    from ..model import KIND_BNODE, KIND_IRI, XSD_NS, XSD_STRING
+
+    def numenc(f: float) -> str:
+        bits = struct.unpack(">Q", struct.pack(">d", f))[0]
+        if bits & (1 << 63):
+            bits ^= 0xFFFFFFFFFFFFFFFF
+        else:
+            bits |= 1 << 63
+        return format(bits, "016x")
+
+    def enc_term(e) -> str:
+        if e is None:
+            return "\x03"
+        if isinstance(e, list):
+            return "\x0b" + enc_list(e)
+        if isinstance(e, dict):
+            return "\x0c" + enc_map(e)
+        k, lx, dt, lg = e
+        if k == KIND_BNODE:
+            return "\x04" + lx + "\x00"
+        if k == KIND_IRI:
+            return "\x05" + lx + "\x00"
+        if dt == CDT_LIST:
+            return "\x0b" + enc_list(parse_cdt_list(lx))
+        if dt == CDT_MAP:
+            return "\x0c" + enc_map(parse_cdt_map(lx))
+        if dt in _NUM_DTS:
+            try:
+                return "\x06" + numenc(float(lx))
+            except ValueError:
+                pass
+        if dt == XSD_NS + "boolean":
+            return "\x07" + ("1" if lx in ("true", "1") else "0")
+        if not lg and dt in ("", XSD_STRING):
+            return "\x08" + lx + "\x00"
+        if lg:
+            return "\x09" + lg.lower() + "\x00" + lx + "\x00"
+        return "\x0a" + dt + "\x00" + lx + "\x00"
+
+    def enc_key(kk) -> str:
+        # mirrors _key_sort_key's (CDTKeySorter) component order
+        knd, dt_or_lex, lx2, lg2 = _key_sort_key(kk)
+        if knd == 0:
+            return "\x03" + dt_or_lex + "\x00"
+        return ("\x04" + dt_or_lex + "\x00" + lx2 + "\x00"
+                + lg2 + "\x00")
+
+    def enc_list(v: list) -> str:
+        return "".join(enc_term(e) for e in v) + "\x01"
+
+    def enc_map(m: dict) -> str:
+        parts = []
+        for kk in sorted(m, key=_key_sort_key):
+            parts.append(enc_key(kk) + enc_term(m[kk]))
+        return "".join(parts) + "\x01"
+
+    if datatype == CDT_MAP:
+        return enc_map(parse_cdt_map(lex)) + "\x02" + lex
+    return enc_list(parse_cdt_list(lex)) + "\x02" + lex
+
+
 def register(datatype_registry) -> None:
     """Hook into the canonicalization surface (TypeMapper analog)."""
     from ..functions.registry import DatatypeEntry

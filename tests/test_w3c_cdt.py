@@ -22,21 +22,7 @@ ROOT = "/root/reference/jena-arq/testing/SPARQL-CDTs"
 SUITES = ["list-functions", "map-functions", "fold", "unfold",
           "orderby", "bnodes"]
 
-_ORDERBY_GAP = ("CDT ORDER BY (compareAlways sort semantics) not wired "
-                "into the distributed term sort")
-_BNODE_GAP = ("document-scoped bnode labels inside Turtle-sourced CDT "
-              "literals out of subset")
-KNOWN_FAIL: dict[str, str] = {
-    **{f"order-list-{s}": _ORDERBY_GAP
-       for s in ("03", "05", "06", "null-01", "null-02")},
-    **{f"order-map-{s}": _ORDERBY_GAP
-       for s in ("03", "06", "08", "10", "12", "13", "17",
-                 "null-01", "null-02")},
-    **{f"bnodes-turtle-{s}": _BNODE_GAP
-       for s in ("15", "16", "17", "18", "19")},
-    **{f"bnodes-turtle-sparql-{s}": _BNODE_GAP
-       for s in ("01", "02", "03", "04")},
-}
+KNOWN_FAIL: dict[str, str] = {}
 
 
 def _all_tests():
@@ -80,10 +66,23 @@ def test_w3c_cdt_eval(cdt_eval):
     cols: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
     from jena_ray.model import KIND_LITERAL, XSD_STRING
 
+    from jena_ray.model import KIND_BNODE
+    from jena_ray.rdf.cdt import CDT_LIST, CDT_MAP, scope_cdt_bnodes
+
     for d in test.data:
         lang = lang_for_path(d) or "turtle"
+        # blank-node labels are DOCUMENT-scoped — both graph bnodes and
+        # labels inside CDT literal lexicals (bnodes-turtle-15..19);
+        # word-chars only, so scoped CDT lexicals stay re-parseable
+        scope = re.sub(r"\W", "_", os.path.basename(d)) + "_"
         for (sk, sl, p, ok, ol, od, olang, _g) in parse_rdf_text(
                 open(d, encoding="utf-8").read(), lang, base="file://" + d):
+            if sk == KIND_BNODE:
+                sl = scope + sl
+            if ok == KIND_BNODE:
+                ol = scope + ol
+            if ok == KIND_LITERAL and od in (CDT_LIST, CDT_MAP):
+                ol = scope_cdt_bnodes(ol, od, scope)
             if ok == KIND_LITERAL and not od and not olang:
                 od = XSD_STRING
             for name, val in zip(TRIPLE_SCHEMA.names,
