@@ -25,23 +25,26 @@ PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
 def test_parse_shexc():
     s = parse_shexc(SCHEMA)
     ps = s.shapes["http://ex/PersonShape"][1]  # ("shape", Shape)
-    assert [c.predicate for c in ps.constraints] == [
+    tcs = list(ps.expr[1])  # ("each", (tc, ...), 1, 1)
+    assert [t[2] for t in tcs] == [
         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
         "http://ex/name",
         "http://ex/age",
         "http://ex/knows",
     ]
-    name = ps.constraints[1]
-    assert name.value_expr == ("datatype", "http://www.w3.org/2001/XMLSchema#string")
-    assert (name.min_card, name.max_card) == (1, 1)
-    age = ps.constraints[2]
-    assert (age.min_card, age.max_card) == (0, 1)
-    knows = ps.constraints[3]
-    assert knows.value_expr == ("kind", "IRI")
-    assert (knows.min_card, knows.max_card) == (0, -1)
+    name = tcs[1]
+    assert name[3] == ("nc", ("datatype",
+                              "http://www.w3.org/2001/XMLSchema#string"), ())
+    assert (name[4], name[5]) == (1, 1)
+    age = tcs[2]
+    assert (age[4], age[5]) == (0, 1)
+    knows = tcs[3]
+    assert knows[3] == ("nc", ("kind", "IRI"), ())
+    assert (knows[4], knows[5]) == (0, -1)
     strict = s.shapes["http://ex/StrictShape"][1]
     assert strict.closed
-    assert (strict.constraints[0].min_card, strict.constraints[0].max_card) == (1, 2)
+    tc0 = strict.expr  # single tc
+    assert (tc0[4], tc0[5]) == (1, 2)
 
 
 def test_parse_shape_map():
@@ -52,7 +55,7 @@ def test_parse_shape_map():
         s,
     )
     assert entries[0].target_class == "http://ex/Person"
-    assert entries[1].node == "http://ex/bob"
+    assert entries[1].node == (0, "http://ex/bob", "", "")
     with pytest.raises(RDFParseError):
         parse_shape_map("<http://ex/x>@<http://ex/Nope>", s)
 
@@ -121,8 +124,8 @@ PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
 
 def test_parse_shape_reference():
     s = parse_shexc(SCHEMA_REFS)
-    c = s.shapes["http://ex/PersonRefShape"][1].constraints[1]
-    assert c.value_expr == ("ref", "http://ex/AddrShape")
+    c = s.shapes["http://ex/PersonRefShape"][1].expr[1][1]
+    assert c[3] == ("ref", "http://ex/AddrShape")
 
 
 def _triples(rows):
@@ -246,7 +249,7 @@ def test_validate_shape_reference_cross_node():
     by = {r["focus"]: r for r in report}
     assert by["http://ex/p1"]["status"] == "conformant"
     assert by["http://ex/p2"]["status"] == "nonconformant"
-    assert "ref" in by["http://ex/p2"]["reason"]
+    assert "http://ex/addr" in by["http://ex/p2"]["reason"]
 
 
 BOOL_SCHEMA = """
