@@ -56,6 +56,96 @@ class Lit:
     lang: str | None = None
 
 
+@dataclass(frozen=True)
+class TTPat:
+    """RDF 1.2 triple-term pattern in a triple-pattern OBJECT position
+    (SPARQL 1.2 `<<( s p o )>>`; reified-triple sugar desugars to
+    `reifier rdf:reifies TTPat(...)`). Components are Var | IRI str |
+    Lit | nested TTPat. Matching destructures the serialized
+    KIND_TRIPLE_TERM lex per row (gated to kind==3 rows)."""
+
+    s: object
+    p: object
+    o: object
+
+
+def _term_var_names(t) -> list[str]:
+    if isinstance(t, Var):
+        return [t.name]
+    if isinstance(t, TTPat):
+        return (_term_var_names(t.s) + _term_var_names(t.p)
+                + _term_var_names(t.o))
+    return []
+
+
+def tt_ground_lex(tp: TTPat) -> str | None:
+    """Serialized inner-triple lex of a variable-free TTPat (the fast
+    constant-match path), or None when it contains variables."""
+    from ..model import KIND_IRI, KIND_LITERAL, KIND_TRIPLE_TERM
+    from ..rdf.tripleterm import serialize_tt
+
+    def term(n):
+        if isinstance(n, Var):
+            return None
+        if isinstance(n, TTPat):
+            inner = tt_ground_lex(n)
+            return None if inner is None else (KIND_TRIPLE_TERM, inner,
+                                               "", "")
+        if isinstance(n, Lit):
+            dt = next((d for d in (n.dts or ()) if d), "")
+            return (KIND_LITERAL, n.lex, dt, n.lang or "")
+        if hasattr(n, "label"):  # template BNode (sparql.BNode)
+            from ..model import KIND_BNODE
+
+            return (KIND_BNODE, n.label, "", "")
+        return (KIND_IRI, n, "", "")
+
+    s, p, o = term(tp.s), term(tp.p), term(tp.o)
+    if s is None or p is None or o is None:
+        return None
+    return serialize_tt(s, p, o)
+
+
+def _tt_match(lex: str, tp: TTPat, binds: dict) -> bool:
+    """Destructure one serialized triple term against a TTPat,
+    accumulating inner-variable bindings (term tuples) into ``binds``;
+    within-pattern duplicate vars must bind the same term (sameTerm)."""
+    from ..model import (KIND_IRI, KIND_LITERAL, KIND_TRIPLE_TERM,
+                         XSD_STRING)
+    from ..rdf.tripleterm import parse_tt
+
+    try:
+        comps = parse_tt(lex)
+    except Exception:
+        return False
+    for comp, node in zip(comps, (tp.s, tp.p, tp.o)):
+        if isinstance(node, Var):
+            prev = binds.get(node.name)
+            if prev is not None:
+                if prev[0] != comp[0] or prev[1] != comp[1]:
+                    return False
+            else:
+                binds[node.name] = comp
+        elif isinstance(node, TTPat):
+            if comp[0] != KIND_TRIPLE_TERM or not _tt_match(
+                    comp[1], node, binds):
+                return False
+        elif isinstance(node, Lit):
+            if comp[0] != KIND_LITERAL or comp[1] != node.lex:
+                return False
+            dt = "" if comp[2] == XSD_STRING else comp[2]
+            if node.dts is not None and not any(
+                    dt == ("" if d == XSD_STRING else d) for d in node.dts):
+                return False
+            if node.lang is not None and (
+                    (comp[3] or "").lower() != node.lang.lower()):
+                return False
+        else:  # IRI constant
+            if comp[0] != KIND_IRI or comp[1] != node:
+                return False
+    return True
+
+
 # hidden per-variable term-metadata column suffixes (see module docstring)
 META_SUFFIXES = ("__kind", "__dt", "__lang")
 
@@ -73,7 +163,10 @@ def _is_var(t) -> bool:
 
 
 def _pattern_vars(pat) -> list[str]:
-    return [t.name for t in pat if _is_var(t)]
+    out: list[str] = []
+    for t in pat:
+        out.extend(_term_var_names(t))
+    return out
 
 
 def _order_patterns(patterns, sources=None):
@@ -131,7 +224,13 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
         positions.append((o.name, "o_lex", "o"))
     if _is_var(graph):
         positions.append((graph.name, "g", "g"))
-    var_names = sorted({v for v, _, _ in positions})
+    # triple-term pattern in the object position: ground → constant
+    # lex fast path; with vars → per-row destructure (kind==3 only)
+    tt_o = o if isinstance(o, TTPat) else None
+    tt_ground = tt_ground_lex(tt_o) if tt_o is not None else None
+    inner_vars = (sorted(set(_term_var_names(tt_o)))
+                  if tt_o is not None and tt_ground is None else [])
+    var_names = sorted({v for v, _, _ in positions} | set(inner_vars))
 
     out_names = var_names or ["__exists"]
 
@@ -158,7 +257,16 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
             mask = conj(mask, pc.equal(t["s_lex"], s))
         if not _is_var(p):
             mask = conj(mask, pc.equal(t["p"], p))
-        if isinstance(o, Lit):
+        if tt_o is not None:
+            from ..model import KIND_TRIPLE_TERM
+
+            if "o_kind" not in t.schema.names:
+                return _empty_out()
+            mask = conj(mask, pc.fill_null(pc.equal(
+                t["o_kind"], pa.scalar(KIND_TRIPLE_TERM, pa.int8())), False))
+            if tt_ground is not None:
+                mask = conj(mask, pc.equal(t["o_lex"], tt_ground))
+        elif isinstance(o, Lit):
             mask = conj(mask, pc.equal(t["o_lex"], o.lex))
             names = t.schema.names
             if "o_kind" in names:
@@ -198,7 +306,27 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
                 eq_mask = conj(eq_mask, pc.equal(x[cl[0]], x[extra]))
         if eq_mask is not None:
             x = x.filter(eq_mask)
-        if not by_var:  # all-constant pattern: unit relation, count kept
+        tt_rows: list[dict] = []
+        if inner_vars:
+            # destructure the serialized triple term per surviving row
+            # (already narrowed to kind==3); outer-position vars that
+            # also occur inside the term must agree (sameTerm on lex)
+            olex = x["o_lex"].to_pylist()
+            overlap = {v: x[by_var[v][0]].to_pylist()
+                       for v in by_var if v in set(inner_vars)}
+            keep: list[int] = []
+            for i, lx in enumerate(olex):
+                binds: dict = {}
+                if lx is None or not _tt_match(lx, tt_o, binds):
+                    continue
+                if any(col[i] != binds[v][1]
+                       for v, col in overlap.items() if v in binds):
+                    continue
+                keep.append(i)
+                tt_rows.append(binds)
+            x = x.take(pa.array(keep, pa.int64()))
+        if not by_var and not inner_vars:
+            # all-constant pattern: unit relation, count kept
             return pa.table(
                 {"__exists": pa.array(["1"] * x.num_rows, pa.large_string())}
             )
@@ -206,6 +334,17 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
             v: x[cl[0]].combine_chunks().cast(pa.large_string())
             for v, cl in by_var.items()
         }
+        for v in inner_vars:
+            if v in by_var:
+                continue
+            cols[v] = pa.array([r[v][1] for r in tt_rows], pa.large_string())
+            if with_meta:
+                kc, dc, lc = meta_cols_of(v)
+                cols[kc] = pa.array([r[v][0] for r in tt_rows], pa.int8())
+                cols[dc] = pa.array(
+                    [r[v][2] or "" for r in tt_rows], pa.large_string())
+                cols[lc] = pa.array(
+                    [r[v][3] or "" for r in tt_rows], pa.large_string())
         if with_meta:
             first_pos = {}
             for v, _col, pos in positions:

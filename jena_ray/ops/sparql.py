@@ -87,7 +87,19 @@ import pyarrow.compute as pc
 from ..model import (RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, RDFParseError)
 from ..rdf.literals import XSD_INTEGER_TYPES as _XSD_INTS
 from . import paths as _paths
-from .bgp import Lit, Var, match_bgp, select
+from .bgp import Lit, TTPat, Var, match_bgp, select, tt_ground_lex
+
+RDF_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+
+
+def _walk_term_types(x, cls) -> bool:
+    """True when a pattern/template term (possibly a nested triple-term
+    TTPat) contains an instance of ``cls`` (Var / BNode walks)."""
+    if isinstance(x, cls):
+        return True
+    if isinstance(x, TTPat):
+        return any(_walk_term_types(c, cls) for c in (x.s, x.p, x.o))
+    return False
 
 
 from dataclasses import dataclass as _dataclass
@@ -106,9 +118,12 @@ _TOK = re.compile(
         # PN_CHARS includes U+00B7, combining marks U+0300-U+036F and
         # U+203F-U+2040 in non-first position (grammar PN_CHARS)
         (?P<pname>[^\W\d](?:[\w\-.·̀-ͯ‿-⁀]*[\w\-·̀-ͯ‿-⁀])?:(?:[\w\-.:·̀-ͯ‿-⁀]*[\w\-:·̀-ͯ‿-⁀])?|:(?:[\w\-.:·̀-ͯ‿-⁀]*[\w\-:·̀-ͯ‿-⁀])?) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|FOLD|UNFOLD|a)\b) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|FOLD|UNFOLD|TRIPLE|SUBJECT|PREDICATE|OBJECT|ISTRIPLE|LANGDIR|STRLANGDIR|HASLANG|HASLANGDIR|a)\b) |
         (?P<var>[?$][A-Za-z_]\w*) |
-        (?P<iri><[^>\s]*>) |
+        # RDF 1.2 triple-term / reified-triple / annotation delimiters
+        # (before iri/op so `<<`/`<<(`/`)>>`/`{|` lex as single tokens)
+        (?P<tt><<\(|\)>>|<<|>>|\{\||\|\}|~) |
+        (?P<iri><[^<>\s]*>) |
         (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?) |
         (?P<string>"{3}(?:[^\\]|\\.)*?"{3}|'{3}(?:[^\\]|\\.)*?'{3}|"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*') |
         (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*) |
@@ -248,12 +263,42 @@ class _Parser:
                 raise RDFParseError("SPARQL: trailing tokens after ASK group")
             return {"form": "ask", "group": group}
         if self.kw("DESCRIBE"):
-            k, v = self.next()
-            node = self.expand(k, v)
+            # DESCRIBE ( VarOrIri+ | '*' ) DatasetClause* WhereClause?
+            # (SPARQL 11 §10.4; the reference's QueryEngine + default
+            # DescribeBNodeClosure handler)
+            star = False
+            nodes: list[str] = []
+            dvars: list[str] = []
+            if self.peek() == ("op", "*"):
+                self.next()
+                star = True
+            else:
+                while True:
+                    k, v = self.peek()
+                    if k == "var":
+                        self.next()
+                        dvars.append(v[1:])
+                    elif k in ("iri", "pname"):
+                        self.next()
+                        nodes.append(self.expand(k, v))
+                    else:
+                        break
+                if not nodes and not dvars:
+                    raise RDFParseError(
+                        "SPARQL: DESCRIBE needs a var, IRI, or *")
+            froms = self.parse_datasets()
+            group = None
+            if self.kw("WHERE") or self.peek() == ("op", "{"):
+                group = self.parse_group()
+                _validate_scopes(group)
+                if froms:
+                    group = {"elements": [("dataset", froms, group)],
+                             "filters": [], "exists": []}
             if self.peek()[0] != "eof":
-                raise RDFParseError("SPARQL: DESCRIBE takes a single IRI "
-                                    "in this subset")
-            return {"form": "describe", "node": node}
+                raise RDFParseError(
+                    "SPARQL: trailing tokens after DESCRIBE")
+            return {"form": "describe", "nodes": nodes, "vars": dvars,
+                    "star": star, "group": group}
         if self.kw("CONSTRUCT"):
             if self.peek() != ("op", "{"):
                 # CONSTRUCT DatasetClause* WHERE { tp ... } shortform
@@ -262,7 +307,19 @@ class _Parser:
                 self.expect("kw", "WHERE")
                 group = self.parse_group()
                 _validate_scopes(group)
-                template = [pat for el in group["elements"]
+                # pattern blank nodes (incl. desugared RDF 1.2 reifiers)
+                # are existential VARS in the WHERE but template BNODES
+                # in the shortform template: fresh per solution, not the
+                # data's matched label (Jena Template/TemplateLib)
+                def _bn(x):
+                    if isinstance(x, Var) and x.name.startswith("__bn_"):
+                        return BNode(x.name[5:])
+                    if isinstance(x, TTPat):
+                        return TTPat(_bn(x.s), _bn(x.p), _bn(x.o))
+                    return x
+
+                template = [(_bn(pat[0]), pat[1], _bn(pat[2]))
+                            for el in group["elements"]
                             if el[0] == "bgp" for pat in el[1]]
                 if froms:
                     group = {"elements": [("dataset", froms, group)],
@@ -493,10 +550,11 @@ class _Parser:
             if isinstance(pat[1], _paths.Path):
                 raise RDFParseError(
                     "SPARQL update: property paths not allowed in templates")
-            if constant and any(isinstance(x, Var) for x in pat):
+            if constant and any(_walk_term_types(x, Var) for x in pat):
                 raise RDFParseError(
                     "SPARQL update: INSERT/DELETE DATA takes ground triples")
-            if forbid_bnodes and any(isinstance(x, BNode) for x in pat):
+            if forbid_bnodes and any(
+                    _walk_term_types(x, BNode) for x in pat):
                 raise RDFParseError(
                     "SPARQL update: DELETE templates cannot contain "
                     "blank nodes")
@@ -1042,7 +1100,21 @@ class _Parser:
             # plain literal: the engine's untyped tabular convention
             return (lex, KIND_LITERAL, "", "")
         if k == "num":
-            return (v, KIND_LITERAL, "", "")
+            # numeric shorthand carries its XSD type (same as
+            # parse_term) so EBV/compare see the number, not a string
+            dt = (XSD_NS + "double" if "e" in v.lower()
+                  else XSD_NS + "decimal" if "." in v
+                  else XSD_NS + "integer")
+            return (v, KIND_LITERAL, dt, "")
+        if k == "tt" and v == "<<(":
+            from ..model import KIND_TRIPLE_TERM
+
+            tp = self._parse_tt_pattern(as_template=True)
+            lex = tt_ground_lex(tp)
+            if lex is None:
+                raise RDFParseError(
+                    "SPARQL: VALUES triple term must be ground")
+            return (lex, KIND_TRIPLE_TERM, "", "")
         raise RDFParseError(f"SPARQL: bad VALUES term {v!r}")
 
     def parse_term(self, position: str):
@@ -1106,6 +1178,8 @@ class _Parser:
             return True
         if k == "op" and v in ("[", "("):
             return True
+        if k == "tt" and v in ("<<", "<<("):
+            return True
         return False
 
     def _skip_lit_suffix(self):
@@ -1130,6 +1204,101 @@ class _Parser:
             return Var("__bn_" + term.label)
         return term
 
+    # --- RDF 1.2: triple terms, reified triples, annotations ----------
+
+    def _parse_tt_pattern(self, as_template: bool) -> TTPat:
+        """After '<<(': TripleTerm → TTPat (components may be vars in
+        pattern/template position; ground terms serialize on match)."""
+
+        def component(position: str):
+            k, v = self.peek()
+            if k == "tt" and v == "<<(":
+                if position != "object":
+                    raise RDFParseError(
+                        "SPARQL: triple term only allowed in object position")
+                self.next()
+                return self._parse_tt_pattern(as_template)
+            if k == "tt":
+                raise RDFParseError(
+                    "SPARQL: reified triple not allowed inside a triple term")
+            return self._bnode_fix(self.parse_term(position), as_template)
+
+        s = component("subject")
+        p = self.parse_term("predicate")
+        o = component("object")
+        k, v = self.next()
+        if (k, v) != ("tt", ")>>"):
+            raise RDFParseError(f"SPARQL: expected ')>>', got {v!r}")
+        return TTPat(s, p, o)
+
+    def _parse_reified(self, out: list, as_template: bool):
+        """After '<<': ReifiedTriple (SPARQL 1.2 grammar) — desugars to
+        ``reifier rdf:reifies <<( s p o )>>`` appended to ``out``;
+        returns the reifier term (given after '~', else fresh)."""
+
+        def part(position: str):
+            k, v = self.peek()
+            if k == "tt" and v == "<<":
+                self.next()
+                return self._parse_reified(out, as_template)
+            if k == "tt" and v == "<<(":
+                if position != "object":
+                    raise RDFParseError(
+                        "SPARQL: triple term only allowed in object position")
+                self.next()
+                return self._parse_tt_pattern(as_template)
+            return self._bnode_fix(self.parse_term(position), as_template)
+
+        s = part("subject")
+        p = self.parse_term("predicate")
+        o = part("object")
+        r = None
+        if self.peek() == ("tt", "~"):
+            self.next()
+            k, v = self.peek()
+            if k in ("var", "iri", "pname") or (k == "op" and v == "["):
+                r = self._bnode_fix(self.parse_term("subject"), as_template)
+        if r is None:
+            r = self._fresh_bnode(as_template)
+        out.append((r, RDF_REIFIES, TTPat(s, p, o)))
+        k, v = self.next()
+        if (k, v) != ("tt", ">>"):
+            raise RDFParseError(f"SPARQL: expected '>>', got {v!r}")
+        return r
+
+    def _parse_annotations(self, s, p, o, out: list, as_template: bool):
+        """Annotation ::= ('~' Reifier? | '{| po-list |}')* after an
+        object — each reifier R adds ``R rdf:reifies <<( s p o )>>``;
+        an annotation block's po-list hangs off the current reifier
+        (fresh when none was given)."""
+        cur = None
+        while True:
+            k, v = self.peek()
+            if (k, v) not in (("tt", "~"), ("tt", "{|")):
+                return
+            if not (isinstance(p, str) or isinstance(p, Var)):
+                raise RDFParseError(
+                    "SPARQL: annotations require a plain predicate, "
+                    "not a property path")
+            if v == "~":
+                self.next()
+                k2, v2 = self.peek()
+                if k2 in ("var", "iri", "pname") or (
+                        k2 == "op" and v2 == "["):
+                    cur = self._bnode_fix(
+                        self.parse_term("subject"), as_template)
+                else:
+                    cur = self._fresh_bnode(as_template)
+                out.append((cur, RDF_REIFIES, TTPat(s, p, o)))
+            else:
+                self.next()
+                if cur is None:
+                    cur = self._fresh_bnode(as_template)
+                    out.append((cur, RDF_REIFIES, TTPat(s, p, o)))
+                self._po_list(cur, out, as_template)
+                self.expect("tt", "|}")
+                cur = None
+
     def parse_triples_block(self, as_template: bool = False) -> list:
         """TriplesSameSubject: subject (term or [ po-list ]) followed by
         a PropertyListNotEmpty with ';' predicate groups and ','
@@ -1137,6 +1306,17 @@ class _Parser:
         (s, p, o) patterns (SPARQL grammar TriplesBlock)."""
         out: list = []
         k, v = self.peek()
+        if k == "tt" and v == "<<":
+            self.next()
+            s = self._parse_reified(out, as_template)
+            k2, v2 = self.peek()
+            if (k2 == "op" and v2 in (".", "}")) or k2 is None:
+                return out  # bare reified-triple statement
+            self._po_list(s, out, as_template)
+            return out
+        if k == "tt" and v == "<<(":
+            raise RDFParseError(
+                "SPARQL: triple term only allowed in object position")
         if k == "op" and v == "[":
             self.next()
             s = self._fresh_bnode(as_template)
@@ -1172,6 +1352,7 @@ class _Parser:
             while True:
                 o = self._object_node(out, as_template)
                 out.append((s, p, o))
+                self._parse_annotations(s, p, o, out, as_template)
                 if self.peek() == ("op", ","):
                     self.next()
                     continue
@@ -1186,6 +1367,12 @@ class _Parser:
 
     def _object_node(self, out: list, as_template: bool):
         k, v = self.peek()
+        if k == "tt" and v == "<<":
+            self.next()
+            return self._parse_reified(out, as_template)
+        if k == "tt" and v == "<<(":
+            self.next()
+            return self._parse_tt_pattern(as_template)
         if k == "op" and v == "[":
             self.next()
             b = self._fresh_bnode(as_template)
@@ -1451,6 +1638,65 @@ class _Parser:
             var = self.expect("var")[1:]
             self.expect("op", ")")
             return (fn, var)
+        if k == "tt" and v == "<<(":
+            # ExprTripleTerm: <<( subject Verb ExprVarOrTerm )>> — the
+            # grammar restricts the subject to Var | iri (no literal,
+            # no nested triple term; rdf-tests tripleterm-subject-03/06)
+            self.next()
+            s = self.parse_primary()
+            if s[0] not in ("var", "iriconst"):
+                raise RDFParseError(
+                    "SPARQL: triple-term subject must be a variable or "
+                    f"IRI, got {s[0]}")
+            p = self.parse_primary()
+            o = self.parse_primary()
+            self.expect("tt", ")>>")
+            return ("tripleexpr", s, p, o)
+        if k == "kw" and v.upper() == "ISTRIPLE":
+            self.next()
+            self.expect("op", "(")
+            var = self.expect("var")[1:]
+            self.expect("op", ")")
+            return ("istriple", var)
+        if k == "kw" and v.upper() in ("LANGDIR", "HASLANG", "HASLANGDIR"):
+            fn = v.lower()
+            self.next()
+            self.expect("op", "(")
+            var = self.expect("var")[1:]
+            self.expect("op", ")")
+            return (fn, var)
+        if k == "kw" and v.upper() == "STRLANGDIR":
+            self.next()
+            self.expect("op", "(")
+            a = self.parse_add()
+            self.expect("op", ",")
+            b = self.parse_add()
+            self.expect("op", ",")
+            c = self.parse_add()
+            self.expect("op", ")")
+            if b[0] != "lit" or c[0] != "lit":
+                raise RDFParseError(
+                    "SPARQL: STRLANGDIR tag/direction must be constant "
+                    "strings")
+            return ("strlangdir", a, b[1], c[1])
+        if k == "kw" and v.upper() in ("SUBJECT", "PREDICATE", "OBJECT"):
+            which = {"SUBJECT": "s", "PREDICATE": "p", "OBJECT": "o"}[
+                v.upper()]
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_add()
+            self.expect("op", ")")
+            return ("ttcomp", which, e)
+        if k == "kw" and v.upper() == "TRIPLE":
+            self.next()
+            self.expect("op", "(")
+            s = self.parse_add()
+            self.expect("op", ",")
+            p = self.parse_add()
+            self.expect("op", ",")
+            o = self.parse_add()
+            self.expect("op", ")")
+            return ("tripleexpr", s, p, o)
         if k == "kw" and v.upper() == "LANGMATCHES":
             # LANGMATCHES(LANG(?v), "range") — the common idiom; the
             # first arg is required to be LANG(?v) in this subset
@@ -2455,7 +2701,7 @@ def _eval_value(node, t: pa.Table):
         if isinstance(v, pa.Scalar):
             v = pa.array([v.as_py()] * t.num_rows, pa.large_string())
         return pc.cast(pc.utf8_length(v), pa.float64())
-    if tag == "lang":
+    if tag in ("lang", "langdir"):
         from ..model import KIND_LITERAL
 
         col = t[node[1] + "__lang"] if node[1] + "__lang" in t.schema.names else None
@@ -2463,6 +2709,18 @@ def _eval_value(node, t: pa.Table):
             out = pa.array([""] * t.num_rows, pa.large_string())
         else:
             out = pc.fill_null(col.combine_chunks().cast(pa.large_string()), "")
+        if tag == "lang":
+            # RDF 1.2: the base direction rides the lang slot as
+            # "en--ltr" — LANG returns the language alone
+            out = pc.replace_substring_regex(out, r"--(ltr|rtl)$", "")
+        else:  # LANGDIR: the direction alone ("" when none)
+            out = pc.if_else(
+                pc.match_substring_regex(out, r"--ltr$"),
+                pa.scalar("ltr", pa.large_string()),
+                pc.if_else(
+                    pc.match_substring_regex(out, r"--rtl$"),
+                    pa.scalar("rtl", pa.large_string()),
+                    pa.scalar("", pa.large_string())))
         # LANG of a non-literal (or unbound) is a type error → null
         kc = node[1] + "__kind"
         if kc in t.schema.names:
@@ -2512,9 +2770,17 @@ def _eval_value(node, t: pa.Table):
         return pc.if_else(is_lit, out, pa.scalar(None, pa.large_string()))
     if tag == "datatype_expr":
         sub = node[1]
-        if sub[0] == "typedlit":
+        if sub[0] == "lit":
             from ..model import XSD_STRING
 
+            return pa.array([XSD_STRING] * t.num_rows, pa.large_string())
+        if sub[0] == "typedlit":
+            from ..model import RDF_LANGSTRING, XSD_NS, XSD_STRING
+
+            if sub[3]:  # lang-tagged (RDF 1.2: --dir → dirLangString)
+                dt = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      "dirLangString" if "--" in sub[3] else RDF_LANGSTRING)
+                return pa.array([dt] * t.num_rows, pa.large_string())
             return pa.array(
                 [sub[2] or XSD_STRING] * t.num_rows, pa.large_string())
         if sub[0] in ("uuid", "irifn", "bnodefn") and not (
@@ -2895,12 +3161,25 @@ def _eval_value(node, t: pa.Table):
         out = pc.if_else(num_src, num_canon,
                          pc.if_else(bool_src, bool_canon, lex))
         return pc.if_else(bad, null_s, out)
-    if tag in ("strdt", "strlang"):
+    if tag in ("strdt", "strlang", "strlangdir"):
         # value model is lexical; the type/lang shows up in term
         # classification (_eq_side) and DATATYPE/LANG accessors.
         # STRDT/STRLANG require a SIMPLE literal argument (17.4.2.8/9)
-        arr = _str_arg(node[1], t,
-                       _to_lexical(_eval_value(node[1], t), t.num_rows),
+        sub = node[1]
+        if (sub[0] in ("num", "iriconst", "bnodefn", "tripleexpr")
+                or (sub[0] == "typedlit" and (sub[3] or sub[2] not in
+                                              ("", _XSD + "string")))):
+            # constant non-(simple-string) argument → type error
+            return pa.nulls(t.num_rows, pa.large_string())
+        if tag == "strlang" and not node[2]:
+            # empty language tag is a type error (E_StrLang)
+            return pa.nulls(t.num_rows, pa.large_string())
+        if tag == "strlangdir" and (
+                not node[2] or node[3] not in ("ltr", "rtl")):
+            # direction must be exactly "ltr"/"rtl"; lang nonempty
+            return pa.nulls(t.num_rows, pa.large_string())
+        arr = _str_arg(sub, t,
+                       _to_lexical(_eval_value(sub, t), t.num_rows),
                        simple_only=True)
         return arr
     if tag == "ifexpr":
@@ -2912,9 +3191,12 @@ def _eval_value(node, t: pa.Table):
         a = _to_lexical(_eval_value(node[2], t), t.num_rows)
         b = _to_lexical(_eval_value(node[3], t), t.num_rows)
         return pc.if_else(cond, a, b)
+    if tag in ("tripleexpr", "ttcomp"):
+        return _tt_term_arrays(node, t)[0]
     if tag in ("cmp", "and", "or", "not", "bound", "regex", "strstarts",
                "strends", "contains", "langmatches", "isiri", "isliteral",
-               "isblank", "in", "notin"):
+               "isblank", "istriple", "haslang", "haslangdir", "in",
+               "notin"):
         # a boolean expression used as a VALUE, e.g. BIND((?y = ?z) AS
         # ?eq): xsd:boolean lexical forms; evaluation errors stay null
         m = _eval_bool(node, t)
@@ -2939,7 +3221,7 @@ def _eval_value(node, t: pa.Table):
 # parsed xsd:string literals) keeps the documented lexical/numeric
 # behavior instead of the spec's simple-literal error rules.
 (_CLS_IRI, _CLS_BNODE, _CLS_STR, _CLS_LANG, _CLS_NUM, _CLS_BOOL,
- _CLS_TIME, _CLS_UNTYPED, _CLS_OTHER) = range(9)
+ _CLS_TIME, _CLS_UNTYPED, _CLS_OTHER, _CLS_TT) = range(10)
 
 _TIME_DTS = tuple(
     "http://www.w3.org/2001/XMLSchema#" + s
@@ -2948,7 +3230,7 @@ _TIME_DTS = tuple(
 _BOOL_EXPR_TAGS = frozenset(
     {"cmp", "and", "or", "not", "bound", "inlist", "regex", "regex_str",
      "strstarts", "strends", "contains", "isiri", "isliteral", "isblank",
-     "langmatches", "exists_marker"})
+     "istriple", "haslang", "haslangdir", "langmatches", "exists_marker"})
 
 
 def _epoch_of(s):
@@ -3035,6 +3317,10 @@ def _classify_var(v: str, t: pa.Table) -> dict:
     cls = pc.if_else(
         pc.equal(kind, _i8(KIND_BNODE)), _i8(_CLS_BNODE), cls)
     cls = pc.if_else(pc.equal(kind, _i8(KIND_IRI)), _i8(_CLS_IRI), cls)
+    from ..model import KIND_TRIPLE_TERM
+
+    cls = pc.if_else(
+        pc.equal(kind, _i8(KIND_TRIPLE_TERM)), _i8(_CLS_TT), cls)
     bool_num = pc.cast(pc.fill_null(pc.is_in(
         lex, value_set=pa.array(["true", "1"], lex.type)), False),
         pa.float64())
@@ -3062,6 +3348,99 @@ def _classify_term_arrays(lex, kind, dt, lang) -> dict:
     tmp = pa.table({"__x": lex, "__x__kind": kind,
                     "__x__dt": dt, "__x__lang": lang})
     return _classify_var("__x", tmp)
+
+
+def _cls_to_kind(c: int) -> int:
+    from ..model import (KIND_BNODE, KIND_IRI, KIND_LITERAL,
+                         KIND_TRIPLE_TERM)
+
+    if c == _CLS_IRI:
+        return KIND_IRI
+    if c == _CLS_BNODE:
+        return KIND_BNODE
+    if c == _CLS_TT:
+        return KIND_TRIPLE_TERM
+    return KIND_LITERAL
+
+
+def _tt_term_arrays(node, t: pa.Table):
+    """Evaluate an RDF 1.2 triple-term expression node per row →
+    (lex, kind, dt, lang) arrays (SPARQL 1.2 TRIPLE()/`<<( )>>` and
+    SUBJECT/PREDICATE/OBJECT accessors; errors → null rows)."""
+    from ..model import (KIND_BNODE, KIND_IRI, KIND_TRIPLE_TERM,
+                         RDF_LANGSTRING)
+    from ..rdf.tripleterm import parse_tt, serialize_tt
+
+    n = t.num_rows
+    if node[0] == "tripleexpr":
+        sides = [_eq_side(x, t) for x in node[1:4]]
+        cols = []
+        for S in sides:
+            cols.append((S["lex"].to_pylist(), S["cls"].to_pylist(),
+                         S["dt"].to_pylist(), S["lang"].to_pylist()))
+        lex_out: list = []
+        for i in range(n):
+            sl, sc = cols[0][0][i], cols[0][1][i]
+            pl, pcl = cols[1][0][i], cols[1][1][i]
+            ol, ocl = cols[2][0][i], cols[2][1][i]
+            if (sl is None or pl is None or ol is None
+                    or pcl != _CLS_IRI
+                    or sc not in (_CLS_IRI, _CLS_BNODE, _CLS_TT)):
+                lex_out.append(None)
+                continue
+            if sc == _CLS_TT:
+                # a triple term cannot be a subject (RDF 1.2)
+                lex_out.append(None)
+                continue
+            o_dt = cols[2][2][i] or ""
+            o_lang = cols[2][3][i] or ""
+            if o_lang and not o_dt:
+                o_dt = RDF_LANGSTRING
+            lex_out.append(serialize_tt(
+                (_cls_to_kind(sc), sl, "", ""),
+                (KIND_IRI, pl, "", ""),
+                (_cls_to_kind(ocl), ol,
+                 "" if ocl in (_CLS_IRI, _CLS_BNODE, _CLS_TT) else o_dt,
+                 "" if ocl in (_CLS_IRI, _CLS_BNODE, _CLS_TT) else o_lang)))
+        lex = pa.array(lex_out, pa.large_string())
+        kind = pc.if_else(pc.is_valid(lex),
+                          pa.scalar(KIND_TRIPLE_TERM, pa.int8()),
+                          pa.scalar(None, pa.int8()))
+        empty = pa.array([""] * n, pa.large_string())
+        return lex, kind, empty, empty
+    # ("ttcomp", "s"|"p"|"o", expr)
+    which = node[1]
+    S = _eq_side(node[2], t)
+    lexes = S["lex"].to_pylist()
+    clss = S["cls"].to_pylist()
+    out_l: list = []
+    out_k: list = []
+    out_d: list = []
+    out_g: list = []
+    for i in range(n):
+        if clss[i] != _CLS_TT or lexes[i] is None:
+            out_l.append(None)
+            out_k.append(None)
+            out_d.append("")
+            out_g.append("")
+            continue
+        try:
+            s_, p_, o_ = parse_tt(lexes[i])
+        except Exception:
+            out_l.append(None)
+            out_k.append(None)
+            out_d.append("")
+            out_g.append("")
+            continue
+        comp = {"s": s_, "p": (KIND_IRI, p_[1], "", ""), "o": o_}[which]
+        out_l.append(comp[1])
+        out_k.append(comp[0])
+        out_d.append(comp[2] or "")
+        out_g.append(comp[3] or "")
+    return (pa.array(out_l, pa.large_string()),
+            pa.array(out_k, pa.int8()),
+            pa.array(out_d, pa.large_string()),
+            pa.array(out_g, pa.large_string()))
 
 
 def _eq_side(node, t: pa.Table) -> dict:
@@ -3121,6 +3500,9 @@ def _eq_side(node, t: pa.Table) -> dict:
         return const(lex, _CLS_OTHER, dt=dt)
     if tag == "var":
         return _classify_var(node[1], t)
+    if tag in ("tripleexpr", "ttcomp"):
+        lex3, kind3, dt3, lang3 = _tt_term_arrays(node, t)
+        return _classify_term_arrays(lex3, kind3, dt3, lang3)
     if tag == "bnodefn":
         val = _eval_value(node, t)
         lex = _to_lexical(val, n)
@@ -3189,8 +3571,10 @@ def _eq_side(node, t: pa.Table) -> dict:
                 "cls": pa.array([_CLS_IRI] * n, pa.int8()),
                 "dt": empty_dt, "lang": empty_lang,
                 "num": pa.nulls(n, pa.float64())}
-    if tag == "strlang":
+    if tag in ("strlang", "strlangdir"):
         lang = node[2].lower()
+        if tag == "strlangdir":
+            lang = f"{lang}--{node[3]}"
         return {"lex": lex,
                 "cls": pc.if_else(pc.is_valid(lex), _i8(_CLS_LANG),
                                   _i8(_CLS_OTHER)),
@@ -3326,6 +3710,26 @@ def _term_eq(op: str, l, r, t: pa.Table):
             except Exception:
                 vals.append(None)  # unknown / ill-formed → error
         acc = pc.if_else(cdt_mask, pa.array(vals, pa.bool_()), acc)
+    # RDF 1.2 triple terms: component-wise VALUE equality (SPARQL 1.2
+    # §17.4.1.7); a triple term never equals a non-triple-term
+    tt_l, tt_r = pc.equal(cl, _i8(_CLS_TT)), pc.equal(cr, _i8(_CLS_TT))
+    tt_mixed = pc.and_(pc.or_(tt_l, tt_r), pc.invert(both(_CLS_TT)))
+    acc = pc.if_else(tt_mixed, pa.scalar(False), acc)
+    tt_mask = pc.fill_null(both(_CLS_TT), False)
+    if pc.any(tt_mask).as_py():
+        from ..rdf.tripleterm import tt_same_value
+
+        ll, rr = L["lex"].to_pylist(), R["lex"].to_pylist()
+        vals2: list = []
+        for i, m in enumerate(tt_mask.to_pylist()):
+            if not m:
+                vals2.append(None)
+                continue
+            try:
+                vals2.append(tt_same_value(ll[i], rr[i]))
+            except Exception:
+                vals2.append(None)  # unknown → type error
+        acc = pc.if_else(tt_mask, pa.array(vals2, pa.bool_()), acc)
     acc = pc.if_else(same_term, pa.scalar(True), acc)
     bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
     acc = pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
@@ -3395,6 +3799,39 @@ def _term_ord(op: str, l, r, t: pa.Table):
             vals.append({"<": c < 0, "<=": c <= 0,
                          ">": c > 0, ">=": c >= 0}[op])
         acc = pc.if_else(cdt_mask, pa.array(vals, pa.bool_()), acc)
+    # RDF 1.2 triple terms: the first component pair not value-equal
+    # decides, and must itself be operator-orderable (else type error)
+    tt_mask = pc.fill_null(
+        pc.and_(pc.equal(cl, _i8(_CLS_TT)), pc.equal(cr, _i8(_CLS_TT))),
+        False)
+    if pc.any(tt_mask).as_py():
+        from ..rdf.tripleterm import tt_compare_op
+
+        ll, rr = L["lex"].to_pylist(), R["lex"].to_pylist()
+        vals3: list = []
+        for i, m in enumerate(tt_mask.to_pylist()):
+            if not m:
+                vals3.append(None)
+                continue
+            try:
+                c = tt_compare_op(ll[i], rr[i])
+            except Exception:
+                vals3.append(None)
+                continue
+            vals3.append({"<": c < 0, "<=": c <= 0,
+                          ">": c > 0, ">=": c >= 0}[op])
+        acc = pc.if_else(tt_mask, pa.array(vals3, pa.bool_()), acc)
+    if op in ("<=", ">="):
+        # A <= B holds whenever A = B holds (RDFterm-equal), even for
+        # term kinds with no `<` order — IRIs, bnodes, triple terms
+        # (SPARQL 1.2 operator mapping; Jena NodeValue.compare).
+        # NOT for CDT literals: their own branch above already applied
+        # sortOrderingCompare, and `<=` on lists with blank-node
+        # elements must stay a type error even when `=` would hold
+        # (SPARQL-CDTs list-less-equal-28/29)
+        eq_true = pc.fill_null(_term_eq("=", l, r, t), False)
+        eq_true = pc.and_(eq_true, pc.invert(cdt_mask))
+        acc = pc.if_else(eq_true, pa.scalar(True), acc)
     bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
     return pc.if_else(bound, acc, pa.scalar(None, pa.bool_()))
 
@@ -3452,15 +3889,23 @@ def _ebv(node, t: pa.Table):
         bool_dt = pc.equal(dt, XSD_NS + "boolean")
         num_dt = pc.is_in(
             dt, value_set=pa.array(sorted(_NUMERIC_DTS), pa.large_string()))
-        plainish = pc.or_(
+        # lang-tagged literals have NO effective boolean value (the
+        # SPARQL 1.2 EBV table: only xsd:boolean, numerics, and
+        # xsd:string/simple literals — not-not test)
+        plainish = pc.and_(
             pc.or_(pc.equal(dt, ""), pc.equal(dt, XSD_STRING)),
-            pc.not_equal(lang, ""),
+            pc.equal(lang, ""),
         )
         num_ok = pc.fill_null(pc.match_substring_regex(arr, _NUM_RE), False)
         numv = pc.cast(
             pc.if_else(num_ok, arr, pa.scalar(None, arr.type)), pa.float64())
-        bool_res = pc.fill_null(
-            pc.is_in(arr, value_set=pa.array(["true", "1"], arr.type)), False)
+        # an ill-formed xsd:boolean is a type error (SPARQL 1.2 EBV)
+        bool_res = pc.if_else(
+            pc.fill_null(pc.is_in(arr, value_set=pa.array(
+                ["true", "1", "false", "0"], arr.type)), False),
+            pc.fill_null(pc.is_in(arr, value_set=pa.array(
+                ["true", "1"], arr.type)), False),
+            pa.scalar(None, pa.bool_()))
         num_res = pc.fill_null(pc.not_equal(numv, 0.0), False)
         str_res = pc.fill_null(pc.greater(pc.utf8_length(arr), 0), False)
         res = pc.if_else(
@@ -3516,14 +3961,23 @@ def _expr_static_meta(node):
     if tag == "cast":
         return (KIND_LITERAL, node[1], "")
     if tag in ("hashfn", "encuri", "concat", "substr", "replace",
-               "strbefore", "strafter", "strdt", "strlang"):
+               "strbefore", "strafter", "strdt", "strlang", "strlangdir"):
         if tag == "strdt":
             return (KIND_LITERAL, node[2], "")
         if tag == "strlang":
             from ..model import RDF_LANGSTRING
 
             return (KIND_LITERAL, RDF_LANGSTRING, node[2])
+        if tag == "strlangdir":
+            from ..model import RDF_LANGSTRING
+
+            return (KIND_LITERAL, RDF_LANGSTRING,
+                    f"{node[2]}--{node[3]}")
         return (KIND_LITERAL, XSD_STRING, "")
+    if tag == "tripleexpr":
+        from ..model import KIND_TRIPLE_TERM
+
+        return (KIND_TRIPLE_TERM, "", "")
     if tag == "fn1" and node[1] in ("STR", "UCASE", "LCASE"):
         return (KIND_LITERAL, XSD_STRING, "")
     if tag in _BOOL_EXPR_TAGS:
@@ -3566,12 +4020,28 @@ def _eval_bool(node, t: pa.Table):
     if tag == "bound":
         return pc.is_valid(_var_col(t, node[1]))
     if tag == "sameterm":
+        from ..model import RDF_LANGSTRING, XSD_STRING
+
         L, R = _eq_side(node[1], t), _eq_side(node[2], t)
+
+        def nz_dt(S):
+            # RDF 1.1: a simple literal IS xsd:string, and the
+            # lang-string datatype is implied by the tag — normalize
+            # the declared-dt variants so sameTerm sees one term
+            return pc.if_else(
+                pc.is_in(S["dt"], value_set=pa.array(
+                    [XSD_STRING, RDF_LANGSTRING], pa.large_string())),
+                pa.scalar("", pa.large_string()), S["dt"])
+
+        def nz_cls(S):
+            return pc.if_else(pc.equal(S["cls"], _i8(_CLS_STR)),
+                              _i8(_CLS_UNTYPED), S["cls"])
+
         res = pc.and_(
             pc.and_(pc.fill_null(pc.equal(L["lex"], R["lex"]), False),
-                    pc.fill_null(pc.equal(L["dt"], R["dt"]), False)),
+                    pc.fill_null(pc.equal(nz_dt(L), nz_dt(R)), False)),
             pc.and_(pc.fill_null(pc.equal(L["lang"], R["lang"]), False),
-                    pc.equal(L["cls"], R["cls"])))
+                    pc.equal(nz_cls(L), nz_cls(R))))
         bound = pc.and_(pc.is_valid(L["lex"]), pc.is_valid(R["lex"]))
         return pc.if_else(bound, res, pa.scalar(None, pa.bool_()))
     if tag == "isnumeric":
@@ -3603,11 +4073,32 @@ def _eval_bool(node, t: pa.Table):
         return pc.ends_with(_var_col(t, node[1]), node[2])
     if tag == "contains":
         return pc.match_substring(_var_col(t, node[1]), node[2])
-    if tag in ("isiri", "isliteral", "isblank"):
-        from ..model import KIND_BNODE, KIND_IRI, KIND_LITERAL
+    if tag in ("haslang", "haslangdir"):
+        from ..model import KIND_LITERAL
+
+        n = t.num_rows
+        lc, kc = node[1] + "__lang", node[1] + "__kind"
+        lang = (pc.fill_null(
+            t[lc].combine_chunks().cast(pa.large_string()), "")
+            if lc in t.schema.names
+            else pa.array([""] * n, pa.large_string()))
+        if tag == "haslang":
+            out = pc.not_equal(
+                pc.replace_substring_regex(lang, r"--(ltr|rtl)$", ""), "")
+        else:
+            out = pc.match_substring_regex(lang, r"--(ltr|rtl)$")
+        if kc in t.schema.names:
+            out = pc.and_(out, pc.fill_null(pc.equal(
+                t[kc].combine_chunks(), pa.scalar(KIND_LITERAL, pa.int8())),
+                True))
+        bound = pc.is_valid(_var_col(t, node[1]))
+        return pc.if_else(bound, out, pa.scalar(None, pa.bool_()))
+    if tag in ("isiri", "isliteral", "isblank", "istriple"):
+        from ..model import (KIND_BNODE, KIND_IRI, KIND_LITERAL,
+                             KIND_TRIPLE_TERM)
 
         want = {"isiri": KIND_IRI, "isliteral": KIND_LITERAL,
-                "isblank": KIND_BNODE}[tag]
+                "isblank": KIND_BNODE, "istriple": KIND_TRIPLE_TERM}[tag]
         kc = node[1] + "__kind"
         if kc not in t.schema.names:
             return pa.array([tag == "isliteral"] * t.num_rows)
@@ -3689,6 +4180,8 @@ def _term_sort(bindings_ds, order: list):
             lex = cols.get(v, pa.nulls(n, pa.large_string()))
             kind = cols.get(v + "__kind", pa.nulls(n, pa.int8()))
             dt = cols.get(v + "__dt", pa.array([""] * n, pa.large_string()))
+            from ..model import KIND_TRIPLE_TERM
+
             klass = pc.if_else(
                 pc.is_null(lex),
                 pa.scalar(0, pa.int8()),
@@ -3703,10 +4196,21 @@ def _term_sort(bindings_ds, order: list):
                             False,
                         ),
                         pa.scalar(2, pa.int8()),
-                        pa.scalar(3, pa.int8()),
+                        # triple terms sort AFTER all literals
+                        # (SPARQL 1.2 ORDER BY term order)
+                        pc.if_else(
+                            pc.fill_null(pc.equal(
+                                kind,
+                                pa.scalar(KIND_TRIPLE_TERM, pa.int8())),
+                                False),
+                            pa.scalar(4, pa.int8()),
+                            pa.scalar(3, pa.int8()),
+                        ),
                     ),
                 ),
             )
+            is_tt = pc.fill_null(pc.equal(
+                kind, pa.scalar(KIND_TRIPLE_TERM, pa.int8())), False)
             numeric_dt = pc.fill_null(
                 pc.is_in(dt, value_set=pa.array(sorted(_NUMERIC_DTS), dt.type)),
                 False,
@@ -3739,6 +4243,18 @@ def _term_sort(bindings_ds, order: list):
                         try:
                             s_py[i] = cdt_sort_key(s_py[i], dt_py[i])
                         except ValueError:
+                            pass  # ill-formed: keep the lexical
+                s = pa.array(s_py, pa.large_string())
+            if pc.any(is_tt).as_py():
+                # triple terms: recursive component-wise encoded key
+                from ..rdf.tripleterm import tt_sort_key
+
+                s_py = s.to_pylist()
+                for i, hit in enumerate(is_tt.to_pylist()):
+                    if hit and s_py[i]:
+                        try:
+                            s_py[i] = tt_sort_key(s_py[i])
+                        except Exception:
                             pass  # ill-formed: keep the lexical
                 s = pa.array(s_py, pa.large_string())
             cols[f"__ok_{v}"] = klass
@@ -3827,7 +4343,9 @@ def _group_vars(group: dict) -> set:
     out: set = set()
     for el in group["elements"]:
         if el[0] == "bgp":
-            out |= {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
+            from .bgp import _pattern_vars
+
+            out |= {v for pat in el[1] for v in _pattern_vars(pat)}
         elif el[0] == "path":
             out |= {x.name for x in (el[1][0], el[1][2]) if isinstance(x, Var)}
         elif el[0] == "group":
@@ -4691,8 +5209,10 @@ def _compile_group(triples_ds, group: dict, graph=None):
         if el[0] == "bgp":
             rel = match_bgp(triples_ds, el[1], distinct=False, graph=graph,
                             with_meta=True)
+            from .bgp import _pattern_vars
+
             rel_vars = sorted(
-                {x.name for pat in el[1] for x in pat if isinstance(x, Var)}
+                {v for pat in el[1] for v in _pattern_vars(pat)}
                 | ({graph.name} if isinstance(graph, Var) else set())
             )
             how = "inner"
@@ -4965,6 +5485,12 @@ def _compile_group(triples_ds, group: dict, graph=None):
                         _l2, k2, d2, g2 = _eval_cdtfn(
                             _expr, t, with_meta=True)
                         out[kc], out[dc], out[lc] = k2, d2, g2
+                    elif _expr[0] in ("tripleexpr", "ttcomp"):
+                        # triple-term expressions: per-row term metadata
+                        # (kind 3 for TRIPLE(); component kind for
+                        # SUBJECT/PREDICATE/OBJECT)
+                        _l2, k2, d2, g2 = _tt_term_arrays(_expr, t)
+                        out[kc], out[dc], out[lc] = k2, d2, g2
                     elif static is not None:
                         s_kind, s_dt, s_lang = static
                         valid = pc.is_valid(out[_var])
@@ -5164,6 +5690,11 @@ def sparql_construct(triples_ds, query_text: str, base: str = ""):
         raise RDFParseError("sparql_construct: not a CONSTRUCT query")
     bindings, all_vars = _compile_group(triples_ds, q["group"], graph="")
     out = _instantiate_template(bindings, all_vars, q["template"], "construct")
+    # CONSTRUCT produces a GRAPH — a set of triples (SPARQL 16.2);
+    # duplicate instantiations collapse
+    from ..stages.dedup import exact_dedup
+
+    out = exact_dedup(out)
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
@@ -5287,8 +5818,15 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
     quads = [(p[0], p[1], p[2], p[3] if len(p) > 3 else "")
              for p in template]
 
+    def _term_has_bnode(x) -> bool:
+        if isinstance(x, BNode):
+            return True
+        if isinstance(x, TTPat):
+            return any(_term_has_bnode(c) for c in (x.s, x.p, x.o))
+        return False
+
     has_bnode = any(
-        isinstance(x, BNode) for q in quads for x in (q[0], q[2]))
+        _term_has_bnode(x) for q in quads for x in (q[0], q[2]))
     if has_bnode:
         # fresh bnode PER SOLUTION requires a globally unique row
         # identity: a deterministic block ordinal (content hashing is
@@ -5319,6 +5857,57 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
                 # the assigned ordinal, stable under task retry
                 bscope = f"{doc_id}.b{data['__blk'][0]}"
                 data.pop("__blk", None)
+            def tt_tuple(node, i):
+                """Template triple-term component → (kind, lex, dt,
+                lang) term tuple for solution row i, or None when a
+                component var is unbound (the quad is skipped)."""
+                from ..model import KIND_BNODE as _KB
+                from ..model import KIND_TRIPLE_TERM as _KT
+
+                if isinstance(node, TTPat):
+                    st = tt_tuple(node.s, i)
+                    pt = tt_tuple(node.p, i)
+                    ot = tt_tuple(node.o, i)
+                    if st is None or pt is None or ot is None:
+                        return None
+                    if st[0] not in (KIND_IRI, _KB) or pt[0] != KIND_IRI:
+                        return None
+                    from ..rdf.tripleterm import serialize_tt
+
+                    return (_KT, serialize_tt(st, pt, ot), "", "")
+                if isinstance(node, Var):
+                    lx = data.get(node.name, _NOBIND)[i]
+                    if lx is None:
+                        return None
+                    kind = data.get(node.name + "__kind",
+                                    (None,) * n_rows)[i]
+                    dt = data.get(node.name + "__dt", (None,) * n_rows)[i]
+                    lang = data.get(node.name + "__lang",
+                                    (None,) * n_rows)[i] or ""
+                    if isinstance(lx, bool):
+                        return (KIND_LITERAL, "true" if lx else "false",
+                                XSD_NS + "boolean", "")
+                    if isinstance(lx, (int, float)):
+                        if isinstance(lx, float) and lx != int(lx):
+                            return (KIND_LITERAL, str(lx),
+                                    XSD_NS + "decimal", "")
+                        return (KIND_LITERAL, str(int(lx)),
+                                XSD_NS + "integer", "")
+                    if kind is None:
+                        is_iri = isinstance(lx, str) and lx.startswith(
+                            ("http://", "https://", "urn:", "file://"))
+                        kind = KIND_IRI if is_iri else KIND_LITERAL
+                        dt = ""
+                    return (kind, lx, dt or "", lang)
+                if isinstance(node, BNode):
+                    return (_KB, f"{node.label}.{bscope}.{i}", "", "")
+                if isinstance(node, Lit):
+                    dt = next((d for d in (node.dts or ()) if d), "")
+                    if node.lang:
+                        dt = ""
+                    return (KIND_LITERAL, node.lex, dt, node.lang or "")
+                return (KIND_IRI, node, "", "")
+
             for i in range(n_rows):
                 for s, p, o, g in quads:
                     if isinstance(s, BNode):
@@ -5353,6 +5942,12 @@ def _instantiate_template(bindings, all_vars, template, doc_id: str):
                             o_dt = "" if o_is_iri else XSD_STRING
                         elif o_dt is None:
                             o_dt = ""
+                    elif isinstance(o, TTPat):
+                        tup = tt_tuple(o, i)
+                        if tup is None:
+                            ov, o_dt, o_lang, o_kind = None, "", "", None
+                        else:
+                            o_kind, ov, o_dt, o_lang = tup
                     elif isinstance(o, Lit):
                         ov = o.lex
                         o_dt = next((d for d in (o.dts or ()) if d),
@@ -5425,7 +6020,28 @@ def _ground_triples_table(template) -> pa.Table:
             cols["g"].append(g)
             cols["doc_id"].append("update")
             continue
-        if isinstance(o, Lit):
+        if isinstance(o, TTPat):
+            from ..model import KIND_TRIPLE_TERM
+
+            def upd_bnodes(tp):
+                def f(x):
+                    if isinstance(x, TTPat):
+                        return upd_bnodes(x)
+                    if isinstance(x, BNode):
+                        return BNode("upd_" + x.label)
+                    return x
+
+                return TTPat(f(tp.s), f(tp.p), f(tp.o))
+
+            from .bgp import tt_ground_lex as _tgl
+
+            o_lex = _tgl(upd_bnodes(o))
+            if o_lex is None:
+                raise RDFParseError(
+                    "SPARQL update: DATA triple terms must be ground")
+            o_lang, o_dt = "", ""
+            o_kind = KIND_TRIPLE_TERM
+        elif isinstance(o, Lit):
             o_lex = o.lex
             o_lang = o.lang or ""
             o_dt = "" if o_lang else next(
@@ -5639,21 +6255,83 @@ def _using_view(store, using: list):
     return store.map_batches(remap, batch_format="pyarrow")
 
 
-def sparql_describe(triples_ds, query_text: str):
-    """DESCRIBE <iri> → every triple whose subject or object is the node
-    (the reference's default DescribeHandler is the concise bounded
-    description; this subset returns the direct star)."""
-    q = _Parser(query_text).parse()
+def sparql_describe(triples_ds, query_text: str, base: str = ""):
+    """DESCRIBE (var|iri)+ [WHERE {...}] → the reference's default
+    DescribeBNodeClosure handler semantics: over the UNION of the
+    default and named graphs, every triple whose subject is a described
+    node, plus the recursive blank-node closure of the objects.
+
+    The node list is driver-materialized (distinct projected resources
+    of the WHERE clause — same shape as the reference, which builds the
+    description Model on the caller); the description triples stay a
+    Dataset, filtered per closure round against a broadcast frontier."""
+    from ..model import KIND_BNODE, KIND_IRI
+
+    q = _Parser(query_text, base=base).parse()
     if q["form"] != "describe":
         raise RDFParseError("sparql_describe: not a DESCRIBE query")
-    node = q["node"]
 
-    def f(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.or_(pc.equal(t["s_lex"], node), pc.equal(t["o_lex"], node))
-        )
+    import ray
 
-    return triples_ds.map_batches(f, batch_format="pyarrow")
+    from .bgp import meta_cols_of
+
+    nodes: set[str] = set(q["nodes"])
+    if q["group"] is not None:
+        bindings, bvars = _compile_group(triples_ds, q["group"], graph="")
+        want = bvars if q["star"] else [v for v in q["vars"] if v in bvars]
+        for batch in bindings.iter_batches(batch_format="pyarrow"):
+            for v in want:
+                if v not in batch.schema.names:
+                    continue
+                kc = meta_cols_of(v)[0]
+                kinds = (batch[kc].to_pylist()
+                         if kc in batch.schema.names else None)
+                for i, lex in enumerate(batch[v].to_pylist()):
+                    if lex is None:
+                        continue
+                    if kinds is None or kinds[i] in (KIND_IRI, KIND_BNODE):
+                        nodes.add(lex)
+
+    def star_of(frontier: set):
+        fr = ray.put(sorted(frontier))
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["s_lex"],
+                                     pa.array(ray.get(fr),
+                                              pa.large_string())))
+
+        return triples_ds.map_batches(f, batch_format="pyarrow")
+
+    seen: set[str] = set()
+    frontier = set(nodes)
+    parts = []
+    while frontier:
+        seen |= frontier
+        part = star_of(frontier)
+        part = part.materialize()
+        parts.append(part)
+        # blank-node objects not yet described extend the closure
+        nxt = set()
+        for batch in part.iter_batches(batch_format="pyarrow"):
+            mask = pc.equal(batch["o_kind"], KIND_BNODE)
+            for lex in batch.filter(mask)["o_lex"].to_pylist():
+                if lex not in seen:
+                    nxt.add(lex)
+        frontier = nxt
+    from ..stages.dedup import exact_dedup
+
+    def to_default(t: pa.Table) -> pa.Table:
+        # descriptions are a plain GRAPH over the dataset union
+        cols = {name: t[name] for name in t.schema.names}
+        cols["g"] = pa.array([""] * t.num_rows, pa.large_string())
+        return pa.table(cols)
+
+    if not parts:
+        return triples_ds.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return exact_dedup(out.map_batches(to_default, batch_format="pyarrow"))
 
 
 def sparql_query(triples_ds, query_text: str):
@@ -5964,9 +6642,37 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 cols[f"__a{i}o"] = pa.array([], pa.float64())
                 cols[f"__a{i}ol"] = pa.array([], pa.large_string())
 
+        def _key_meta_cols(t: pa.Table | None, cols: dict) -> None:
+            """GROUP BY keys are TERMS, not lexical forms ('1'^^integer,
+            '001'^^integer and '1'^^string are three groups — SPARQL
+            18.5.1/Group-1): the key vars' meta columns join the
+            groupby key, defaulted when the relation carries none."""
+            from ..model import KIND_LITERAL
+
+            n = t.num_rows if t is not None else 0
+            names = t.schema.names if t is not None else ()
+            for k in keys:
+                kc, dc, lc = k + "__kind", k + "__dt", k + "__lang"
+                cols[kc] = (pc.fill_null(
+                    t[kc].combine_chunks().cast(pa.int8()), KIND_LITERAL)
+                    if kc in names
+                    else pa.array([KIND_LITERAL] * n, pa.int8()))
+                cols[dc] = (pc.fill_null(
+                    t[dc].combine_chunks().cast(pa.large_string()), "")
+                    if dc in names
+                    else pa.array([""] * n, pa.large_string()))
+                cols[lc] = (pc.fill_null(
+                    t[lc].combine_chunks().cast(pa.large_string()), "")
+                    if lc in names
+                    else pa.array([""] * n, pa.large_string()))
+
+        gb_keys = [c for k in keys
+                   for c in (k, k + "__kind", k + "__dt", k + "__lang")]
+
         def prep(t: pa.Table) -> pa.Table:
             if t.num_columns == 0:
                 cols = {k: pa.array([], pa.large_string()) for k in keys}
+                _key_meta_cols(None, cols)
                 for i, item in enumerate(agg_items):
                     fn = item[1]
                     if fn == "FOLD":
@@ -5980,6 +6686,7 @@ def _exec_select(triples_ds, q: dict, graph=""):
                         cols[f"__e{i}"] = pa.array([], pa.int64())
                 return pa.table(cols)
             cols = {k: t[k].combine_chunks() for k in keys}
+            _key_meta_cols(t, cols)
             for i, item in enumerate(agg_items):
                 _, fn, var, _al, _d, _s = item
                 if fn == "FOLD":
@@ -6068,7 +6775,7 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 cols[alias] = v
             return pa.table(cols)
         if keys:
-            grouped = prepped.groupby(keys).aggregate(*aggs)
+            grouped = prepped.groupby(gb_keys).aggregate(*aggs)
             if err_aliases:
                 grouped = grouped.map_batches(
                     errfix_kernel, batch_format="pyarrow")
@@ -6098,6 +6805,15 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     if pa.types.is_string(c.type):
                         c = c.cast(pa.large_string())
                     cols[n] = c
+                    # group-key vars keep their term metadata (ORDER/
+                    # compare after GROUP BY see the datatype)
+                    for sfx in ("__kind", "__dt", "__lang"):
+                        mc = n + sfx
+                        if mc in t.schema.names:
+                            m = t[mc].combine_chunks()
+                            if pa.types.is_string(m.type):
+                                m = m.cast(pa.large_string())
+                            cols[mc] = m
                 # FOLD aliases are CDT-typed literals — stamp the meta
                 # so value-space equality sees the datatype
                 if fold_meta:

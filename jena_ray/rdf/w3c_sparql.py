@@ -30,7 +30,11 @@ UT = "http://www.w3.org/2009/sparql/tests/test-update#"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
-EVAL_TYPES = {MF + "QueryEvaluationTest"}
+# mfx: is the reference's own test vocabulary (testing/ARQ manifests;
+# arq/junit/manifest/ManifestEntry.java) — mfx:TestQuery is a plain
+# query-evaluation test run with ARQ's extended syntax admitted
+MFX = "http://jena.hpl.hp.com/2005/05/test-manifest-extra#"
+EVAL_TYPES = {MF + "QueryEvaluationTest", MFX + "TestQuery"}
 UPDATE_EVAL_TYPES = {MF + "UpdateEvaluationTest", UT + "UpdateEvaluationTest"}
 SYNTAX_POS = {MF + "PositiveSyntaxTest", MF + "PositiveSyntaxTest11"}
 SYNTAX_NEG = {MF + "NegativeSyntaxTest", MF + "NegativeSyntaxTest11"}
@@ -101,8 +105,15 @@ def read_sparql_manifest(manifest_path: str) -> list[SparqlTest]:
             break
         ttype = get1(entry, RDF_TYPE)
         action = get1(entry, MF + "action")
-        if ttype is None or action is None:
+        if action is None:
             continue
+        if ttype is None:
+            # the reference's runner defaults untyped manifest entries
+            # with a qt:query action to query-evaluation tests
+            # (testing/ARQ/OrderBy etc.; SparqlTests.java)
+            if get1(action, QT + "query") is None:
+                continue
+            ttype = (KIND_IRI, MF + "QueryEvaluationTest")
         t = ttype[1]
         name_t = get1(entry, MF + "name")
         name = name_t[1] if name_t else entry[1].rsplit("#", 1)[-1]
@@ -206,19 +217,34 @@ def read_srx(text: str):
         for b in res.findall(_SRX_NS + "binding"):
             var = b.get("name")
             for child in b:
-                tag = child.tag.replace(_SRX_NS, "")
-                if tag == "uri":
-                    sol[var] = ("uri", child.text or "", None, None)
-                elif tag == "bnode":
-                    sol[var] = ("bnode", child.text or "", None, None)
-                elif tag == "literal":
-                    sol[var] = (
-                        "literal", child.text or "",
-                        child.get("datatype"),
-                        child.get("{http://www.w3.org/XML/1998/namespace}lang"),
-                    )
+                term = _srx_term(child)
+                if term is not None:
+                    sol[var] = term
         sols.append(sol)
     return ("rows", vars_, sols)
+
+
+def _srx_term(child):
+    tag = child.tag.replace(_SRX_NS, "")
+    if tag == "uri":
+        return ("uri", child.text or "", None, None)
+    if tag == "bnode":
+        return ("bnode", child.text or "", None, None)
+    if tag == "literal":
+        return (
+            "literal", child.text or "",
+            child.get("datatype"),
+            child.get("{http://www.w3.org/XML/1998/namespace}lang"),
+        )
+    if tag == "triple":  # RDF 1.2 triple term (SPARQL 1.2 results-XML)
+        parts = {}
+        for pos in ("subject", "predicate", "object"):
+            el = child.find(_SRX_NS + pos)
+            if el is None or len(el) == 0:
+                return None
+            parts[pos] = _srx_term(el[0])
+        return ("triple", parts, None, None)
+    return None
 
 
 def read_srj(text: str):
@@ -230,16 +256,26 @@ def read_srj(text: str):
     for b in doc.get("results", {}).get("bindings", []):
         sol = {}
         for var, term in b.items():
-            t = term.get("type")
-            if t == "uri":
-                sol[var] = ("uri", term.get("value", ""), None, None)
-            elif t == "bnode":
-                sol[var] = ("bnode", term.get("value", ""), None, None)
-            else:
-                sol[var] = ("literal", term.get("value", ""),
-                            term.get("datatype"), term.get("xml:lang"))
+            sol[var] = _srj_term(term)
         sols.append(sol)
     return ("rows", vars_, sols)
+
+
+def _srj_term(term: dict):
+    t = term.get("type")
+    if t == "uri":
+        return ("uri", term.get("value", ""), None, None)
+    if t == "bnode":
+        return ("bnode", term.get("value", ""), None, None)
+    if t == "triple":  # RDF 1.2 triple term (SPARQL 1.2 results-JSON)
+        val = term.get("value", {})
+        return ("triple", {
+            "subject": _srj_term(val.get("subject", {})),
+            "predicate": _srj_term(val.get("predicate", {})),
+            "object": _srj_term(val.get("object", {})),
+        }, None, None)
+    return ("literal", term.get("value", ""),
+            term.get("datatype"), term.get("xml:lang"))
 
 
 RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
@@ -362,6 +398,51 @@ def _num(s) -> float | None:
         return None
 
 
+def _tt_comp_matches(exp, comp, bmap: dict) -> bool:
+    """One expected term vs one PARSED triple-term component tuple
+    (kind, lex, dt, lang) — recursive for nested triple terms; bnodes
+    thread the same bijection as top-level terms."""
+    from ..model import (KIND_BNODE, KIND_IRI, KIND_LITERAL,
+                         KIND_TRIPLE_TERM, XSD_STRING)
+
+    typ, value, dt, lang = exp
+    kind, lex, cdt, clang = comp
+    if typ == "triple":
+        if kind != KIND_TRIPLE_TERM:
+            return False
+        from .tripleterm import parse_tt
+
+        try:
+            s_, p_, o_ = parse_tt(lex)
+        except Exception:
+            return False
+        return (_tt_comp_matches(value["subject"], s_, bmap)
+                and _tt_comp_matches(value["predicate"], p_, bmap)
+                and _tt_comp_matches(value["object"], o_, bmap))
+    if typ == "uri":
+        return kind == KIND_IRI and lex == value
+    if typ == "bnode":
+        if kind != KIND_BNODE:
+            return False
+        if value in bmap:
+            return bmap[value] == lex
+        if lex in bmap.values():
+            return False
+        bmap[value] = lex
+        return True
+    if kind != KIND_LITERAL:
+        return False
+    if (lang or "").lower() != (clang or "").lower():
+        return False
+    if dt in _NUMERIC_DTS:
+        ev, gv = _num(value), _num(lex)
+        if ev is not None and gv is not None:
+            return ev == gv
+    dn = "" if dt in (None, "", XSD_STRING) else dt
+    cn = "" if cdt in (None, "", XSD_STRING) else cdt
+    return lex == value and dn == cn
+
+
 def _term_matches(exp, got, bmap: dict) -> bool:
     """One expected term vs one engine value (lexical), under the
     current bnode bijection."""
@@ -371,6 +452,10 @@ def _term_matches(exp, got, bmap: dict) -> bool:
         return False
     typ, value, dt, _lang = exp
     g = str(got)
+    if typ == "triple":
+        from ..model import KIND_TRIPLE_TERM
+
+        return _tt_comp_matches(exp, (KIND_TRIPLE_TERM, g, "", ""), bmap)
     if typ == "uri":
         return g == value
     if typ == "bnode":

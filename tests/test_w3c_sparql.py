@@ -66,6 +66,13 @@ SUITES = [
     "sparql11/csv-tsv-res",
     "sparql11/json-res",
     "sparql11/entailment",
+    # SPARQL 1.2 (RDF 1.2 triple terms, reified triples, annotations)
+    "sparql12/eval-triple-terms",
+    "sparql12/expression",
+    "sparql12/grouping",
+    "sparql12/rdf11",
+    "sparql12/codepoint-escapes",
+    "sparql12/lang-basedir",
 ]
 
 # engine produces a wrong/mismatched result — tracked, not hidden
@@ -115,6 +122,12 @@ def _load_store(test):
                 s_lex = scope + s_lex
             if o_kind == KIND_BNODE:
                 o_lex = scope + o_lex
+            elif o_kind == 3 and "_:" in o_lex:
+                # bnode labels INSIDE a serialized triple term carry
+                # the same document scope as the top-level columns
+                from jena_ray.rdf.tripleterm import scope_tt_bnodes
+
+                o_lex = scope_tt_bnodes(o_lex, scope)
             # RDF 1.1 abstract syntax: a simple literal IS xsd:string —
             # materialize that so the engine's value-space classifier
             # distinguishes parsed literals from untyped tabular data
@@ -145,6 +158,14 @@ def _load_store(test):
         if os.path.exists(path) and path not in loaded:
             loaded.add(path)
             add(path, "file://" + path)
+    # an RDF graph is a SET of triples — syntactic repeats (e.g. the
+    # same reifier given twice via RDF 1.2 sugar) collapse on load
+    names = [f.name for f in TRIPLE_SCHEMA]
+    seen: dict = {}
+    for row in zip(*(cols[n] for n in names)):
+        seen.setdefault(row[:8], row)  # key ignores doc_id provenance
+    uniq = list(seen.values())
+    cols = {n: [r[i] for r in uniq] for i, n in enumerate(names)}
     return pa.Table.from_arrays(
         [pa.array(cols[f.name], f.type) for f in TRIPLE_SCHEMA],
         schema=TRIPLE_SCHEMA,

@@ -28,6 +28,8 @@ SUITES = [
     "sparql11/syntax-query",
     "sparql11/syntax-update-1",
     "sparql11/syntax-update-2",
+    "sparql12/syntax-triple-terms-positive",
+    "sparql12/syntax-triple-terms-negative",
 ]
 
 # negative-syntax tests the subset parser still accepts (validation the
