@@ -318,9 +318,19 @@ class _Parser:
                         return TTPat(_bn(x.s), _bn(x.p), _bn(x.o))
                     return x
 
-                template = [(_bn(pat[0]), pat[1], _bn(pat[2]))
-                            for el in group["elements"]
-                            if el[0] == "bgp" for pat in el[1]]
+                def _tpl_from(g, gname=""):
+                    # GRAPH blocks in the WHERE become template QUADS
+                    # (ARQ CONSTRUCT-quad short form)
+                    out = []
+                    for el in g["elements"]:
+                        if el[0] == "bgp":
+                            out += [(_bn(p[0]), p[1], _bn(p[2]), gname)
+                                    for p in el[1]]
+                        elif el[0] == "graph":
+                            out += _tpl_from(el[2], el[1])
+                    return out
+
+                template = _tpl_from(group)
                 if froms:
                     group = {"elements": [("dataset", froms, group)],
                              "filters": [], "exists": []}
@@ -332,14 +342,10 @@ class _Parser:
                         "SPARQL: trailing tokens after CONSTRUCT WHERE")
                 return {"form": "construct", "template": template,
                         "group": group, "limit": limit}
-            self.expect("op", "{")
-            template = []
-            while self.peek() != ("op", "}"):
-                template.extend(
-                    self.parse_triples_block(as_template=True))
-                while self.peek() == ("op", "."):
-                    self.next()
-            self.next()
+            # the quad template block shares the update-template
+            # grammar (triples + GRAPH blocks → (s,p,o,g) quads; ARQ
+            # CONSTRUCT-quad full form)
+            template = self._parse_template_block()
             froms = self.parse_datasets()
             self.expect("kw", "WHERE")
             group = self.parse_group()
@@ -2348,9 +2354,16 @@ def _num_or_null(node, t: pa.Table, val, strict: bool):
 
 def _var_col(t: pa.Table, name: str):
     """Column of ?name, or an all-null column when the var is not in
-    scope of this relation (unbound reference = type error per row)."""
+    scope of this relation (unbound reference = type error per row).
+    Native-typed columns (aggregate outputs like COUNT's int64, seen
+    e.g. by a HAVING expression) are cast to their lexical form —
+    every expression kernel downstream works over lexical strings."""
     if name in t.schema.names:
-        return t[name].combine_chunks()
+        col = t[name].combine_chunks()
+        if (pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+                or pa.types.is_boolean(col.type)):
+            col = pc.cast(col, pa.large_string())
+        return col
     return pa.array([None] * t.num_rows, pa.large_string())
 
 
@@ -3655,6 +3668,18 @@ def _term_eq(op: str, l, r, t: pa.Table):
                        pc.equal(cr, _i8(_CLS_LANG)))))
     acc = pc.if_else(lang_mixed, pa.scalar(False), acc)
     acc = pc.if_else(both(_CLS_LANG), pc.and_(lex_eq, lang_eq), acc)
+    # two literals in KNOWN but DIFFERENT value spaces are definitively
+    # unequal (Jena NodeValue.sameValueAs / ValueSpace.VSPACE_DIFFERENT:
+    # "Other" != true, 1 != true — ARQ ExprDatatypes dt-query-3/4);
+    # only an UNKNOWN datatype keeps the open-world type error
+    known_set = pa.array(
+        [_CLS_STR, _CLS_NUM, _CLS_BOOL, _CLS_TIME], pa.int8())
+    diff_known = pc.and_(
+        pc.and_(
+            pc.fill_null(pc.is_in(cl, value_set=known_set), False),
+            pc.fill_null(pc.is_in(cr, value_set=known_set), False)),
+        pc.not_equal(cl, cr))
+    acc = pc.if_else(diff_known, pa.scalar(False), acc)
     str_pair = pc.or_(
         pc.or_(both(_CLS_STR), both(_CLS_UNTYPED)),
         pairm(_CLS_STR, _CLS_UNTYPED))
@@ -4163,23 +4188,60 @@ def _eval_bool(node, t: pa.Table):
 
 def _term_sort(bindings_ds, order: list):
     """SPARQL term ordering over a binding Dataset WITH metadata columns
-    (BindingComparator.java): unbound < bnode < IRI < literal; numeric-
-    typed literals compare in the value space, other literals lexically
-    (numbers ordered before non-numeric literals). Realized as four
-    helper sort-key columns per ORDER var — kind class, numeric flag,
-    numeric value, lexical — then one Dataset.sort; DESC reverses the
-    whole comparator (all four flags)."""
-    from ..model import KIND_BNODE, KIND_IRI
-
+    (BindingComparator.java + NodeValue.compareAlways): unbound < bnode
+    < IRI < literal; literals order by VALUE SPACE rank
+    (ValueSpace.java:52-112 — string 50 < lang 55 < numeric 110 <
+    boolean 120 < dateTime 130 < date 131 < time 135 < duration 160 <
+    cdt:List 300 < cdt:Map 301 < triple term 999 < unknown/ill-formed
+    6000), then by value within the space, then syntactically
+    (lexical form, datatype IRI — the ARQ Sort-3 tie order). Realized
+    as four helper sort-key columns per ORDER var — kind class, value-
+    space rank, numeric value, encoded lexical — then one Dataset.sort;
+    DESC reverses the whole comparator (all four flags)."""
     order_vars = [v for v, _ in order]
 
     def add_keys(t: pa.Table) -> pa.Table:
         cols = {c: t[c].combine_chunks() for c in t.schema.names}
         n = t.num_rows
         for v in order_vars:
+            klass, rank, num, s = _order_key_cols(cols, n, v)
+            cols[f"__ok_{v}"] = klass
+            cols[f"__of_{v}"] = rank
+            cols[f"__on_{v}"] = num
+            cols[f"__os_{v}"] = s
+        return pa.table(cols)
+
+    keyed = bindings_ds.map_batches(add_keys, batch_format="pyarrow")
+    keys, desc = [], []
+    for v, d in order:
+        keys += [f"__ok_{v}", f"__of_{v}", f"__on_{v}", f"__os_{v}"]
+        desc += [d, d, d, d]
+    out = keyed.sort(keys, descending=desc)
+
+    def drop_keys(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.schema.names if not c.startswith(("__ok_", "__of_", "__on_", "__os_"))]
+        return t.select(keep)
+
+    return out.map_batches(drop_keys, batch_format="pyarrow")
+
+
+def _order_key_cols(cols: dict, n: int, v: str):
+    """The four order-preserving sort-key arrays for ORDER-var ?v over
+    a binding batch's columns: (kind class int8, value-space rank
+    int16, numeric value float64, encoded lexical). See _term_sort for
+    the comparator this realizes."""
+    from ..model import KIND_BNODE, KIND_IRI
+
+    if True:
+        if True:
             lex = cols.get(v, pa.nulls(n, pa.large_string()))
             kind = cols.get(v + "__kind", pa.nulls(n, pa.int8()))
+            if not pa.types.is_integer(kind.type):
+                # post-_dedup meta columns come back lexical-cast
+                kind = pc.cast(kind, pa.int8())
             dt = cols.get(v + "__dt", pa.array([""] * n, pa.large_string()))
+            lang = cols.get(
+                v + "__lang", pa.array([""] * n, pa.large_string()))
             from ..model import KIND_TRIPLE_TERM
 
             klass = pc.if_else(
@@ -4196,36 +4258,76 @@ def _term_sort(bindings_ds, order: list):
                             False,
                         ),
                         pa.scalar(2, pa.int8()),
-                        # triple terms sort AFTER all literals
-                        # (SPARQL 1.2 ORDER BY term order)
-                        pc.if_else(
-                            pc.fill_null(pc.equal(
-                                kind,
-                                pa.scalar(KIND_TRIPLE_TERM, pa.int8())),
-                                False),
-                            pa.scalar(4, pa.int8()),
-                            pa.scalar(3, pa.int8()),
-                        ),
+                        pa.scalar(3, pa.int8()),
                     ),
                 ),
             )
             is_tt = pc.fill_null(pc.equal(
                 kind, pa.scalar(KIND_TRIPLE_TERM, pa.int8())), False)
+            if not (pa.types.is_string(lex.type)
+                    or pa.types.is_large_string(lex.type)):
+                # native (aggregate) columns sort by their lexical form
+                lex = lex.cast(pa.large_string())
+            lexf = pc.fill_null(lex, "")
+            dtf = pc.fill_null(dt.cast(pa.large_string()), "")
+            langf = pc.fill_null(lang.cast(pa.large_string()), "")
             numeric_dt = pc.fill_null(
-                pc.is_in(dt, value_set=pa.array(sorted(_NUMERIC_DTS), dt.type)),
+                pc.is_in(dtf,
+                         value_set=pa.array(sorted(_NUMERIC_DTS),
+                                            pa.large_string())),
                 False,
             )
             parseable = pc.fill_null(
-                pc.match_substring_regex(pc.fill_null(lex, ""), _NUM_RE), False
+                pc.match_substring_regex(lexf, _NUM_RE), False
             )
             is_num = pc.and_(numeric_dt, parseable)
+            is_bool = pc.and_(
+                pc.equal(dtf, _XSD + "boolean"),
+                pc.is_in(lexf, value_set=pa.array(
+                    ["true", "false", "0", "1"], pa.large_string())))
             num = pc.cast(
                 pc.if_else(is_num, lex, pa.scalar(None, lex.type)), pa.float64()
             )
-            flag = pc.if_else(
-                is_num, pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())
-            )
-            s = pc.if_else(is_num, pa.scalar("", lex.type), pc.fill_null(lex, ""))
+            num = pc.if_else(
+                pc.and_(is_bool, pc.invert(is_num)),
+                pc.cast(pc.is_in(lexf, value_set=pa.array(
+                    ["true", "1"], pa.large_string())), pa.float64()),
+                num)
+
+            def _dt_in(*names):
+                return pc.fill_null(pc.is_in(dtf, value_set=pa.array(
+                    [_XSD + s for s in names], pa.large_string())), False)
+
+            from ..rdf.cdt import CDT_LIST, CDT_MAP
+
+            rank = pa.array([6000] * n, pa.int16())
+            for cond, r in (
+                (pc.equal(dtf, CDT_MAP), 301),
+                (pc.equal(dtf, CDT_LIST), 300),
+                (_dt_in("duration", "yearMonthDuration",
+                        "dayTimeDuration"), 160),
+                (_dt_in("time"), 135),
+                (_dt_in("date"), 131),
+                (_dt_in("dateTime", "dateTimeStamp"), 130),
+                (is_bool, 120),
+                (is_num, 110),
+                (pc.not_equal(langf, ""), 55),
+                (pc.and_(pc.equal(langf, ""),
+                         pc.or_(pc.equal(dtf, ""),
+                                pc.equal(dtf, _XSD + "string"))), 50),
+            ):
+                rank = pc.if_else(pc.fill_null(cond, False),
+                                  pa.scalar(r, pa.int16()), rank)
+            rank = pc.if_else(is_tt, pa.scalar(999, pa.int16()), rank)
+            flag = rank
+            # syntactic tie-break after value equality: lexical form,
+            # then datatype IRI, then lang (xsd:string folds into the
+            # simple-literal form — same RDF 1.1 term)
+            dt_key = pc.if_else(pc.equal(dtf, _XSD + "string"),
+                                pa.scalar("", pa.large_string()), dtf)
+            s = pc.binary_join_element_wise(
+                lexf, dt_key, pc.utf8_lower(langf),
+                pa.scalar("\x00", pa.large_string()))
             # CDT-typed literals sort by the structural ORDER BY
             # comparator (sortOrderingCompare) — realized as an
             # order-preserving encoded key (rdf/cdt.cdt_sort_key);
@@ -4237,44 +4339,56 @@ def _term_sort(bindings_ds, order: list):
                 False)
             if pc.any(is_cdt).as_py():
                 s_py = s.to_pylist()
+                lex_py = lexf.to_pylist()
                 dt_py = dt.to_pylist()
                 for i, hit in enumerate(is_cdt.to_pylist()):
                     if hit:
                         try:
-                            s_py[i] = cdt_sort_key(s_py[i], dt_py[i])
+                            s_py[i] = cdt_sort_key(lex_py[i], dt_py[i])
                         except ValueError:
-                            pass  # ill-formed: keep the lexical
+                            pass  # ill-formed: keep the encoded lexical
                 s = pa.array(s_py, pa.large_string())
             if pc.any(is_tt).as_py():
                 # triple terms: recursive component-wise encoded key
                 from ..rdf.tripleterm import tt_sort_key
 
                 s_py = s.to_pylist()
+                lex_py = lexf.to_pylist()
                 for i, hit in enumerate(is_tt.to_pylist()):
-                    if hit and s_py[i]:
+                    if hit and lex_py[i]:
                         try:
-                            s_py[i] = tt_sort_key(s_py[i])
+                            s_py[i] = tt_sort_key(lex_py[i])
                         except Exception:
-                            pass  # ill-formed: keep the lexical
+                            pass  # ill-formed: keep the encoded lexical
                 s = pa.array(s_py, pa.large_string())
-            cols[f"__ok_{v}"] = klass
-            cols[f"__of_{v}"] = flag
-            cols[f"__on_{v}"] = pc.fill_null(num, 0.0)
-            cols[f"__os_{v}"] = s
-        return pa.table(cols)
+            return klass, flag, pc.fill_null(num, 0.0), s
 
-    keyed = bindings_ds.map_batches(add_keys, batch_format="pyarrow")
-    keys, desc = [], []
-    for v, d in order:
-        keys += [f"__ok_{v}", f"__of_{v}", f"__on_{v}", f"__os_{v}"]
-        desc += [d, d, d, d]
-    out = keyed.sort(keys, descending=desc)
 
-    def drop_keys(t: pa.Table) -> pa.Table:
-        keep = [c for c in t.schema.names if not c.startswith(("__ok_", "__of_", "__on_", "__os_"))]
-        return t.select(keep)
-
-    return out.map_batches(drop_keys, batch_format="pyarrow")
+def _encode_order_key(cols: dict, n: int, order: list):
+    """One order-preserving STRING sort key for the whole ORDER BY
+    condition list (all-ASC or all-DESC only): per var, the four
+    _order_key_cols components packed as fixed-width sortable text —
+    kind-class digit, 4-digit rank, the float64 numeric value through
+    the IEEE total-order bit trick (sign-flip → uint64 → zero-padded
+    decimal), then the encoded lexical — vars joined with NUL. Lets a
+    groupby aggregate pick each group's FIRST row in sort order with a
+    single Min/Max (ARQ's distinct-to-reduced transform)."""
+    parts = []
+    sep = pa.scalar("\x00", pa.large_string())
+    for v, _d in order:
+        klass, rank, num, s = _order_key_cols(cols, n, v)
+        k = pc.cast(klass, pa.large_string())
+        r = pc.utf8_lpad(pc.cast(rank, pa.large_string()), 4, "0")
+        ubits = pc.fill_null(num, 0.0).view(pa.uint64())
+        neg = pc.not_equal(
+            pc.bit_wise_and(ubits, pa.scalar(1 << 63, pa.uint64())),
+            pa.scalar(0, pa.uint64()))
+        mapped = pc.if_else(
+            neg, pc.bit_wise_not(ubits),
+            pc.bit_wise_or(ubits, pa.scalar(1 << 63, pa.uint64())))
+        nk = pc.utf8_lpad(pc.cast(mapped, pa.large_string()), 20, "0")
+        parts += [k, r, nk, s]
+    return pc.binary_join_element_wise(*parts, sep)
 
 
 def _proj_alias(p) -> str | None:
@@ -4650,6 +4764,13 @@ def _join_partial(lc, left_vars, rc, right_vars, shared):
             else:
                 part, pv = _cross_join(lsub, lv, rsub, rv)
             parts.append(_align_columns(part, pv, out_vars_all))
+    if not parts:
+        # one side is empty (no bound-mask groups): empty join result
+        import ray.data as rd
+
+        empty = rd.from_arrow(pa.table(
+            {v: pa.array([], pa.large_string()) for v in out_vars_all}))
+        return empty, out_vars_all
     acc = parts[0]
     for p in parts[1:]:
         acc = acc.union(p)
@@ -5217,6 +5338,23 @@ def _compile_group(triples_ds, group: dict, graph=None):
             )
             how = "inner"
         elif el[0] == "graph":
+            if isinstance(el[1], Var):
+                # a FILTER inside GRAPH ?g {..} evaluates BEFORE the
+                # graph var joins (§18.5 Graph(var,P): P sees ?g
+                # unbound unless a pattern in P binds it) — referencing
+                # it is a per-row type error → empty (ARQ graph-20)
+                gvn = el[1].name
+                if any(gvn in _expr_vars(f)
+                       for f in el[2].get("filters", ())) \
+                        and gvn not in _group_vars(el[2]):
+                    rel_vars = sorted(_group_vars(el[2]) | {gvn})
+                    rel = rd.from_arrow(pa.table(
+                        {v: pa.array([], pa.large_string())
+                         for v in rel_vars}))
+                    acc, acc_vars = (rel, rel_vars) if acc is None else \
+                        _join_bindings(acc, acc_vars, rel, rel_vars,
+                                       "inner")
+                    continue
             rel, rel_vars = _compile_group(triples_ds, el[2], graph=el[1])
             rel_partial = _group_maybe_partial(el[2])
             how = "inner"
@@ -5541,6 +5679,28 @@ def _compile_group(triples_ds, group: dict, graph=None):
         else:  # pragma: no cover
             raise RDFParseError(f"SPARQL: unknown group element {el[0]!r}")
         if acc is None:
+            if how == "left_outer":
+                # the group OPENS with OPTIONAL: LeftJoin(unit, P) —
+                # P when non-empty, else the single all-unbound
+                # solution survives (SPARQL §18.5; ARQ
+                # filter-equality-04/13)
+                from .bgp import meta_cols_of
+                from ..util import fast_count
+
+                n_rel, rel = fast_count(rel)
+                if n_rel == 0:
+                    cols = {"__exists": pa.array(["1"],
+                                                 pa.large_string())}
+                    for v in rel_vars:
+                        cols[v] = pa.array([None], pa.large_string())
+                        kc, dc, lc = meta_cols_of(v)
+                        cols[kc] = pa.array([None], pa.int8())
+                        cols[dc] = pa.array([None], pa.large_string())
+                        cols[lc] = pa.array([None], pa.large_string())
+                    acc = rd.from_arrow(pa.table(cols))
+                    acc_vars = rel_vars
+                    acc_partial = True
+                    continue
             if rel_vars:
                 acc = _align_columns(rel, rel_vars, rel_vars)
             else:
@@ -6524,7 +6684,10 @@ def _exec_select(triples_ds, q: dict, graph=""):
     propagates an enclosing GRAPH scope into the subquery's patterns
     (SPARQL 1.1 §13.3.1 — the active graph applies inside subqueries)."""
     bindings, all_vars = _compile_group(triples_ds, q["group"], graph=graph)
-    proj_items = q["project"] or [("var", v) for v in all_vars]
+    # SELECT * projects only NAMED variables — anonymous-bnode pattern
+    # placeholders (__bn_*) are existentials, invisible to projection
+    proj_items = q["project"] or [
+        ("var", v) for v in all_vars if not v.startswith("__bn_")]
     if not proj_items:
         # SELECT * over a zero-variable group (e.g. GRAPH <g> {}):
         # solutions are empty bindings — keep the __exists marker so the
@@ -6693,8 +6856,27 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     _fold_cols(t, i, item, cols)
                     continue
                 if _is_string_agg(item):
-                    # the value itself travels to the aggregate
-                    col = t[var].combine_chunks().cast(pa.large_string())
+                    if var is None:
+                        # COUNT(DISTINCT *): distinct SOLUTIONS — a
+                        # composite key over every named var column
+                        # (+ term metadata), JENA-1778
+                        vcols = sorted(c for c in t.schema.names
+                                       if not c.startswith("__"))
+                        parts = [
+                            pc.fill_null(
+                                t[c].combine_chunks().cast(
+                                    pa.large_string()),
+                                "\x00unbound")
+                            for c in vcols]
+                        col = (pc.binary_join_element_wise(
+                            *parts, pa.scalar("\x1f", pa.large_string()))
+                            if parts
+                            else pa.array([""] * t.num_rows,
+                                          pa.large_string()))
+                    else:
+                        # the value itself travels to the aggregate
+                        col = t[var].combine_chunks().cast(
+                            pa.large_string())
                 elif fn == "COUNT":
                     col = (
                         pa.array([1] * t.num_rows, pa.int64())
@@ -6891,7 +7073,87 @@ def _exec_select(triples_ds, q: dict, graph=""):
                     if t.num_columns else t,
                     batch_format="pyarrow")
     else:
-        if q["order"] and not q["distinct"]:
+        if q["distinct"]:
+            # distinct over TERMS: include each var's kind/dt/lang
+            # metadata in the dedup key ("1"^^xsd:integer and
+            # "1"^^xsd:decimal are different terms with one lexical).
+            # Dedup BEFORE the ORDER BY sort — the algebra is
+            # Slice(Distinct(Project(OrderBy(..)))), so the distinct
+            # rows must come out term-ordered (ARQ opt-top-05..12);
+            # dedup-then-sort yields the same ordered set with one
+            # shuffle each way.
+            from .bgp import _dedup, meta_cols_of
+
+            order = q["order"] or ()
+            order_extra = [v for v, _ in order if v not in proj]
+            # GROUP BY with no aggregates = one solution PER GROUP:
+            # non-projected group keys (e.g. a GROUP BY expression)
+            # stay in the dedup key, then project away
+            gb_extra = [v for v in (q["group_by"] or ())
+                        if v not in proj]
+            keep_vars = proj + gb_extra
+            meta_sel = [m for v in keep_vars for m in meta_cols_of(v)]
+
+            def keep_meta(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0:
+                    return t
+                names = set(t.schema.names)
+                cols = {c: t[c].combine_chunks() for c in keep_vars
+                        if c in names}
+                for m in meta_sel:
+                    if m in names:
+                        cols[m] = t[m].combine_chunks()
+                return pa.table(cols)
+
+            if order_extra:
+                # ORDER BY on non-projected vars under DISTINCT — ARQ's
+                # TransformDistinctToReduced shape: keep each projected
+                # term-group's FIRST row in sort order. One Min/Max
+                # over a single encoded sort key per group.
+                dirs = {d for _, d in order}
+                if len(dirs) > 1:
+                    raise RDFParseError(
+                        "SPARQL: DISTINCT with mixed ASC/DESC over "
+                        "non-projected ORDER BY vars is out of subset")
+                all_desc = dirs == {True}
+
+                def keyed_meta(t: pa.Table) -> pa.Table:
+                    if t.num_columns == 0:
+                        return t
+                    allc = {c: t[c].combine_chunks()
+                            for c in t.schema.names}
+                    okey = _encode_order_key(allc, t.num_rows, order)
+                    out_t = keep_meta(t)
+                    return out_t.append_column("__okey", okey)
+
+                from ray.data.aggregate import Max, Min
+
+                wide = bindings.map_batches(
+                    keyed_meta, batch_format="pyarrow")
+                first = wide.take(1)
+                dedup_cols = ([c for c in first[0] if c != "__okey"]
+                              if first else proj)
+                agg = (Max if all_desc else Min)(
+                    "__okey", alias_name="__okey")
+                rep = wide.groupby(dedup_cols).aggregate(agg)
+                deduped = rep.sort("__okey", descending=all_desc)
+            else:
+                wide = bindings.map_batches(
+                    keep_meta, batch_format="pyarrow")
+                first = wide.take(1)
+                dedup_cols = list(first[0].keys()) if first else proj
+                deduped = _dedup(wide, dedup_cols)
+                if q["order"]:
+                    deduped = _term_sort(deduped, q["order"])
+            out = deduped.map_batches(
+                lambda t: pa.table(
+                    {c: t[c].combine_chunks() for c in proj
+                     if c in t.schema.names})
+                if t.num_columns
+                else t,
+                batch_format="pyarrow",
+            )
+        elif q["order"]:
             # SPARQL term ordering needs the term metadata — sort the
             # binding table (meta still attached), then project; the
             # projection map preserves row order
@@ -6899,40 +7161,13 @@ def _exec_select(triples_ds, q: dict, graph=""):
             out = select(bindings, proj)
         else:
             out = select(bindings, proj)
-    if q["distinct"]:
-        from .bgp import _dedup, meta_cols_of
+    if q["distinct"] and agg_items:
+        from .bgp import _dedup
 
-        if not (agg_items or q["group_by"]):
-            # distinct over TERMS: include each var's kind/dt/lang
-            # metadata in the dedup key ("1"^^xsd:integer and
-            # "1"^^xsd:decimal are different terms with one lexical)
-            meta_sel = [m for v in proj for m in meta_cols_of(v)]
-
-            def keep_meta(t: pa.Table) -> pa.Table:
-                if t.num_columns == 0:
-                    return t
-                names = set(t.schema.names)
-                cols = {c: t[c].combine_chunks() for c in proj}
-                for m in meta_sel:
-                    if m in names:
-                        cols[m] = t[m].combine_chunks()
-                return pa.table(cols)
-
-            wide = bindings.map_batches(keep_meta, batch_format="pyarrow")
-            first = wide.take(1)
-            dedup_cols = list(first[0].keys()) if first else proj
-            out = _dedup(wide, dedup_cols).map_batches(
-                lambda t: pa.table(
-                    {c: t[c].combine_chunks() for c in proj})
-                if t.num_columns
-                else t,
-                batch_format="pyarrow",
-            )
-        else:
-            out = _dedup(out, proj)
-    if q["order"] and ((agg_items or q["group_by"]) or q["distinct"]):
-        # aggregate aliases / post-DISTINCT output carry no term metadata
-        # — plain column sort (aggregates are numeric already)
+        out = _dedup(out, proj)
+    if q["order"] and agg_items:
+        # aggregate aliases carry no term metadata — plain column sort
+        # (aggregates are natively numeric already)
         out = out.sort(
             [v for v, _ in q["order"]], descending=[d for _, d in q["order"]]
         )

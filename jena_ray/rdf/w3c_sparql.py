@@ -383,7 +383,8 @@ def read_expected(path: str):
         return read_srx(open(path, encoding="utf-8").read())
     if path.endswith(".srj"):
         return read_srj(open(path, encoding="utf-8").read())
-    if path.endswith(".ttl") or path.endswith(".rdf"):
+    if path.endswith((".ttl", ".rdf", ".n3")):
+        # .n3 goldens in the ARQ corpus are Turtle-compatible
         return read_rs_ttl(path)
     raise ValueError(f"unsupported result format: {path}")
 
