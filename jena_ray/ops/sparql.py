@@ -4899,7 +4899,10 @@ def _join_bindings(left, left_vars, right, right_vars, how: str,
             return _align_columns(lc, left_vars, out_vars_all), out_vars_all
         return _align_columns(lc.limit(0), left_vars,
                               out_vars_all), out_vars_all
-    if how == "left_outer" and lc.count() == 0:
+    if lc.count() == 0:
+        # empty left side: inner → empty result, left_outer → nothing
+        # to extend; either way Ray's hash join would lose the key
+        # schema on a blockless dataset
         return _align_columns(lc, left_vars, out_vars_all), out_vars_all
     n_parts = max(1, min(64, lc.count() // 2_000_000))
     joined = lc.join(rc, join_type=how, num_partitions=n_parts,
@@ -5328,15 +5331,24 @@ def _compile_group(triples_ds, group: dict, graph=None):
     for el in group["elements"]:
         rel_partial = False
         if el[0] == "bgp":
-            rel = match_bgp(triples_ds, el[1], distinct=False, graph=graph,
-                            with_meta=True)
-            from .bgp import _pattern_vars
+            from .propfunc import compile_bgp_with_pfs, has_pf
 
-            rel_vars = sorted(
-                {v for pat in el[1] for v in _pattern_vars(pat)}
-                | ({graph.name} if isinstance(graph, Var) else set())
-            )
-            how = "inner"
+            if has_pf(el[1]):
+                # property-function predicates split the BGP (Jena's
+                # PropertyFunctionProcessor): see ops/propfunc.py
+                rel, rel_vars = compile_bgp_with_pfs(
+                    triples_ds, el[1], graph=graph)
+                how = "inner"
+            else:
+                rel = match_bgp(triples_ds, el[1], distinct=False,
+                                graph=graph, with_meta=True)
+                from .bgp import _pattern_vars
+
+                rel_vars = sorted(
+                    {v for pat in el[1] for v in _pattern_vars(pat)}
+                    | ({graph.name} if isinstance(graph, Var) else set())
+                )
+                how = "inner"
         elif el[0] == "graph":
             if isinstance(el[1], Var):
                 # a FILTER inside GRAPH ?g {..} evaluates BEFORE the
@@ -5490,6 +5502,27 @@ def _compile_group(triples_ds, group: dict, graph=None):
             how = "inner"
         elif el[0] == "optional":
             inner = el[1]
+            # PF-only OPTIONAL (e.g. OPTIONAL { ?x apf:splitIRI (..) })
+            # evaluates by SUBSTITUTION against the left bindings
+            # (PFuncSimple.execEvaluated per binding): apply the PFs to
+            # the accumulator directly, null outputs on misses
+            if acc is not None and not inner.get("filters"):
+                from .propfunc import (SIMPLE_PFS, apply_pf, has_pf,
+                                       split_pf_patterns)
+
+                els = inner.get("elements", ())
+                if len(els) == 1 and els[0][0] == "bgp" \
+                        and has_pf(els[0][1]):
+                    segs = split_pf_patterns(els[0][1])
+                    if all(not plain for plain, _ in segs) and all(
+                            p is not None and p[2] in SIMPLE_PFS
+                            for _, p in segs):
+                        for _, p in segs:
+                            acc, acc_vars = apply_pf(
+                                acc, acc_vars, p, triples_ds, graph,
+                                optional=True)
+                        acc_partial = True
+                        continue
             # LeftJoin(Ω1, Ω2, expr) — a FILTER inside OPTIONAL that
             # names a variable bound only on the LEFT side is the join
             # CONDITION, evaluated over the merged solution
