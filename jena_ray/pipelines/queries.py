@@ -2598,6 +2598,39 @@ WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) IN (90010, 90050)
 """
 
 
+def q_sparql_propfunc(sf_dir: str):
+    """ARQ property functions through the SPARQL front door
+    (ops/propfunc.py; reference jena-arq .../pfunction/library/
+    concat.java + arq/examples/propertyfunction/uppercase.java):
+    apf:concat builds a key from an arg list, jext:uppercase derives
+    its UCASE — both vectorized per-batch column transforms on the
+    binding relation."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        PREFIX apf: <http://jena.apache.org/ARQ/property#>
+        PREFIX jext: <java:arq.examples.propertyfunction.>
+        SELECT ?c ?key ?uc WHERE {
+          ?c <in_nation> ?n .
+          ?key apf:concat (?c "|" ?n) .
+          ?key jext:uppercase ?uc .
+        }
+        """,
+    )
+
+
+SQL_SPARQL_PROPFUNC = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+)
+SELECT m AS c, m || '|' || n AS key, UPPER(m || '|' || n) AS uc
+FROM members
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
@@ -2666,6 +2699,7 @@ REGISTRY: dict[str, tuple] = {
     "sparql_order_expr": (q_sparql_order_expr, SQL_SPARQL_ORDER_EXPR),
     "sparql_exists_expr": (q_sparql_exists_expr, SQL_SPARQL_EXISTS_EXPR),
     "sparql_in_expr": (q_sparql_in_expr, SQL_SPARQL_IN_EXPR),
+    "sparql_propfunc": (q_sparql_propfunc, SQL_SPARQL_PROPFUNC),
     "cdt_list_funcs": (q_cdt_list_funcs, SQL_CDT_LIST_FUNCS),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
@@ -2682,7 +2716,7 @@ REGISTRY: dict[str, tuple] = {
 # mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
-    "sparql_in_expr",
+    "sparql_in_expr", "sparql_propfunc",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
