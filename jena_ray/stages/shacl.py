@@ -230,6 +230,12 @@ def parse_shapes(shapes_ttl: str, base: str = "") -> list[NodeShape]:
         for m in re.finditer(
             r"@prefix\s+([A-Za-z][\w\-]*)?:\s*<([^>]*)>", shapes_ttl)
         if m.group(1)]
+    return shapes_from_triples(triples, doc_prefixes)
+
+
+def shapes_from_triples(triples, doc_prefixes=()) -> list[NodeShape]:
+    """Shape parsing over an already-materialized triple list (7-tuples
+    as produced by parse_turtle / the SHACLC compiler in rdf/shaclc.py)."""
     spo: dict[tuple, dict[str, list]] = {}
     spo_full: dict[tuple, dict[str, list]] = {}
     for t in triples:
@@ -1794,9 +1800,12 @@ def _path_shape_violations(triples_ds, shapes: list[NodeShape], ctx):
 
 def validate(triples_ds, shapes_ttl: str, base: str = ""):
     """Violations Dataset (focus, path, constraint, detail)."""
-    import ray
+    return validate_shapes(triples_ds, parse_shapes(shapes_ttl, base=base))
 
-    shapes = parse_shapes(shapes_ttl, base=base)
+
+def validate_shapes(triples_ds, shapes: list[NodeShape]):
+    """validate() over pre-parsed shapes (Turtle or SHACLC front end)."""
+    import ray
     members, implies = _class_extents(
         triples_ds, _collect_classes(shapes))
     ctx = {
