@@ -224,12 +224,19 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
         positions.append((o.name, "o_lex", "o"))
     if _is_var(graph):
         positions.append((graph.name, "g", "g"))
-    # triple-term pattern in the object position: ground → constant
-    # lex fast path; with vars → per-row destructure (kind==3 only)
+    # triple-term pattern in the subject/object position: ground →
+    # constant lex fast path; with vars → per-row destructure (kind==3
+    # only; RDF 1.2 Full admits triple-term subjects — the SPARQL 1.2
+    # grammar does, syntax-triple-terms-positive subject-tripleterm)
     tt_o = o if isinstance(o, TTPat) else None
     tt_ground = tt_ground_lex(tt_o) if tt_o is not None else None
-    inner_vars = (sorted(set(_term_var_names(tt_o)))
-                  if tt_o is not None and tt_ground is None else [])
+    tt_s = s if isinstance(s, TTPat) else None
+    tt_s_ground = tt_ground_lex(tt_s) if tt_s is not None else None
+    inner_vars = sorted(
+        (set(_term_var_names(tt_o))
+         if tt_o is not None and tt_ground is None else set())
+        | (set(_term_var_names(tt_s))
+           if tt_s is not None and tt_s_ground is None else set()))
     var_names = sorted({v for v, _, _ in positions} | set(inner_vars))
 
     out_names = var_names or ["__exists"]
@@ -253,7 +260,26 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
         def conj(m, cond):
             return cond if m is None else pc.and_(m, cond)
 
-        if not _is_var(s):
+        if tt_s is not None:
+            from ..model import KIND_TRIPLE_TERM
+
+            if "s_kind" not in t.schema.names:
+                return _empty_out()
+            mask = conj(mask, pc.fill_null(pc.equal(
+                t["s_kind"], pa.scalar(KIND_TRIPLE_TERM, pa.int8())),
+                False))
+            if tt_s_ground is not None:
+                mask = conj(mask, pc.equal(t["s_lex"], tt_s_ground))
+        elif isinstance(s, Lit):
+            # ARQ extended syntax allows literal subjects (generalized
+            # RDF); stored triples never have one, so this matches only
+            # generalized stores — and property functions consume the
+            # term before any data match
+            mask = conj(mask, pc.equal(t["s_lex"], s.lex))
+            if "s_kind" in t.schema.names:
+                mask = conj(mask, pc.fill_null(pc.equal(
+                    t["s_kind"], pa.scalar(KIND_LITERAL, pa.int8())), True))
+        elif not _is_var(s):
             mask = conj(mask, pc.equal(t["s_lex"], s))
         if not _is_var(p):
             mask = conj(mask, pc.equal(t["p"], p))
@@ -308,16 +334,28 @@ def _bindings_for_pattern(triples_ds, pat, graph=None, with_meta: bool = False):
             x = x.filter(eq_mask)
         tt_rows: list[dict] = []
         if inner_vars:
-            # destructure the serialized triple term per surviving row
-            # (already narrowed to kind==3); outer-position vars that
-            # also occur inside the term must agree (sameTerm on lex)
-            olex = x["o_lex"].to_pylist()
+            # destructure the serialized triple term(s) per surviving
+            # row (already narrowed to kind==3); a shared binds dict
+            # unifies vars across subject and object terms, and
+            # outer-position vars that also occur inside a term must
+            # agree (sameTerm on lex)
+            sides = []
+            if tt_s is not None and tt_s_ground is None:
+                sides.append((tt_s, x["s_lex"].to_pylist()))
+            if tt_o is not None and tt_ground is None:
+                sides.append((tt_o, x["o_lex"].to_pylist()))
             overlap = {v: x[by_var[v][0]].to_pylist()
                        for v in by_var if v in set(inner_vars)}
             keep: list[int] = []
-            for i, lx in enumerate(olex):
+            for i in range(x.num_rows):
                 binds: dict = {}
-                if lx is None or not _tt_match(lx, tt_o, binds):
+                ok = True
+                for tp, lexes in sides:
+                    lx = lexes[i]
+                    if lx is None or not _tt_match(lx, tp, binds):
+                        ok = False
+                        break
+                if not ok:
                     continue
                 if any(col[i] != binds[v][1]
                        for v, col in overlap.items() if v in binds):

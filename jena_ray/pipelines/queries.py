@@ -2598,6 +2598,68 @@ WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) IN (90010, 90050)
 """
 
 
+def q_sparql_agg_distinct(sf_dir: str):
+    """DISTINCT inside aggregates beyond COUNT (AggGroupConcatDistinct
+    / AggCountVarDistinct): per-group value SETS merged across blocks —
+    state O(distinct values), not O(group size)."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?r (GROUP_CONCAT(DISTINCT ?n; SEPARATOR=",") AS ?ns)
+               (COUNT(DISTINCT ?n) AS ?nn)
+        WHERE { ?c <in_nation> ?n . ?n <in_region> ?r }
+        GROUP BY ?r
+        """,
+    )
+
+
+SQL_SPARQL_AGG_DISTINCT = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+), mem_nat AS (
+  SELECT members.n AS n, 'r:' || n_regionkey AS r
+  FROM members JOIN nation ON members.n = 'n:' || n_nationkey
+)
+SELECT r, string_agg(DISTINCT n, ',' ORDER BY n) AS ns,
+       CAST(count(DISTINCT n) AS BIGINT) AS nn
+FROM mem_nat GROUP BY r
+"""
+
+
+def q_sparql_lateral(sf_dir: str):
+    """ARQ LATERAL with a windowed subquery (Jena 4.7 LATERAL join,
+    arq Lateral suite): per-nation top-3 members by term order —
+    compiled to ONE shuffle on the correlation key + per-group
+    ORDER/LIMIT (ops/sparql._per_key_window), not per-row
+    re-evaluation; the DuckDB oracle is the row_number() window."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _membership_triples(sf_dir),
+        """
+        SELECT ?n ?c WHERE {
+          ?n <in_region> ?r .
+          LATERAL { SELECT ?c ?n { ?c <in_nation> ?n } ORDER BY ?c LIMIT 3 }
+        }
+        """,
+    )
+
+
+SQL_SPARQL_LATERAL = """
+WITH members AS (
+  SELECT 'c:' || c_custkey AS m, 'n:' || c_nationkey AS n FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+), ranked AS (
+  SELECT n, m, row_number() OVER (PARTITION BY n ORDER BY m) AS rk
+  FROM members
+)
+SELECT n, m AS c FROM ranked WHERE rk <= 3
+"""
+
+
 def q_sparql_propfunc(sf_dir: str):
     """ARQ property functions through the SPARQL front door
     (ops/propfunc.py; reference jena-arq .../pfunction/library/
@@ -2700,6 +2762,8 @@ REGISTRY: dict[str, tuple] = {
     "sparql_exists_expr": (q_sparql_exists_expr, SQL_SPARQL_EXISTS_EXPR),
     "sparql_in_expr": (q_sparql_in_expr, SQL_SPARQL_IN_EXPR),
     "sparql_propfunc": (q_sparql_propfunc, SQL_SPARQL_PROPFUNC),
+    "sparql_lateral": (q_sparql_lateral, SQL_SPARQL_LATERAL),
+    "sparql_agg_distinct": (q_sparql_agg_distinct, SQL_SPARQL_AGG_DISTINCT),
     "cdt_list_funcs": (q_cdt_list_funcs, SQL_CDT_LIST_FUNCS),
     "mode": (q_mode, SQL_MODE),
     "fold_collect": (q_fold_collect, SQL_FOLD_COLLECT),
@@ -2716,7 +2780,8 @@ REGISTRY: dict[str, tuple] = {
 # mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
-    "sparql_in_expr", "sparql_propfunc",
+    "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
+    "sparql_agg_distinct",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

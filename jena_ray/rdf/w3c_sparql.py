@@ -248,7 +248,22 @@ def _srx_term(child):
 
 
 def read_srj(text: str):
-    doc = json.loads(text)
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # jena's tolerant SRJ reader accepts UNQUOTED member names —
+        # several hand-written goldens use them (ARQ Lateral
+        # lateral-4/5.srj `z: {...}`); quote bare keys and retry
+        import re as _re
+
+        fixed = _re.sub(r"([,{\[]\s*)([A-Za-z_]\w*)(\s*:)",
+                        r'\1"\2"\3', text)
+        # ... and bare identifiers as ARRAY values (lateral-5.srj's
+        # `"vars": [ "s", "o", z ]`)
+        fixed = _re.sub(
+            r"([,\[]\s*)(?!true\b|false\b|null\b)([A-Za-z_]\w*)(\s*[,\]])",
+            r'\1"\2"\3', fixed)
+        doc = json.loads(fixed)
     if "boolean" in doc:
         return ("ask", bool(doc["boolean"]))
     vars_ = doc.get("head", {}).get("vars", [])

@@ -85,7 +85,13 @@ SUITES = [
 ]
 
 # engine produces a wrong/mismatched result — tracked, not hidden
-KNOWN_FAIL: dict[str, str] = {}
+KNOWN_FAIL: dict[str, str] = {
+    "Lateral/lateral-1.arq":
+        "LATERAL { SELECT * ... LIMIT 2 } with NO ORDER BY: the golden "
+        "froze jena's arbitrary 2-subset per key (s3-three,s3-two); any "
+        "2 of s3's 3 labels is a correct answer — this engine picks a "
+        "different (deterministic) pair",
+}
 
 
 def _all_tests():
@@ -187,7 +193,22 @@ def test_arq_eval(arq_eval):
             return out
 
         expected, got = _uniq(expected), _uniq(got)
-    ordered = re.search(r"\bORDER\s+BY\b", qtext, re.I) is not None
+    # ordered comparison only for a TOP-LEVEL ORDER BY — one inside a
+    # subquery (e.g. LATERAL { SELECT .. ORDER BY .. LIMIT 2 }) does
+    # not order the outer result (QueryEvalTest checks the same way)
+    def _toplevel_order(q: str) -> bool:
+        depth = 0
+        for m in re.finditer(r"[{}]|\bORDER\s+BY\b", q, re.I):
+            tok = m.group(0)
+            if tok == "{":
+                depth += 1
+            elif tok == "}":
+                depth -= 1
+            elif depth == 0:
+                return True
+        return False
+
+    ordered = _toplevel_order(qtext)
     match = (solutions_match_ordered if ordered else solutions_match)(
         expected, got, vars_)
     assert match, (

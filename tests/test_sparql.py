@@ -95,15 +95,18 @@ def test_offset_window():
 def test_errors():
     with pytest.raises(RDFParseError, match="unknown prefix"):
         sparql_select(G(ROWS), "SELECT ?x WHERE { ?x foo:bar ?y }")
-    with pytest.raises(RDFParseError, match="unbound"):
-        sparql_select(G(ROWS), "SELECT ?nope WHERE { ?x <http://ex/age> ?n }")
+    # projecting a var the pattern never binds is LEGAL SPARQL — the
+    # var is simply unbound in every solution (jena parity; the old
+    # strict rejection was out of spec)
+    rows = sparql_select(
+        G(ROWS), "SELECT ?nope ?n WHERE { ?x <http://ex/age> ?n }"
+    ).take_all()
+    assert rows and all(r["nope"] is None for r in rows)
     # the empty group is the unit solution (one empty binding), so ASK
-    # over it is true; projecting a var it can't bind is still an error
+    # over it is true
     from jena_ray.ops.sparql import sparql_ask
 
     assert sparql_ask(G(ROWS), "ASK { }") is True
-    with pytest.raises(RDFParseError, match="unbound"):
-        sparql_select(G(ROWS), "SELECT ?x WHERE { }")
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -490,8 +493,10 @@ def test_describe_star():
     ds = G(ROWS)
     out = sparql_query(ds, "DESCRIBE <http://ex/b>")
     got = {(r["s_lex"], r["p"], r["o_lex"]) for r in out.take_all()}
+    # DescribeBNodeClosureHandler semantics (the reference's default):
+    # triples whose SUBJECT is the node + the bnode closure — incoming
+    # triples like (a knows b) are NOT part of the description
     assert got == {
-        ("http://ex/a", "http://ex/knows", "http://ex/b"),
         ("http://ex/b", "http://ex/knows", "http://ex/c"),
         ("http://ex/b", "http://ex/age", "7"),
     }
