@@ -120,7 +120,7 @@ _TOK = re.compile(
         # PN_LOCAL admits PLX = %XX percent-groups (NOT decoded) and
         # PN_LOCAL_ESC backslash escapes (grammar 19.8 [170-173])
         (?P<pname>[^\W\d](?:[\w\-.·̀-ͯ‿-⁀]*[\w\-·̀-ͯ‿-⁀])?:(?:(?:[\w:·̀-ͯ‿-⁀]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])(?:(?:[\w\-.:·̀-ͯ‿-⁀]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])*(?:[\w\-:·̀-ͯ‿-⁀]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%]))?)?|:(?:(?:[\w:·̀-ͯ‿-⁀]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])(?:(?:[\w\-.:·̀-ͯ‿-⁀]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])*(?:[\w\-:·̀-ͯ‿-⁀]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%]))?)?) |
-        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|SEPARATOR|AS|VALUES|BIND|LET|LATERAL|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|LOAD|INTO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|FOLD|UNFOLD|TRIPLE|SUBJECT|PREDICATE|OBJECT|ISTRIPLE|LANGDIR|STRLANGDIR|HASLANG|HASLANGDIR|a)\b) |
+        (?P<kw>(?i:PREFIX|BASE|SELECT|CONSTRUCT|DESCRIBE|ASK|DISTINCT|WHERE|FILTER|OPTIONAL|UNION|MINUS|GRAPH|GROUP_CONCAT|GROUP|HAVING|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|STRBEFORE|STRAFTER|STR|BOUND|LANGMATCHES|LANG|DATATYPE|ISIRI|ISURI|ISLITERAL|ISBLANK|COUNT|SUM|MIN|MAX|AVG|SAMPLE|MODE|MEDIAN|SEPARATOR|AS|VALUES|BIND|LET|LATERAL|EXISTS|NOT|INSERT|IN|IF|UCASE|LCASE|CONCAT|SUBSTR|REPLACE|ABS|ROUND|CEIL|FLOOR|COALESCE|DELETE|DATA|CLEAR|ALL|DEFAULT|WITH|USING|NAMED|FROM|DROP|CREATE|ADD|MOVE|COPY|SILENT|TO|LOAD|INTO|TRUE|FALSE|SAMETERM|ISNUMERIC|MD5|SHA1|SHA256|SHA384|SHA512|STRDT|STRLANG|UNDEF|REDUCED|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TIMEZONE|TZ|NOW|RAND|UUID|STRUUID|BNODE|IRI|URI|ENCODE_FOR_URI|FOLD|UNFOLD|TRIPLE|SUBJECT|PREDICATE|OBJECT|ISTRIPLE|LANGDIR|STRLANGDIR|HASLANG|HASLANGDIR|a)\b) |
         (?P<var>[?$][A-Za-z_]\w*) |
         # RDF 1.2 triple-term / reified-triple / annotation delimiters
         # (before iri/op so `<<`/`<<(`/`)>>`/`{|` lex as single tokens)
@@ -201,11 +201,17 @@ _ORDER_FN_KWS = frozenset({
 
 
 class _Parser:
-    def __init__(self, text: str, base: str = ""):
+    def __init__(self, text: str, base: str = "", arq: bool = False):
+        """``arq=True`` admits the ARQ EXTENDED syntax forms that
+        STRICT SPARQL 1.1 must reject (Syntax.syntaxARQ vs
+        syntaxSPARQL_11 — jena keys this on the .arq file extension):
+        bare aggregates in the projection and SELECT * with GROUP BY
+        (syn-bad-01/05 are negative tests in the strict suite)."""
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = base
+        self.arq = arq
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -652,12 +658,36 @@ class _Parser:
                 k, v = self.peek()
                 if k == "var":
                     proj.append(("var", self.next()[1][1:]))
+                elif (self.arq and k == "kw" and v.upper() in (
+                        "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+                        "MODE", "MEDIAN")
+                        and self.i + 1 < len(self.toks)
+                        and self.toks[self.i + 1] == ("op", "(")):
+                    # old ARQ style: a BARE aggregate in the projection
+                    # (`SELECT count(*) {..}`) — jena allocates internal
+                    # result vars named .1, .2 ... (GroupBy/count-01's
+                    # golden var name)
+                    fn = self.next()[1].upper()
+                    self.expect("op", "(")
+                    agg_distinct = self.kw("DISTINCT")
+                    if self.peek() == ("op", "*"):
+                        self.next()
+                        var = None
+                        if fn != "COUNT":
+                            raise RDFParseError(
+                                "SPARQL: only COUNT(*) allowed")
+                    else:
+                        var = self.expect("var")[1:]
+                    self.expect("op", ")")
+                    alias = f".{sum(1 for p in proj if p[0] == 'agg') + 1}"
+                    proj.append(("agg", fn, var, alias, agg_distinct, " "))
                 elif k == "op" and v == "(":
                     self.next()
                     kk, vv = self.peek()
                     fn = vv.upper() if kk == "kw" else None
                     if fn in ("COUNT", "SUM", "MIN", "MAX", "AVG",
-                              "SAMPLE", "GROUP_CONCAT"):
+                              "SAMPLE", "GROUP_CONCAT",
+                              "MODE", "MEDIAN"):
                         self.next()
                         self.expect("op", "(")
                         agg_distinct = self.kw("DISTINCT")
@@ -706,19 +736,27 @@ class _Parser:
                         order = None
                         if self.kw("ORDER"):
                             self.expect("kw", "BY")
-                            odesc = False
-                            if self.kw("DESC"):
-                                odesc = True
-                                self.expect("op", "(")
-                                ov = self.expect("var")[1:]
-                                self.expect("op", ")")
-                            elif self.kw("ASC"):
-                                self.expect("op", "(")
-                                ov = self.expect("var")[1:]
-                                self.expect("op", ")")
-                            else:
-                                ov = self.expect("var")[1:]
-                            order = (ov, odesc)
+                            okeys = []
+                            while True:
+                                if self.kw("DESC"):
+                                    self.expect("op", "(")
+                                    okeys.append(
+                                        (self.expect("var")[1:], True))
+                                    self.expect("op", ")")
+                                elif self.kw("ASC"):
+                                    self.expect("op", "(")
+                                    okeys.append(
+                                        (self.expect("var")[1:], False))
+                                    self.expect("op", ")")
+                                elif self.peek()[0] == "var":
+                                    okeys.append(
+                                        (self.expect("var")[1:], False))
+                                else:
+                                    break
+                            if not okeys:
+                                raise RDFParseError(
+                                    "SPARQL: FOLD ORDER BY needs keys")
+                            order = okeys
                         self.expect("op", ")")
                         self.expect("kw", "AS")
                         alias = self.expect("var")[1:]
@@ -773,11 +811,13 @@ class _Parser:
         for e, v2 in agg_binds:
             group["elements"].append(("bind", e, v2))
             _note(e, v2)
+        converted: dict = {}
         if proj:
             for i, p in enumerate(proj):
                 if p[0] == "exprbind":
                     group["elements"].append(("bind", p[1], p[2]))
                     _note(p[1], p[2])
+                    converted[p[2]] = p[1]
                     proj[i] = ("var", p[2])
         group_by: list[str] = []
         having = None
@@ -810,13 +850,37 @@ class _Parser:
             if not group_by:
                 raise RDFParseError("SPARQL: empty GROUP BY")
             if proj is None:
-                raise RDFParseError(
-                    "SPARQL: SELECT * cannot be used with GROUP BY")
+                if not self.arq:
+                    raise RDFParseError(
+                        "SPARQL: SELECT * cannot be used with GROUP BY")
+                # ARQ extension (syntax-arq): SELECT * with GROUP BY
+                # projects the group keys (GroupBy/group-05: keys incl.
+                # expression aliases)
+                proj = [("var", v) for v in group_by
+                        if not v.startswith("__gbexpr_")]
             bad = [v for v in plain_proj_vars if v not in group_by]
             if bad:
                 raise RDFParseError(
                     f"SPARQL: ?{bad[0]} is projected but neither grouped "
                     "nor aggregated")
+            # a projection EXPRESSION that is not itself a group key
+            # evaluates AFTER grouping (OpExtend over OpGroup — jena's
+            # `SELECT (1 AS ?p) .. GROUP BY ?z`, GroupBy group-11).
+            # With aggregates the postbind machinery handles it; with
+            # none, the pre-group BIND stays (the value is functionally
+            # dependent on the keys for any VALID query) and the
+            # group-key check below must admit the alias.
+            has_aggs_p = any(p[0] == "agg" for p in proj) or hidden_aggs
+            if has_aggs_p:
+                for i2, p2 in enumerate(proj):
+                    if (p2[0] == "var" and p2[1] in converted
+                            and p2[1] not in group_by):
+                        e2 = converted[p2[1]]
+                        try:
+                            group["elements"].remove(("bind", e2, p2[1]))
+                        except ValueError:
+                            continue
+                        proj[i2] = ("postbind", e2, p2[1])
         if self.kw("HAVING"):
             # HAVING over the aliased aggregates (an inline aggregate
             # call rewrites to the matching projected alias, or
@@ -896,6 +960,7 @@ class _Parser:
             "group": group, "group_by": group_by, "having": having,
             "order": order, "limit": limit, "offset": offset,
             "hidden_aggs": hidden_aggs,
+            "proj_expr_vars": set(converted),
         }
 
     def parse_group(self) -> dict:
@@ -1008,6 +1073,22 @@ class _Parser:
                 var = self.expect("var")[1:]
                 self.expect("op", ")")
                 elements.append(("bind", expr, var))
+            elif ((self.peek()[0] == "kw"
+                   and self.peek()[1].upper() == "EXISTS")
+                  or (self.peek()[0] == "kw"
+                      and self.peek()[1].upper() == "NOT"
+                      and self.i + 1 < len(self.toks)
+                      and self.toks[self.i + 1][0] == "kw"
+                      and self.toks[self.i + 1][1].upper() == "EXISTS")):
+                # ARQ extended syntax: bare [NOT] EXISTS { P } as a
+                # group element (ElementExists/ElementNotExists —
+                # Negation/neg-01..05); same compile lane as the
+                # FILTER form's exists list
+                positive = self.peek()[1].upper() == "EXISTS"
+                self.next()
+                if not positive:
+                    self.next()  # EXISTS after NOT
+                exists.append((positive, self.parse_group()))
             elif self.kw("LATERAL"):
                 # ARQ LATERAL (syntax-arq, Jena 4.7): correlated
                 # right-side evaluation — compiled distributed, see the
@@ -1837,7 +1918,7 @@ class _Parser:
                     "SPARQL: NOT at expression start must be NOT EXISTS")
             return ("existsexpr", False, self.parse_group())
         if U in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
-                 "GROUP_CONCAT") and (
+                 "GROUP_CONCAT", "MODE", "MEDIAN") and (
                 getattr(self, "_agg_aliases", None) is not None
                 or getattr(self, "_agg_collect", None) is not None):
             # an aggregate call INSIDE an expression (SELECT expression
@@ -6228,8 +6309,9 @@ def _compile_group(triples_ds, group: dict, graph=None):
                 maybe_partial=(acc_partial, rel_partial))
             if how == "left_outer" or rel_partial:
                 acc_partial = True
-    if acc is None and group["filters"]:
-        # only FILTERs: evaluate them over the unit solution
+    if acc is None and (group["filters"] or group.get("exists")):
+        # only FILTERs / bare [NOT] EXISTS elements: evaluate them
+        # over the unit solution (ASK { NOT EXISTS {..} }, neg-01)
         acc = rd.from_arrow(pa.table(
             {"__exists": pa.array(["1"], pa.large_string())}))
         acc_vars = []
@@ -6341,23 +6423,25 @@ def _compile_group(triples_ds, group: dict, graph=None):
     return acc, acc_vars
 
 
-def sparql_ask(triples_ds, query_text: str, base: str = "") -> bool:
+def sparql_ask(triples_ds, query_text: str, base: str = "",
+               arq: bool = False) -> bool:
     """ASK { ... } → does any solution exist (OpSlice 1 + nonempty)."""
-    q = _Parser(query_text, base=base).parse()
+    q = _Parser(query_text, base=base, arq=arq).parse()
     if q["form"] != "ask":
         raise RDFParseError("sparql_ask: not an ASK query")
     bindings, _ = _compile_group(triples_ds, q["group"], graph="")
     return len(bindings.limit(1).take(1)) > 0
 
 
-def sparql_construct(triples_ds, query_text: str, base: str = ""):
+def sparql_construct(triples_ds, query_text: str, base: str = "",
+                     arq: bool = False):
     """CONSTRUCT { template } WHERE { ... } → triple-table Dataset
     (TRIPLE_SCHEMA; bnodes/paths not allowed in the template subset).
     Template constants are IRIs; bound values whose lexical form is not
     an IRI-shaped string become plain literals."""
     from ..model import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA, XSD_STRING
 
-    q = _Parser(query_text, base=base).parse()
+    q = _Parser(query_text, base=base, arq=arq).parse()
     if q["form"] != "construct":
         raise RDFParseError("sparql_construct: not a CONSTRUCT query")
     bindings, all_vars = _compile_group(triples_ds, q["group"], graph="")
@@ -6935,7 +7019,8 @@ def _using_view(store, using: list):
     return store.map_batches(remap, batch_format="pyarrow")
 
 
-def sparql_describe(triples_ds, query_text: str, base: str = ""):
+def sparql_describe(triples_ds, query_text: str, base: str = "",
+                    arq: bool = False):
     """DESCRIBE (var|iri)+ [WHERE {...}] → the reference's default
     DescribeBNodeClosure handler semantics: over the UNION of the
     default and named graphs, every triple whose subject is a described
@@ -6947,7 +7032,7 @@ def sparql_describe(triples_ds, query_text: str, base: str = ""):
     Dataset, filtered per closure round against a broadcast frontier."""
     from ..model import KIND_BNODE, KIND_IRI
 
-    q = _Parser(query_text, base=base).parse()
+    q = _Parser(query_text, base=base, arq=arq).parse()
     if q["form"] != "describe":
         raise RDFParseError("sparql_describe: not a DESCRIBE query")
 
@@ -7044,10 +7129,11 @@ def sparql_query(triples_ds, query_text: str):
     return sparql_select(triples_ds, query_text)
 
 
-def sparql_select(triples_ds, query_text: str, base: str = ""):
+def sparql_select(triples_ds, query_text: str, base: str = "",
+                  arq: bool = False):
     """Parse + compile + execute a SELECT query over the triple Dataset.
     Returns a binding Dataset (one large_string column per projected var)."""
-    q = _Parser(query_text, base=base).parse()
+    q = _Parser(query_text, base=base, arq=arq).parse()
     if q["form"] != "select":
         raise RDFParseError("sparql_select: not a SELECT query")
     out, _cols = _exec_select(triples_ds, q)
@@ -7055,14 +7141,14 @@ def sparql_select(triples_ds, query_text: str, base: str = ""):
 
 
 def sparql_select_prebound(triples_ds, query_text: str, relation_ds,
-                           rel_vars, base: str = ""):
+                           rel_vars, base: str = "", arq: bool = False):
     """SELECT with a PRE-BOUND binding relation joined in as the first
     WHERE element (SPARQL pre-binding expressed as a join — the SHACL
     ASK-validator execution shape: the (this, value) candidate pairs
     Dataset is the relation; the body's patterns/FILTERs restrict it).
     ``relation_ds`` columns: one large_string per var in ``rel_vars``
     (+ optional <var>__kind/__dt/__lang term-meta columns)."""
-    q = _Parser(query_text, base=base).parse()
+    q = _Parser(query_text, base=base, arq=arq).parse()
     if q["form"] != "select":
         raise RDFParseError("sparql_select_prebound: not a SELECT query")
     q["group"]["elements"].insert(
@@ -7095,6 +7181,43 @@ def _agg_group_concat(col: str, alias: str, sep: str,
         ],
         finalize=lambda a: sep.join(
             sorted(set(a)) if distinct else sorted(a)),
+        name=alias,
+    )
+
+
+def _agg_mode_median(col: str, alias: str, mode: bool,
+                     distinct: bool = False):
+    """ARQ mode() / median() statistical aggregates (syntax-arq
+    keywords; AggMode/AggMedian.java): numeric value collections —
+    a bound non-number errors the whole group (the summed __e flag
+    column nulls the alias, same as SUM/AVG). Mode ties break to the
+    SMALLEST value (jena's pick is insertion-order-dependent, which a
+    distributed merge cannot reproduce — this pins a deterministic
+    choice)."""
+    from ray.data.aggregate import AggregateFn
+
+    def fin(a):
+        if not a:
+            return None
+        vals = sorted(set(a) if distinct else a)
+        if mode:
+            from collections import Counter
+
+            best = max(Counter(vals).items(),
+                       key=lambda kv: (kv[1], -kv[0]))[0]
+            return float(best)
+        n = len(vals)
+        if n % 2:
+            return float(vals[n // 2])
+        return (vals[n // 2] + vals[n // 2 - 1]) / 2.0
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=lambda a, blk: a + [
+            x for x in _block_col_values(blk, col) if x is not None
+        ],
+        finalize=fin,
         name=alias,
     )
 
@@ -7169,17 +7292,20 @@ def _agg_fold(i: int, alias: str, distinct: bool, extra: dict):
         else:
             keys = [None] * len(quads)
         if order:
-            on = _block_col_values(blk, col + "o")
-            ol = _block_col_values(blk, col + "ol")
+            sides = [(_block_col_values(blk, f"{col}o{j}"),
+                      _block_col_values(blk, f"{col}ol{j}"))
+                     for j in range(len(order))]
+            okeys = [tuple((on[r], ol[r]) for on, ol in sides)
+                     for r in range(len(quads))]
         else:
-            on = ol = [None] * len(quads)
-        return a + list(zip(quads, keys, on, ol))
+            okeys = [None] * len(quads)
+        return a + list(zip(quads, keys, okeys))
 
     def fin(a):
         rows = list(a)
         if order:
-            def skey(r):
-                onum, olex = r[2], r[3]
+            def skey1(pair):
+                onum, olex = pair
                 # SPARQL ordering: unbound lowest, numbers before
                 # other literals, then lexical
                 unbound = olex is None and onum is None
@@ -7188,12 +7314,16 @@ def _agg_fold(i: int, alias: str, distinct: bool, extra: dict):
                         onum if onum is not None else 0.0,
                         olex or "")
 
-            rows.sort(key=skey, reverse=order[1])
+            # mixed ASC/DESC multi-key: stable sort from the LAST key
+            # to the first (fold-list-orderby-06)
+            for j in range(len(order) - 1, -1, -1):
+                rows.sort(key=lambda r, _j=j: skey1(r[2][_j]),
+                          reverse=order[j][1])
         if is_map:
             # FOLD(?k, ?v): the FIRST var is the key, the second the value
             out: dict = {}
             seen: dict = {}
-            for key, val, _o, _ol in rows:
+            for key, val, _ok in rows:
                 if key is None or key[0] == KIND_BNODE:
                     continue  # unbound / bnode keys are skipped
                 kk2 = _cdt_term_key(key)
@@ -7306,9 +7436,11 @@ def _exec_select(triples_ds, q: dict, graph=""):
     if q["group_by"] and not agg_items:
         # GROUP BY with no aggregates in the projection: one solution
         # per group — distinct over the group keys (OpGroup with an
-        # empty aggregator list)
+        # empty aggregator list); projection-expression aliases ride
+        # along (their value is key-functional for valid queries)
+        pe = q.get("proj_expr_vars") or set()
         for v in var_items:
-            if v not in q["group_by"]:
+            if v not in q["group_by"] and v not in pe:
                 raise RDFParseError(
                     f"SPARQL: projected ?{v} is neither aggregated nor a "
                     "GROUP BY key"
@@ -7366,16 +7498,18 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 quad(extra["var2"], "2")
             order = extra.get("order")
             if order:
-                ov = order[0]
-                olex = (t[ov].combine_chunks().cast(pa.large_string())
-                        if ov in names
-                        else pa.nulls(n, pa.large_string()))
-                num_ok = pc.fill_null(
-                    pc.match_substring_regex(olex, _NUM_RE), False)
-                cols[f"__a{i}o"] = pc.cast(
-                    pc.if_else(num_ok, olex, pa.scalar(None, olex.type)),
-                    pa.float64())
-                cols[f"__a{i}ol"] = olex  # nulls mark UNBOUND sort keys
+                for j, (ov, _d) in enumerate(order):
+                    olex = (t[ov].combine_chunks().cast(pa.large_string())
+                            if ov in names
+                            else pa.nulls(n, pa.large_string()))
+                    num_ok = pc.fill_null(
+                        pc.match_substring_regex(olex, _NUM_RE), False)
+                    cols[f"__a{i}o{j}"] = pc.cast(
+                        pc.if_else(num_ok, olex,
+                                   pa.scalar(None, olex.type)),
+                        pa.float64())
+                    # nulls mark UNBOUND sort keys
+                    cols[f"__a{i}ol{j}"] = olex
 
         def _fold_empty_cols(i: int, item, cols: dict) -> None:
             _, _fn, _var, _al, _d, extra = item
@@ -7385,9 +7519,9 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 cols[f"__a{i}{tag}k"] = pa.array([], pa.int8())
                 cols[f"__a{i}{tag}d"] = pa.array([], pa.large_string())
                 cols[f"__a{i}{tag}g"] = pa.array([], pa.large_string())
-            if extra.get("order"):
-                cols[f"__a{i}o"] = pa.array([], pa.float64())
-                cols[f"__a{i}ol"] = pa.array([], pa.large_string())
+            for j in range(len(extra.get("order") or ())):
+                cols[f"__a{i}o{j}"] = pa.array([], pa.float64())
+                cols[f"__a{i}ol{j}"] = pa.array([], pa.large_string())
 
         def _key_meta_cols(t: pa.Table | None, cols: dict) -> None:
             """GROUP BY keys are TERMS, not lexical forms ('1'^^integer,
@@ -7498,6 +7632,12 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 aggs.append(_agg_fold(i, alias, distinct_i, sep))
             elif fn == "COUNT" and distinct_i:
                 aggs.append(_agg_count_distinct(col, alias))
+            elif fn in ("MODE", "MEDIAN"):
+                aggs.append(_agg_mode_median(col, alias, fn == "MODE",
+                                             distinct_i))
+                ec = f"__err{i}"
+                aggs.append(Sum(f"__e{i}", alias_name=ec))
+                err_aliases.append((ec, alias))
             elif fn in ("SUM", "AVG") and distinct_i:
                 aggs.append(_agg_numeric_distinct(col, alias,
                                                   avg=fn == "AVG"))

@@ -139,9 +139,12 @@ def test_arq_eval(arq_eval):
     if m:
         form = m.group(1).lower()
     qbase = "file://" + test.query
+    # jena keys the syntax dialect on the file extension: .arq admits
+    # the ARQ extended forms, .rq stays strict SPARQL 1.1
+    arq = test.query.endswith(".arq")
     try:
         if form == "ask":
-            got = sparql_ask(store, qtext, base=qbase)
+            got = sparql_ask(store, qtext, base=qbase, arq=arq)
             if test.result is None:
                 return
             kind_exp = read_expected(test.result)
@@ -153,7 +156,7 @@ def test_arq_eval(arq_eval):
             from jena_ray.sources.readers import lang_for_path, parse_rdf_text
 
             fn = sparql_construct if form == "construct" else sparql_describe
-            out = fn(store, qtext, base=qbase).take_all()
+            out = fn(store, qtext, base=qbase, arq=arq).take_all()
             if test.result is None:
                 return
             got_triples = [
@@ -171,7 +174,8 @@ def test_arq_eval(arq_eval):
                 exp_spo = sorted((t[1], t[2], str(t[4])) for t in exp8)
                 assert got_spo == exp_spo, f"{form.upper()} graph mismatch"
             return
-        rows = sparql_select(store, qtext, base=qbase).take_all()
+        rows = sparql_select(store, qtext, base=qbase,
+                             arq=arq).take_all()
     except RDFParseError as e:
         pytest.skip(f"out of subset: {e}")
     if test.result is None:
