@@ -26,6 +26,12 @@ from ..model import (
 def parse_rdfjson(text: str, base: str = "", on_error: str = "raise") -> list[tuple]:
     """RDF/JSON document → list of term 8-tuples."""
     try:
+        # jena's RDF/JSON tokenizer skips '#' comment LINES
+        # (RIOT/Lang/RDF-JSON rdf-json-00.rj opens with "#Empty")
+        if "#" in text:
+            text = "\n".join(
+                ln for ln in text.split("\n")
+                if not ln.lstrip().startswith("#"))
         doc = json.loads(text)
         if not isinstance(doc, dict):
             raise RDFParseError("RDF/JSON root must be an object")
@@ -60,7 +66,11 @@ def parse_rdfjson(text: str, base: str = "", on_error: str = "raise") -> list[tu
                     elif t == "literal":
                         lang = v.get("lang", "") or ""
                         dt = v.get("datatype", "") or ""
-                        if not lang and not dt:
+                        if lang and not dt:
+                            from ..model import RDF_LANGSTRING
+
+                            dt = RDF_LANGSTRING
+                        elif not lang and not dt:
                             dt = XSD_STRING
                         out.append(
                             (s_kind, s_lex, p, KIND_LITERAL, value, dt, lang, "")

@@ -1,5 +1,7 @@
 """TriX reader + PageRank tests."""
 
+import os
+
 import pytest
 
 from jena_ray.model import KIND_BNODE, KIND_LITERAL, RDFParseError
@@ -43,6 +45,43 @@ def test_trix_errors():
     with pytest.raises(RDFParseError):
         parse_trix("not xml")
     assert parse_trix("not xml", on_error="skip") == []
+
+
+_TRIX_REF = "/root/reference/jena-arq/testing/RIOT/Lang/TriX"
+# TestTriXBad.java runs bad-01..09 (bad-00/bad-10 are stray files
+# byte-identical to GOOD fixtures); TestTriXReader comments out ex-2
+# (contains the unsupported <integer> element)
+_TRIX_BAD = sorted(
+    [f"trix-bad-{i:02d}.trix" for i in range(1, 10)]
+    + [f"trix-star-bad-triple-term-{i}.trix" for i in range(1, 5)])
+_TRIX_GOOD = sorted(
+    os.path.basename(f)
+    for f in __import__("glob").glob(_TRIX_REF + "/*.trix")
+    if os.path.basename(f) not in set(_TRIX_BAD)
+    and os.path.basename(f) not in (
+        "trix-bad-00.trix", "trix-bad-10.trix", "trix-ex-2.trix")
+) if os.path.isdir(_TRIX_REF) else []
+
+
+@pytest.mark.parametrize("name", _TRIX_GOOD)
+def test_trix_reference_corpus_good(name):
+    """Reference RIOT/Lang/TriX corpus: parse + graph-iso against the
+    golden .nq when one exists (qnames, namespaces, id-named graphs,
+    raw XMLLiteral lexicals, RDF 1.2 nested triple terms)."""
+    from jena_ray.rdf.iso import graph_iso
+    from jena_ray.rdf.ntriples import parse_ntriples
+
+    got = parse_trix(open(f"{_TRIX_REF}/{name}").read())
+    nq = f"{_TRIX_REF}/{name[:-5]}.nq"
+    if os.path.exists(nq):
+        want = list(parse_ntriples(open(nq).read(), quads=True))
+        assert graph_iso(got, want), name
+
+
+@pytest.mark.parametrize("name", _TRIX_BAD)
+def test_trix_reference_corpus_bad(name):
+    with pytest.raises(RDFParseError):
+        parse_trix(open(f"{_TRIX_REF}/{name}").read())
 
 
 @pytest.mark.usefixtures("ray_session")

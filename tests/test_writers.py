@@ -155,6 +155,41 @@ def test_rdfjson_parse_and_format_roundtrip():
     assert sorted(rt) == sorted(triples)
 
 
+def test_rdfjson_reference_corpus():
+    """RIOT/Lang/RDF-JSON corpus: graph-iso against golden .nt,
+    bad files rejected (comment lines, lang literals, bnode links)."""
+    import glob
+    import os
+
+    from jena_ray.rdf.iso import graph_iso
+    from jena_ray.rdf.ntriples import parse_ntriples
+    from jena_ray.rdf.rdfjson import parse_rdfjson
+
+    d = "/root/reference/jena-arq/testing/RIOT/Lang/RDF-JSON"
+    if not os.path.isdir(d):
+        import pytest
+
+        pytest.skip("reference corpus absent")
+    checked = 0
+    for f in sorted(glob.glob(d + "/*.rj")):
+        name = os.path.basename(f)
+        text = open(f).read()
+        if "bad" in name:
+            import pytest
+
+            with pytest.raises(Exception):
+                parse_rdfjson(text)
+            checked += 1
+            continue
+        got = parse_rdfjson(text)
+        nt = f[:-3] + ".nt"
+        if os.path.exists(nt):
+            want = [t[:7] + ("",) for t in parse_ntriples(open(nt).read())]
+            assert graph_iso(got, want), name
+            checked += 1
+    assert checked >= 5
+
+
 def test_rdfjson_bad_input():
     import pytest as _pytest
 
