@@ -1766,6 +1766,23 @@ class _Parser:
             else:
                 var = self.expect("var")[1:]
             self.expect("op", ",")
+            if fn == "REGEX" and self.peek()[0] == "var":
+                # REGEX(?v, ?pat[, ?flags]) — VARIABLE pattern/flags
+                # (E_Regex compiles per solution; ExprRegex q-regex-3/4)
+                patvar = self.expect("var")[1:]
+                flagsvar = None
+                if self.peek() == ("op", ","):
+                    self.next()
+                    k2, v2 = self.next()
+                    if k2 == "var":
+                        flagsvar = v2[1:]
+                    elif k2 == "string":
+                        flagsvar = ("const", _unesc(_sq(v2)))
+                    else:
+                        raise RDFParseError(
+                            "SPARQL: bad REGEX flags argument")
+                self.expect("op", ")")
+                return ("regex_dyn", var, patvar, flagsvar, via_str)
             arg = _unesc(_sq(self.expect("string")))
             self._skip_lit_suffix()
             if fn == "REGEX" and self.peek() == ("op", ","):
@@ -3592,9 +3609,9 @@ _TIME_DTS = tuple(
 
 _BOOL_EXPR_TAGS = frozenset(
     {"cmp", "and", "or", "not", "bound", "inlist", "regex", "regex_str",
-     "strstarts", "strends", "contains", "isiri", "isliteral", "isblank",
-     "istriple", "haslang", "haslangdir", "langmatches", "exists_marker",
-     "evenint"})
+     "regex_dyn", "strstarts", "strends", "contains", "isiri",
+     "isliteral", "isblank", "istriple", "haslang", "haslangdir",
+     "langmatches", "exists_marker", "evenint"})
 
 
 def _epoch_of(s):
@@ -4431,6 +4448,32 @@ def _eval_bool(node, t: pa.Table):
     if tag == "regex_str":
         # REGEX(STR(?v), pat): lexical form of any term kind
         return pc.match_substring_regex(_var_col(t, node[1]), node[2])
+    if tag == "regex_dyn":
+        # REGEX with a VARIABLE pattern/flags — compiled per row
+        # (E_Regex with non-constant args; ExprRegex q-regex-3/4).
+        # A cold path: constant patterns stay on the Arrow kernel.
+        _, var, patvar, flagsvar, via_str = node
+        vals = _var_col(t, var).to_pylist()
+        pats = _var_col(t, patvar).to_pylist()
+        if flagsvar is None:
+            flags_l = [""] * t.num_rows
+        elif isinstance(flagsvar, tuple):
+            flags_l = [flagsvar[1]] * t.num_rows
+        else:
+            flags_l = _var_col(t, flagsvar).to_pylist()
+        out = []
+        for v2, p2, fl in zip(vals, pats, flags_l):
+            if v2 is None or p2 is None:
+                out.append(None)
+                continue
+            f = 0
+            for c in (fl or ""):
+                f |= {"i": re.I, "s": re.S, "m": re.M}.get(c, 0)
+            try:
+                out.append(bool(re.search(p2, v2, f)))
+            except re.error:
+                out.append(None)
+        return pa.array(out, pa.bool_())
     if tag == "regex":
         m = pc.match_substring_regex(_var_col(t, node[1]), node[2])
         kc = node[1] + "__kind"
