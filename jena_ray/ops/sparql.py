@@ -1790,34 +1790,7 @@ class _Parser:
                 # pattern as an inline group (E_Regex / RegexJava)
                 self.next()
                 flags = _unesc(_sq(self.expect("string")))
-                if "q" in flags:
-                    # XPath 'q': every pattern character is literal
-                    arg = re.escape(arg)
-                if "x" in flags and "q" not in flags:
-                    # XPath 'x': drop whitespace outside character
-                    # classes (RE2 has no verbose mode)
-                    out_chars = []
-                    in_class = esc = False
-                    for ch in arg:
-                        if esc:
-                            out_chars.append(ch)
-                            esc = False
-                            continue
-                        if ch == "\\":
-                            out_chars.append(ch)
-                            esc = True
-                            continue
-                        if ch == "[" and not in_class:
-                            in_class = True
-                        elif ch == "]" and in_class:
-                            in_class = False
-                        if ch in " \t\n\r" and not in_class:
-                            continue
-                        out_chars.append(ch)
-                    arg = "".join(out_chars)
-                inline = "".join(c for c in flags if c in "ims")
-                if inline:
-                    arg = f"(?{inline}){arg}"
+                arg = _fold_xpath_flags(arg, flags)
             self.expect("op", ")")
             if fn == "REGEX" and via_str:
                 return ("regex_str", var, arg)
@@ -2327,10 +2300,45 @@ _NUM_RE = r"^[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?$"
 
 _NUMERIC_FN1 = frozenset({"ABS", "ROUND", "CEIL", "FLOOR"})
 
+def _fold_xpath_flags(pat: str, flags: str) -> str:
+    """Fold XPath regex flags (F&O §5.6.2) into the pattern itself as an
+    inline group, the way E_Regex / RegexJava normalizes them: 'q' makes
+    the whole pattern literal, 'x' strips whitespace outside character
+    classes (RE2 has no verbose mode), i/m/s become (?ims)."""
+    if "q" in flags:
+        # XPath 'q': every pattern character is literal
+        pat = re.escape(pat)
+    if "x" in flags and "q" not in flags:
+        out_chars = []
+        in_class = esc = False
+        for ch in pat:
+            if esc:
+                out_chars.append(ch)
+                esc = False
+                continue
+            if ch == "\\":
+                out_chars.append(ch)
+                esc = True
+                continue
+            if ch == "[" and not in_class:
+                in_class = True
+            elif ch == "]" and in_class:
+                in_class = False
+            if ch in " \t\n\r" and not in_class:
+                continue
+            out_chars.append(ch)
+        pat = "".join(out_chars)
+    inline = "".join(c for c in flags if c in "ims")
+    if inline:
+        pat = f"(?{inline}){pat}"
+    return pat
+
+
 # --- extension function IRIs (ARQ afn: library + xpath fn:) ----------------
 _AFN_NS = "http://jena.apache.org/ARQ/function#"
 _FN_XPATH = "http://www.w3.org/2005/xpath-functions#"
 _MATH_XPATH = "http://www.w3.org/2005/xpath-functions/math#"
+_LEV_NS = "http://www.dotnetrdf.org/leviathan#"
 
 
 def _iri_function_node(iri: str, args: list):
@@ -2402,13 +2410,287 @@ def _iri_function_node(iri: str, args: list):
             need(0)
             return ("num", _math.e, _XSD + "double")
         raise RDFParseError(f"SPARQL: unsupported function <{iri}>")
-    if iri == _FN_XPATH + "concat":
-        return ("concat", args)
-    if iri.startswith(_FN_XPATH) or iri.startswith(_MATH_XPATH):
-        # a REAL xpath function the engine hasn't implemented: reject
-        # (honest out-of-subset skip) rather than mis-evaluate to empty
-        raise RDFParseError(f"SPARQL: unsupported function <{iri}>")
+    if iri.startswith(_FN_XPATH):
+        return _fn_xpath_node(iri, iri[len(_FN_XPATH):], args)
+    if iri.startswith(_MATH_XPATH):
+        return _math_xpath_node(iri, iri[len(_MATH_XPATH):], args)
+    if iri.startswith(_LEV_NS):
+        return _leviathan_node(iri, iri[len(_LEV_NS):], args)
     return ("errfn", iri, args)
+
+
+def _need_args(iri: str, args: list, lo: int, hi: int | None = None):
+    hi = lo if hi is None else hi
+    if not (lo <= len(args) <= hi):
+        raise RDFParseError(f"SPARQL: <{iri}> takes {lo}..{hi} arguments")
+
+
+def _const_str(node):
+    """Constant-string view of a parsed argument node, or None."""
+    if node and node[0] == "lit":
+        return node[1]
+    if node and node[0] == "typedlit" and node[2] in ("", _XSD + "string"):
+        return node[1]
+    return None
+
+
+# XPath F&O string functions with a direct SPARQL-builtin equivalent
+_FN_TO_FN1 = {"upper-case": "UCASE", "lower-case": "LCASE", "abs": "ABS",
+              "ceiling": "CEIL", "floor": "FLOOR", "round": "ROUND"}
+# fn: date/time component accessors → the engine's dtfn kernel
+_FN_DT_ACCESSOR = {
+    "year-from-dateTime": "year", "year-from-date": "year",
+    "years-from-dateTime": "year", "years-from-date": "year",
+    "month-from-dateTime": "month", "month-from-date": "month",
+    "months-from-dateTime": "month", "months-from-date": "month",
+    "day-from-dateTime": "day", "day-from-date": "day",
+    "days-from-dateTime": "day", "days-from-date": "day",
+    "hours-from-dateTime": "hours", "hours-from-time": "hours",
+    "minutes-from-dateTime": "minutes", "minutes-from-time": "minutes",
+    "seconds-from-dateTime": "seconds", "seconds-from-time": "seconds",
+    "timezone-from-dateTime": "timezone", "timezone-from-date": "timezone",
+    "timezone-from-time": "timezone",
+}
+_FN_DUR_ACCESSOR = {
+    "years-from-duration": "years", "months-from-duration": "months",
+    "days-from-duration": "days", "hours-from-duration": "hours",
+    "minutes-from-duration": "minutes", "seconds-from-duration": "seconds",
+}
+
+
+def _fn_xpath_node(iri: str, name: str, args: list):
+    """XPath F&O function (fn: namespace) → expression node, the surface
+    StandardFunctions.java:61 (loadStdDefs) registers. Most desugar onto
+    the engine's existing vectorized SPARQL-builtin nodes (the SPARQL
+    builtins are DEFINED as these functions, §17.4); the rest get small
+    dedicated kernels (normspace/normuni/durfn/dtcombine/adjtz)."""
+    if name == "concat":
+        return ("concat", args)
+    if name == "error":  # FN_Error: evaluating it is an expression error
+        return ("errfn", iri, args)
+    if name == "string-length":
+        _need_args(iri, args, 1)
+        return ("strlenx", args[0])
+    if name in _FN_TO_FN1:
+        _need_args(iri, args, 1)
+        return ("fn1", _FN_TO_FN1[name], args[0])
+    if name == "round-half-to-even":
+        _need_args(iri, args, 1, 2)
+        prec = 0
+        if len(args) == 2:
+            if args[1][0] != "num":
+                raise RDFParseError(
+                    f"SPARQL: <{iri}> precision must be a numeric constant")
+            prec = int(args[1][1])
+        return ("mathfn", "rhte", [args[0], ("num", float(prec),
+                                             _XSD + "integer")])
+    if name == "encode-for-uri":
+        _need_args(iri, args, 1)
+        return ("encuri", args[0])
+    if name == "boolean":
+        # fn:boolean = the effective boolean value; double Kleene
+        # negation computes EBV and preserves error-as-null
+        _need_args(iri, args, 1)
+        return ("not", ("not", args[0]))
+    if name == "not":
+        _need_args(iri, args, 1)
+        return ("not", args[0])
+    if name == "substring":
+        _need_args(iri, args, 2, 3)
+        if args[1][0] != "num" or (len(args) == 3 and args[2][0] != "num"):
+            raise RDFParseError(
+                f"SPARQL: <{iri}> start/length must be numeric constants")
+        # XPath rounds fractional positions (fn:substring = SPARQL SUBSTR)
+        start = int(round(args[1][1]))
+        length = int(round(args[2][1])) if len(args) == 3 else None
+        return ("substr", args[0], start, length)
+    if name == "normalize-space":
+        _need_args(iri, args, 1)
+        return ("normspace", args[0])
+    if name == "normalize-unicode":
+        _need_args(iri, args, 1, 2)
+        form = "NFC"
+        if len(args) == 2:
+            s = _const_str(args[1])
+            if s is None:
+                raise RDFParseError(
+                    f"SPARQL: <{iri}> form must be a string constant")
+            form = s.strip().upper() or "NFC"
+            if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+                raise RDFParseError(
+                    f"SPARQL: <{iri}> unsupported normalization form {form}")
+        return ("normuni", args[0], form)
+    if name in ("contains", "starts-with", "ends-with"):
+        _need_args(iri, args, 2)
+        s = _const_str(args[1])
+        if args[0][0] != "var" or s is None:
+            raise RDFParseError(
+                f"SPARQL: <{iri}> subset takes (?var, \"constant\")")
+        tag = {"contains": "contains", "starts-with": "strstarts",
+               "ends-with": "strends"}[name]
+        return (tag, args[0][1], s)
+    if name in ("substring-before", "substring-after"):
+        _need_args(iri, args, 2)
+        s = _const_str(args[1])
+        if s is None:
+            raise RDFParseError(
+                f"SPARQL: <{iri}> separator must be a string constant")
+        return ("strbefore" if name == "substring-before" else "strafter",
+                args[0], s, "")
+    if name == "matches":
+        _need_args(iri, args, 2, 3)
+        pat = _const_str(args[1])
+        flags = _const_str(args[2]) if len(args) == 3 else ""
+        if pat is None or flags is None:
+            raise RDFParseError(
+                f"SPARQL: <{iri}> pattern/flags must be string constants")
+        pat = _fold_xpath_flags(pat, flags or "")
+        if args[0][0] == "var":
+            return ("regex", args[0][1], pat)
+        if (args[0][0] == "fn1" and args[0][1] == "STR"
+                and args[0][2][0] == "var"):
+            return ("regex_str", args[0][2][1], pat)
+        raise RDFParseError(f"SPARQL: <{iri}> subset takes a variable "
+                            "(or STR(?var)) first argument")
+    if name == "replace":
+        _need_args(iri, args, 3, 4)
+        pat, rep = _const_str(args[1]), _const_str(args[2])
+        flags = _const_str(args[3]) if len(args) == 4 else ""
+        if pat is None or rep is None or flags is None:
+            raise RDFParseError(
+                f"SPARQL: <{iri}> pattern/replacement/flags must be "
+                "string constants")
+        return ("replace", args[0], _fold_xpath_flags(pat, flags or ""), rep)
+    if name in _FN_DT_ACCESSOR:
+        _need_args(iri, args, 1)
+        return ("dtfn", _FN_DT_ACCESSOR[name], args[0])
+    if name in _FN_DUR_ACCESSOR:
+        _need_args(iri, args, 1)
+        return ("durfn", _FN_DUR_ACCESSOR[name], args[0])
+    if name == "dateTime":  # FN_DateTime: fn:dateTime(date, time)
+        _need_args(iri, args, 2)
+        return ("dtcombine", args[0], args[1])
+    if name == "implicit-timezone":
+        # FN_Timezone: this engine's implicit timezone is UTC
+        _need_args(iri, args, 0)
+        return ("typedlit", "PT0S", _XSD + "dayTimeDuration", "")
+    if name in ("adjust-dateTime-to-timezone", "adjust-date-to-timezone",
+                "adjust-time-to-timezone"):
+        _need_args(iri, args, 1, 2)
+        tz = None
+        if len(args) == 2:
+            a = args[1]
+            if a[0] == "typedlit" and a[2] == _XSD + "dayTimeDuration":
+                tz = a[1]
+            else:
+                raise RDFParseError(
+                    f"SPARQL: <{iri}> timezone must be a constant "
+                    "xsd:dayTimeDuration")
+        kind = name.split("-")[1]  # dateTime | date | time
+        return ("adjtz", kind, args[0], tz)
+    if name == "numeric-mod":
+        _need_args(iri, args, 2)
+        return ("mathfn", "mod", args)
+    if name == "numeric-integer-divide":
+        _need_args(iri, args, 2)
+        return ("mathfn", "idiv", args)
+    # a REAL xpath function the engine hasn't implemented (fn:apply,
+    # fn:format-number, fn:collation-key, ...): reject (honest
+    # out-of-subset skip) rather than mis-evaluate to empty
+    raise RDFParseError(f"SPARQL: unsupported function <{iri}>")
+
+
+_MATH1 = frozenset({"exp", "exp10", "log", "log10", "sqrt", "sin", "cos",
+                    "tan", "asin", "acos", "atan"})
+
+
+def _math_xpath_node(iri: str, name: str, args: list):
+    """XPath math: namespace (F&O §4.8) — StandardFunctions.java:264
+    registers pi/exp/exp10/log/log10/pow/sqrt/sin/cos/tan/asin/acos/
+    atan/atan2. All return xsd:double; domain errors are IEEE NaN/Inf."""
+    import math as _m
+
+    if name == "pi":
+        _need_args(iri, args, 0)
+        return ("num", _m.pi, _XSD + "double")
+    if name in _MATH1:
+        _need_args(iri, args, 1)
+        return ("mathfn", name, args)
+    if name in ("pow", "atan2"):
+        _need_args(iri, args, 2)
+        return ("mathfn", name, args)
+    raise RDFParseError(f"SPARQL: unsupported function <{iri}>")
+
+
+def _leviathan_node(iri: str, name: str, args: list):
+    """Leviathan function library (lfn:, function/library/leviathan/*.java;
+    MappedLoader.java:52 maps the dotnetrdf namespace to those classes —
+    local name == class name). Everything desugars onto the engine's
+    mathfn/hashfn kernels; semantics follow each class's exec()."""
+    D = _XSD + "double"
+    if name in ("md5hash", "sha256hash"):
+        _need_args(iri, args, 1)
+        return ("hashfn", "md5" if name == "md5hash" else "sha256",
+                ("fn1", "STR", args[0]))
+    if name == "sqrt":
+        _need_args(iri, args, 1)
+        return ("sqrt1", args[0])
+    if name == "sq":
+        _need_args(iri, args, 1)
+        return ("mathfn", "pow", [args[0], ("num", 2.0, D)])
+    if name == "cube":
+        _need_args(iri, args, 1)
+        return ("mathfn", "pow", [args[0], ("num", 3.0, D)])
+    if name == "ten":  # ten.java: 10^x
+        _need_args(iri, args, 1)
+        return ("mathfn", "exp10", args)
+    if name == "e":  # e.java: e^x (NOT the constant)
+        _need_args(iri, args, 1)
+        return ("mathfn", "exp", args)
+    if name == "ln":
+        _need_args(iri, args, 1)
+        return ("mathfn", "log", args)
+    if name == "log":  # log.java: 1 arg = log10, 2 args = arbitrary base
+        _need_args(iri, args, 1, 2)
+        if len(args) == 1:
+            return ("mathfn", "log10", args)
+        return ("mathfn", "logb", args)
+    if name == "pow":
+        _need_args(iri, args, 2)
+        return ("mathfn", "pow", args)
+    if name == "root":  # root.java: v ** (1/root)
+        _need_args(iri, args, 2)
+        return ("mathfn", "root", args)
+    if name in ("factorial", "reciprocal"):
+        _need_args(iri, args, 1)
+        return ("mathfn", name, args)
+    if name in ("sin", "cos", "tan"):
+        _need_args(iri, args, 1)
+        return ("mathfn", name, args)
+    if name in ("sin1", "cos1", "tan1"):  # inverse trig
+        _need_args(iri, args, 1)
+        return ("mathfn", "a" + name[:-1], args)
+    if name in ("sec", "cosec", "cot", "sec1", "cosec1", "cot1"):
+        _need_args(iri, args, 1)
+        return ("mathfn", name, args)
+    if name == "degreesToRadians":
+        _need_args(iri, args, 1)
+        return ("mathfn", "deg2rad", args)
+    if name == "radiansToDegrees":
+        _need_args(iri, args, 1)
+        return ("mathfn", "rad2deg", args)
+    if name == "pythagoras":
+        _need_args(iri, args, 2)
+        return ("mathfn", "pythagoras", args)
+    if name == "cartesian":  # cartesian.java: 2D (4 args) / 3D (6 args)
+        if len(args) not in (4, 6):
+            raise RDFParseError(f"SPARQL: <{iri}> takes 4 or 6 arguments")
+        return ("mathfn", "cartesian", args)
+    if name == "rnd":
+        # rnd.java: () → [0,1), (max) → [0,max), (min,max) → [min,max)
+        _need_args(iri, args, 0, 2)
+        return ("mathfn", "rnd", args)
+    raise RDFParseError(f"SPARQL: unsupported function <{iri}>")
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _CAST_NUMERIC = frozenset(
@@ -2436,7 +2718,7 @@ def _is_numeric_node(node) -> bool:
     a comparison into the engine's numeric context."""
     tag = node[0] if node else None
     return (tag in ("num", "strlen", "strlenx", "arith", "rand",
-                    "minmax2", "sqrt1")
+                    "minmax2", "sqrt1", "mathfn", "durfn")
             or (tag == "typedlit" and node[2] in _NUMERIC_DTS)
             or (tag == "cast" and node[1] in _CAST_NUMERIC)
             or (tag == "dtfn" and node[1] not in ("tz", "timezone"))
@@ -2560,6 +2842,10 @@ def _num_rank(node, t: pa.Table):
         return const(0)
     if tag == "fn1" and node[1] in _NUMERIC_FN1:
         return _num_rank(node[2], t)
+    if tag == "mathfn":
+        return const(3)  # math: results are xsd:double
+    if tag == "durfn":
+        return const(1 if node[1] == "seconds" else 0)
     return pa.nulls(n, pa.int8())
 
 
@@ -3081,6 +3367,36 @@ def _eval_value(node, t: pa.Table):
         return f(a, b, skip_nulls=False)
     if tag == "sqrt1":
         return pc.sqrt(_eval_num(node[1], t))
+    if tag == "mathfn":
+        return _eval_mathfn(node, t)
+    if tag == "normspace":
+        # fn:normalize-space (F&O §5.4.5): trim + collapse runs of
+        # \x20 \t \r \n to a single space
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows))
+        return pc.utf8_trim(
+            pc.replace_substring_regex(arr, r"[ \t\r\n]+", " "),
+            characters=" ")
+    if tag == "normuni":
+        # fn:normalize-unicode (F&O §5.4.6) — per-row unicodedata; the
+        # form is a parse-time constant
+        import unicodedata as _ud
+
+        arr = _str_arg(node[1], t,
+                       _to_lexical(_eval_value(node[1], t), t.num_rows))
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+        form = node[2]
+        return pa.array(
+            [None if x is None else _ud.normalize(form, x)
+             for x in arr.to_pylist()],
+            pa.large_string())
+    if tag == "durfn":
+        return _eval_durfn(node, t)
+    if tag == "dtcombine":
+        return _eval_dtcombine(node, t)
+    if tag == "adjtz":
+        return _eval_adjtz(node, t)
     if tag in ("lang", "langdir"):
         from ..model import KIND_LITERAL
 
@@ -3192,7 +3508,8 @@ def _eval_value(node, t: pa.Table):
                 pa.scalar(sub[1], pa.large_string()),
                 pa.scalar(None, pa.large_string()))
         if sub[0] in ("hashfn", "concat", "substr", "replace",
-                      "strbefore", "strafter", "irisplit") or (
+                      "strbefore", "strafter", "irisplit", "normspace",
+                      "normuni") or (
                 sub[0] == "fn1" and sub[1] in ("STR", "UCASE", "LCASE")):
             val = _eval_value(sub, t)
             if isinstance(val, pa.Scalar):
@@ -3345,10 +3662,22 @@ def _eval_value(node, t: pa.Table):
             if s is None:
                 out.append(None)
                 continue
+            s2 = s[:-1] + "+00:00" if s.endswith("Z") else s
+            d = None
             try:
-                s2 = s[:-1] + "+00:00" if s.endswith("Z") else s
                 d = datetime.fromisoformat(s2)
             except (ValueError, TypeError):
+                try:
+                    # xsd:time lexical ("13:20:00[+TZ]")
+                    d = datetime.fromisoformat("2000-01-01T" + s2)
+                except (ValueError, TypeError):
+                    # xsd:date WITH an explicit timezone
+                    mdz = re.match(
+                        r"^(\d{4}-\d{2}-\d{2})([+-]\d{2}:\d{2})$", s2)
+                    if mdz:
+                        d = datetime.fromisoformat(
+                            mdz.group(1) + "T00:00:00" + mdz.group(2))
+            if d is None:
                 out.append(None)
                 continue
             if fn == "year":
@@ -4373,6 +4702,18 @@ def _expr_static_meta(node):
         return (KIND_TRIPLE_TERM, "", "")
     if tag == "fn1" and node[1] in ("STR", "UCASE", "LCASE"):
         return (KIND_LITERAL, XSD_STRING, "")
+    if tag in ("normspace", "normuni"):
+        return (KIND_LITERAL, XSD_STRING, "")
+    if tag == "mathfn":
+        return (KIND_LITERAL, XSD_NS + "double", "")
+    if tag == "durfn":
+        return (KIND_LITERAL,
+                XSD_NS + ("decimal" if node[1] == "seconds" else "integer"),
+                "")
+    if tag == "dtcombine":
+        return (KIND_LITERAL, XSD_NS + "dateTime", "")
+    if tag == "adjtz":
+        return (KIND_LITERAL, XSD_NS + node[1], "")
     if tag in _BOOL_EXPR_TAGS:
         # BIND of a boolean expression yields an xsd:boolean value
         # (EBV of the bound var then follows boolean, not string, rules)
@@ -4391,6 +4732,265 @@ def _expr_static_meta(node):
             return (KIND_LITERAL, CDT_MAP, "")
         return None  # get/head: element type is dynamic
     return None
+
+
+def _eval_mathfn(node, t: pa.Table):
+    """("mathfn", name, [args]) — vectorized math kernels over the
+    numeric context (XPath math: §4.8 / leviathan). All results are
+    float64 (xsd:double); domain errors follow IEEE (NaN/Inf), argument
+    type errors are null (expression error)."""
+    import math as _m
+
+    name, args = node[1], node[2]
+
+    def num(i):
+        v = _eval_num(args[i], t)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * t.num_rows, pa.float64())
+        return v.cast(pa.float64())
+
+    if name == "rnd":
+        import random
+
+        lo, hi = 0.0, 1.0
+        if len(args) == 1:
+            hi = float(args[0][1]) if args[0][0] == "num" else 1.0
+        elif len(args) == 2:
+            lo = float(args[0][1]) if args[0][0] == "num" else 0.0
+            hi = float(args[1][1]) if args[1][0] == "num" else 1.0
+        return pa.array(
+            [lo + random.random() * (hi - lo) for _ in range(t.num_rows)],
+            pa.float64())
+    if name in _MATH1 or name in ("deg2rad", "rad2deg", "reciprocal",
+                                  "factorial", "sec", "cosec", "cot",
+                                  "sec1", "cosec1", "cot1", "rhte"):
+        x = num(0)
+        if name == "exp":
+            return pc.exp(x)
+        if name == "exp10":
+            return pc.power(pa.scalar(10.0, pa.float64()), x)
+        if name == "log":
+            return pc.ln(x)
+        if name == "log10":
+            return pc.log10(x)
+        if name == "sqrt":
+            return pc.sqrt(x)
+        if name in ("sin", "cos", "tan", "asin", "acos", "atan"):
+            return getattr(pc, name)(x)
+        if name == "deg2rad":
+            return pc.multiply(x, pa.scalar(_m.pi / 180.0, pa.float64()))
+        if name == "rad2deg":
+            return pc.multiply(x, pa.scalar(180.0 / _m.pi, pa.float64()))
+        if name == "reciprocal":
+            return pc.divide(pa.scalar(1.0, pa.float64()), x)
+        if name == "sec":
+            return pc.divide(pa.scalar(1.0, pa.float64()), pc.cos(x))
+        if name == "cosec":
+            return pc.divide(pa.scalar(1.0, pa.float64()), pc.sin(x))
+        if name == "cot":
+            return pc.divide(pc.cos(x), pc.sin(x))
+        if name == "sec1":  # sec1.java: acos(1/x)
+            return pc.acos(pc.divide(pa.scalar(1.0, pa.float64()), x))
+        if name == "cosec1":
+            return pc.asin(pc.divide(pa.scalar(1.0, pa.float64()), x))
+        if name == "cot1":
+            return pc.atan(pc.divide(pa.scalar(1.0, pa.float64()), x))
+        if name == "rhte":  # fn:round-half-to-even
+            prec = int(args[1][1]) if len(args) > 1 else 0
+            return pc.round(x, prec, round_mode="half_to_even")
+        # factorial.java: integer factorial; non-integral → error (null)
+        out = []
+        for v in x.to_pylist():
+            if v is None or v != int(v) or v < 0 or v > 170:
+                out.append(None)
+            else:
+                out.append(float(_m.factorial(int(v))))
+        return pa.array(out, pa.float64())
+    a, b = num(0), num(1)
+    if name == "pow":
+        return pc.power(a, b)
+    if name == "atan2":
+        return pc.atan2(a, b)
+    if name == "logb":  # leviathan log(x, base)
+        return pc.divide(pc.log10(a), pc.log10(b))
+    if name == "root":  # root.java: a ** (1/b)
+        return pc.power(a, pc.divide(pa.scalar(1.0, pa.float64()), b))
+    if name == "pythagoras":
+        return pc.sqrt(pc.add(pc.multiply(a, a), pc.multiply(b, b)))
+    if name == "mod":
+        # op:numeric-mod: result sign follows the dividend (fmod); a
+        # zero divisor is an expression error
+        import numpy as _np
+
+        an = a.to_numpy(zero_copy_only=False)
+        bn = b.to_numpy(zero_copy_only=False)
+        with _np.errstate(all="ignore"):
+            r = _np.fmod(an, bn)
+        mask = _np.isnan(an) | _np.isnan(bn) | (bn == 0)
+        return pa.array(_np.where(mask, _np.nan, r), pa.float64(),
+                        mask=mask)
+    if name == "idiv":
+        # op:numeric-integer-divide: truncate toward zero; zero divisor
+        # is an expression error
+        import numpy as _np
+
+        an = a.to_numpy(zero_copy_only=False)
+        bn = b.to_numpy(zero_copy_only=False)
+        with _np.errstate(all="ignore"):
+            r = _np.trunc(an / bn)
+        mask = _np.isnan(an) | _np.isnan(bn) | (bn == 0)
+        return pa.array(_np.where(mask, _np.nan, r), pa.float64(),
+                        mask=mask)
+    if name == "cartesian":
+        if len(args) == 4:
+            dx = pc.subtract(a, num(2))
+            dy = pc.subtract(b, num(3))
+            return pc.sqrt(pc.add(pc.multiply(dx, dx),
+                                  pc.multiply(dy, dy)))
+        dx = pc.subtract(a, num(3))
+        dy = pc.subtract(b, num(4))
+        dz = pc.subtract(num(2), num(5))
+        return pc.sqrt(pc.add(pc.add(pc.multiply(dx, dx),
+                                     pc.multiply(dy, dy)),
+                              pc.multiply(dz, dz)))
+    raise RDFParseError(f"SPARQL: unknown mathfn {name}")
+
+
+_DUR_RE = re.compile(
+    r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+
+
+def _eval_durfn(node, t: pa.Table):
+    """("durfn", component, e) — XPath duration component accessors
+    (FN_YearsFromDuration.java et al.): components are NORMALIZED
+    (hours-from-duration("PT36H") = 12) and all carry the duration's
+    sign. seconds returns decimal, the rest integers (float64 here;
+    the meta stamp picks the datatype)."""
+    comp = node[1]
+    arr = _to_lexical(_eval_value(node[2], t), t.num_rows)
+    if isinstance(arr, pa.Scalar):
+        arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+    out = []
+    for s in arr.to_pylist():
+        m = _DUR_RE.match(s) if s is not None else None
+        if m is None or not any(m.group(i) for i in range(2, 8)):
+            out.append(None)
+            continue
+        neg = -1 if m.group(1) else 1
+        months = int(m.group(2) or 0) * 12 + int(m.group(3) or 0)
+        secs = (int(m.group(4) or 0) * 86400 + int(m.group(5) or 0) * 3600
+                + int(m.group(6) or 0) * 60 + float(m.group(7) or 0))
+        if comp == "years":
+            out.append(neg * (months // 12))
+        elif comp == "months":
+            out.append(neg * (months % 12))
+        elif comp == "days":
+            out.append(neg * int(secs // 86400))
+        elif comp == "hours":
+            out.append(neg * int(secs % 86400 // 3600))
+        elif comp == "minutes":
+            out.append(neg * int(secs % 3600 // 60))
+        else:  # seconds
+            out.append(neg * (secs % 60))
+    return pa.array(out, pa.float64())
+
+
+def _eval_dtcombine(node, t: pa.Table):
+    """("dtcombine", date, time) — fn:dateTime (FN_DateTime.java): join
+    the date and time lexicals; the date's timezone wins when the time
+    has none, mismatched explicit timezones are an error."""
+    n = t.num_rows
+    d = _to_lexical(_eval_value(node[1], t), n)
+    tm = _to_lexical(_eval_value(node[2], t), n)
+    if isinstance(d, pa.Scalar):
+        d = pa.array([d.as_py()] * n, pa.large_string())
+    if isinstance(tm, pa.Scalar):
+        tm = pa.array([tm.as_py()] * n, pa.large_string())
+    tz_re = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+    out = []
+    for dv, tv in zip(d.to_pylist(), tm.to_pylist()):
+        if dv is None or tv is None:
+            out.append(None)
+            continue
+        mdz = tz_re.search(dv)
+        mtz = tz_re.search(tv)
+        dz = mdz.group(1) if mdz else None
+        tzs = mtz.group(1) if mtz else None
+        if dz and tzs and dz != tzs:
+            out.append(None)
+            continue
+        date_part = dv[:mdz.start()] if mdz else dv
+        out.append(date_part + "T" + (tv if tzs else tv + (dz or "")))
+    return pa.array(out, pa.large_string())
+
+
+def _eval_adjtz(node, t: pa.Table):
+    """("adjtz", kind, e, tz) — fn:adjust-*-to-timezone
+    (FN_AdjustDatetimeToTimezone.java): shift a zoned value to the
+    target zone; stamp a zone-less value with it. tz=None means the
+    implicit timezone (UTC for this engine)."""
+    from datetime import datetime, timedelta, timezone as _tzmod
+
+    kind, tzlex = node[1], node[3]
+    if tzlex is None:
+        delta = timedelta(0)
+    else:
+        m = _DUR_RE.match(tzlex)
+        if m is None:
+            return pa.nulls(t.num_rows, pa.large_string())
+        sign = -1 if m.group(1) else 1
+        delta = sign * timedelta(
+            hours=int(m.group(5) or 0), minutes=int(m.group(6) or 0))
+    tzinfo = _tzmod(delta)
+
+    def _suffix(d: datetime) -> str:
+        secs = int(d.utcoffset().total_seconds())
+        if secs == 0:
+            return "Z"
+        sign = "-" if secs < 0 else "+"
+        secs = abs(secs)
+        return f"{sign}{secs // 3600:02d}:{(secs % 3600) // 60:02d}"
+
+    tz_re = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+    arr = _to_lexical(_eval_value(node[2], t), t.num_rows)
+    if isinstance(arr, pa.Scalar):
+        arr = pa.array([arr.as_py()] * t.num_rows, pa.large_string())
+    out = []
+    for s in arr.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        m = tz_re.search(s)
+        stz = m.group(1) if m else None
+        core = s[:m.start()] if m else s
+        if kind == "time":
+            core = "2000-01-01T" + core
+        elif kind == "date":
+            core = core + "T00:00:00"
+        if stz:
+            core += "+00:00" if stz == "Z" else stz
+        try:
+            d = datetime.fromisoformat(core)
+        except (ValueError, TypeError):
+            out.append(None)
+            continue
+        d = d.replace(tzinfo=tzinfo) if d.tzinfo is None \
+            else d.astimezone(tzinfo)
+        suffix = _suffix(d)
+        iso = d.isoformat()
+        if kind == "date":
+            out.append(iso[:10] + suffix)
+        elif kind == "time":
+            sec_part = iso[11:19] + (iso[19:].split("+")[0].split("-")[0]
+                                     if "." in iso[19:] else "")
+            out.append(sec_part + suffix)
+        else:
+            naive = d.replace(tzinfo=None).isoformat()
+            out.append(naive + suffix)
+    return pa.array(out, pa.large_string())
 
 
 def _eval_bool(node, t: pa.Table):

@@ -1945,6 +1945,67 @@ FROM customer WHERE c_name LIKE '%1'
 """
 
 
+def _size_triples(sf_dir: str):
+    """part → (s_lex='p:<key>', p='size', o_lex=p_size) triple table for
+    the math-function front-door queries (integer lexicals, exact)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.scalar("p:", pa.large_string()),
+            pc.cast(t["p_partkey"], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        return pa.table(
+            {"s_lex": s,
+             "p": pa.array(["size"] * t.num_rows, pa.large_string()),
+             "o_lex": pc.cast(t["p_size"], pa.large_string())}
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_sparql_math_funcs(sf_dir: str):
+    """The XPath math: library + fn: numeric operators through the front
+    door (StandardFunctions.java loadStdDefs: Math_pow/Math_log10/
+    Math_atan2/sqrt, Op_NumericMod, Op_NumericIntegerDivide,
+    FN_Round_Half_Even) — all vectorized pyarrow.compute kernels.
+    Irrational results are scaled+banker's-rounded to integers so the
+    lexical forms compare exactly against the SQL oracle."""
+    from ..ops.sparql import sparql_select
+
+    return sparql_select(
+        _size_triples(sf_dir),
+        """
+        PREFIX math: <http://www.w3.org/2005/xpath-functions/math#>
+        PREFIX fn: <http://www.w3.org/2005/xpath-functions#>
+        SELECT ?s (math:pow(?n, 2) AS ?sq)
+               (fn:round-half-to-even(math:sqrt(?n) * 1000) AS ?rt)
+               (fn:round-half-to-even(math:log10(?n) * 1000) AS ?lg)
+               (fn:round-half-to-even(math:atan2(?n, 7) * 1000) AS ?at)
+               (fn:numeric-mod(?n, 7) AS ?md)
+               (fn:numeric-integer-divide(?n, 7) AS ?dv)
+        WHERE { ?s <size> ?n . FILTER(?n > 0) }
+        """,
+    )
+
+
+SQL_SPARQL_MATH_FUNCS = """
+SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS s,
+       CAST(CAST(p_size AS BIGINT) * p_size AS VARCHAR) AS sq,
+       CAST(CAST(round_even(sqrt(p_size) * 1000, 0) AS BIGINT) AS VARCHAR)
+         AS rt,
+       CAST(CAST(round_even(log10(p_size) * 1000, 0) AS BIGINT) AS VARCHAR)
+         AS lg,
+       CAST(CAST(round_even(atan2(p_size, 7) * 1000, 0) AS BIGINT)
+            AS VARCHAR) AS at,
+       CAST(p_size % 7 AS VARCHAR) AS md,
+       CAST(p_size // 7 AS VARCHAR) AS dv
+FROM part WHERE p_size > 0
+"""
+
+
 def q_sparql_group_concat(sf_dir: str):
     """GROUP_CONCAT + COUNT(DISTINCT) aggregates through the text
     front-end (AggGroupConcat / AggCountVarDistinct), both as distributed
@@ -2754,6 +2815,7 @@ REGISTRY: dict[str, tuple] = {
     "sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
     "sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),
     "sparql_expr_funcs": (q_sparql_expr_funcs, SQL_SPARQL_EXPR_FUNCS),
+    "sparql_math_funcs": (q_sparql_math_funcs, SQL_SPARQL_MATH_FUNCS),
     "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
     "shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
     "sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
@@ -2781,7 +2843,7 @@ REGISTRY: dict[str, tuple] = {
 _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
-    "sparql_agg_distinct",
+    "sparql_agg_distinct", "sparql_math_funcs",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
