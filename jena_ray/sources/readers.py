@@ -35,7 +35,20 @@ _EXT_TO_LANG = {
     # N3 is treated as Turtle, exactly like the reference
     # (RDFLanguages.java:86 "N3 (treat as Turtle)")
     ".n3": "turtle",
+    # binary encodings (RDFLanguages.java:142,148)
+    ".rt": "rdfthrift",
+    ".trdf": "rdfthrift",
+    ".rpb": "rdfprotobuf",
+    ".pbrdf": "rdfprotobuf",
 }
+
+# Formats parsed from raw bytes, not decoded text. Their blank-node
+# labels are used DIRECTLY (no per-file scope hash): the reference's
+# binary converters build nodes straight from the wire label
+# (ThriftConvert.java convert bnode branch — createBlankNode(label);
+# ProtobufConvert likewise), so machine-written labels survive a
+# write→read round trip byte-exactly.
+_BINARY_LANGS = {"rdfthrift", "rdfprotobuf"}
 
 
 def lang_for_path(path: str) -> str | None:
@@ -72,6 +85,20 @@ def parse_rdf_text(
     raise RDFParseError(f"unknown RDF language: {lang!r}")
 
 
+def parse_rdf_bytes(data: bytes, lang: str, on_error: str = "raise") -> list[tuple]:
+    """Binary-encoded RDF (no text decode, no base resolution — the wire
+    formats carry absolute IRIs only)."""
+    if lang == "rdfthrift":
+        from ..rdf.thrift import parse_thrift
+
+        return parse_thrift(data, on_error=on_error)
+    if lang == "rdfprotobuf":
+        from ..rdf.protobuf import parse_protobuf
+
+        return parse_protobuf(data, on_error=on_error)
+    raise RDFParseError(f"unknown binary RDF language: {lang!r}")
+
+
 def _parse_files_batch(
     batch: pa.Table, run_seed: str, on_error: str
 ) -> pa.Table:
@@ -82,6 +109,12 @@ def _parse_files_batch(
             if on_error == "skip":
                 continue
             raise RDFParseError(f"cannot determine RDF language of {path}")
+        if lang in _BINARY_LANGS:
+            triples = parse_rdf_bytes(bytes(data), lang, on_error=on_error)
+            for row in triples:
+                for name, val in zip(TRIPLE_SCHEMA.names, row + (path,)):
+                    cols[name].append(val)
+            continue
         text = bytes(data).decode("utf-8", errors="strict" if on_error == "raise" else "replace")
         base = "file://" + path
         triples = parse_rdf_text(text, lang, base=base, on_error=on_error)

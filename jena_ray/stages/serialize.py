@@ -238,3 +238,92 @@ def write_results(ds, out_dir: str, fmt: str = "csv"):
     else:
         raise ValueError(f"unknown result format: {fmt!r}")
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Binary RDF sinks (RDF Thrift / RDF Protobuf). Both wire formats are
+# concatenable — every stream row is self-delimiting and the writers never
+# emit cross-row prefix state — so one fragment per block, written in any
+# order into a part-file directory, is a valid distributed serialization
+# (the reference streams one file through StreamRDF2Thrift.java /
+# StreamRDF2Protobuf.java; the fragment property is what makes the same
+# encoding distributable).
+
+
+def _batch_triple_rows(batch: pa.Table):
+    cols = [
+        batch[n].to_pylist()
+        for n in (
+            "s_kind", "s_lex", "p", "o_kind", "o_lex",
+            "o_datatype", "o_lang", "g",
+        )
+    ]
+    return zip(*cols)
+
+
+def format_thrift_batch(batch: pa.Table, values: bool = False) -> pa.Table:
+    from ..rdf.thrift import write_thrift_rows
+
+    frag = write_thrift_rows(_batch_triple_rows(batch), values=values)
+    return pa.table({"data": pa.array([frag], pa.large_binary())})
+
+
+def format_protobuf_batch(batch: pa.Table, values: bool = False) -> pa.Table:
+    from ..rdf.protobuf import write_protobuf_rows
+
+    frag = write_protobuf_rows(_batch_triple_rows(batch), values=values)
+    return pa.table({"data": pa.array([frag], pa.large_binary())})
+
+
+def write_rdf_binary(
+    triples_ds, out_dir: str, fmt: str = "rdfthrift", *, values: bool = False
+):
+    """Streaming binary sink: one wire fragment per block, stored as
+    single-column binary parquet part-files (same deployment note as
+    write_ntriples — swap for raw-file storage outside the sandbox).
+    ``values=True`` selects the value-form encodings
+    (RDFFormat.RDF_THRIFT_VALUES / RDF_PROTO_VALUES)."""
+    fn = {
+        "rdfthrift": format_thrift_batch,
+        "rdfprotobuf": format_protobuf_batch,
+    }.get(fmt)
+    if fn is None:
+        raise ValueError(f"unknown binary RDF format: {fmt!r}")
+    triples_ds.map_batches(
+        fn, batch_format="pyarrow", fn_kwargs={"values": values}
+    ).write_parquet(out_dir)
+    return out_dir
+
+
+def results_binary(ds, fmt: str = "srt") -> bytes:
+    """SPARQL result set in the Thrift ("srt") / Protobuf ("srp") binary
+    encodings (Binding2Thrift.java / Binding2Protobuf.java). Driver-
+    assembled like results_tsv — result sets are query outputs."""
+    from ..model import KIND_LITERAL
+
+    variables: list[str] | None = None
+    rows: list[list] = []
+    for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        if variables is None:
+            variables = _binding_vars(t.schema.names)
+        for row in _row_terms(t, variables):
+            terms = []
+            for v in variables:
+                lex, kind, dt, lang = row[v]
+                if lex is None:
+                    terms.append(None)  # unbound → RDF_UNDEF
+                else:
+                    terms.append(
+                        (KIND_LITERAL if kind is None else kind, str(lex), dt, lang)
+                    )
+            rows.append(terms)
+    variables = variables or []
+    if fmt == "srt":
+        from ..rdf.thrift import write_thrift_results
+
+        return write_thrift_results(variables, rows)
+    if fmt == "srp":
+        from ..rdf.protobuf import write_protobuf_results
+
+        return write_protobuf_results(variables, rows)
+    raise ValueError(f"unknown binary result format: {fmt!r}")
