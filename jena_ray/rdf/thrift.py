@@ -750,9 +750,156 @@ def _read_result_term(r: _Reader):
     return term
 
 
+# ---------------------------------------------------------------------------
+# RDF Patch binary rows (RDF_Patch_Row union — BinaryRDF.thrift:158-165;
+# stream framing identical to graph streams: struct after struct over the
+# compact protocol, RDFPatchReaderBinary.java:118-160 /
+# RDFChangesWriterBinary.java:94-190). Ops use the SAME codes/payloads as
+# the text parser (state/patch.parse_patch_ops), so the transaction
+# replay and effective-set logic is shared.
+
+_PATCH_TXN = {0: "TX", 1: "TC", 2: "TA", 3: "Z"}  # enum PatchTxn
+_PATCH_TXN_INV = {v: k for k, v in _PATCH_TXN.items()}
+
+
+def _graph_str(term) -> str:
+    if term is None:
+        return ""
+    if term[0] == KIND_IRI:
+        return term[1]
+    if term[0] == KIND_BNODE:
+        return "_:" + term[1]
+    raise RDFParseError("RDF Patch: bad graph node kind")
+
+
+def _graph_term(g: str):
+    if not g:
+        return None
+    if g.startswith("_:"):
+        return (KIND_BNODE, g[2:], "", "")
+    return (KIND_IRI, g, "", "")
+
+
+def parse_patch_thrift(data: bytes) -> list[tuple]:
+    """Binary patch bytes → ordered [(code, payload), ...] with the text
+    parser's op shapes: A/D → term 8-tuple, PA → (graph, prefix, uri),
+    PD → (graph, prefix), H → (field, raw term text), TX/TC/TA/Z → None."""
+    from .ntriples import format_term_raw
+
+    r = _Reader(data)
+    ops: list[tuple] = []
+    while not r.at_eof():
+        for fid, ftype in _read_fields(r):
+            if fid == 1 and ftype == CT_STRUCT:  # header
+                name, val = "", None
+                for f2, t2 in _read_fields(r):
+                    if f2 == 1 and t2 == CT_BINARY:
+                        name = r.string()
+                    elif f2 == 2 and t2 == CT_STRUCT:
+                        val = _read_term(r, {})
+                    else:
+                        r.skip(t2)
+                if val is None:
+                    raise RDFParseError("RDF Patch: header without value")
+                ops.append(("H", (name, format_term_raw(*val))))
+            elif fid in (2, 3) and ftype == CT_STRUCT:  # dataAdd / dataDel
+                s, p, o, g = _read_quad_parts(r, {})
+                ops.append(("A" if fid == 2 else "D", _positional(s, p, o, g)))
+            elif fid == 4 and ftype == CT_STRUCT:  # prefixAdd
+                gterm, prefix, uri = None, "", ""
+                for f2, t2 in _read_fields(r):
+                    if f2 == 1 and t2 == CT_STRUCT:
+                        gterm = _read_term(r, {})
+                    elif f2 == 2 and t2 == CT_BINARY:
+                        prefix = r.string()
+                    elif f2 == 3 and t2 == CT_BINARY:
+                        uri = r.string()
+                    else:
+                        r.skip(t2)
+                ops.append(("PA", (_graph_str(gterm), prefix, uri)))
+            elif fid == 5 and ftype == CT_STRUCT:  # prefixDel
+                gterm, prefix = None, ""
+                for f2, t2 in _read_fields(r):
+                    if f2 == 1 and t2 == CT_STRUCT:
+                        gterm = _read_term(r, {})
+                    elif f2 == 2 and t2 == CT_BINARY:
+                        prefix = r.string()
+                    else:
+                        r.skip(t2)
+                ops.append(("PD", (_graph_str(gterm), prefix)))
+            elif fid == 6 and ftype == CT_I32:  # txn enum
+                code = _PATCH_TXN.get(r.zz())
+                if code is None:
+                    raise RDFParseError("RDF Patch: unknown PatchTxn value")
+                ops.append((code, None))
+            else:
+                r.skip(ftype)
+    return ops
+
+
+def write_patch_thrift(ops) -> bytes:
+    """Ordered (code, payload) ops → binary patch bytes (fragments
+    concatenate, like graph streams). H payloads accept the text
+    parser's raw term text or a (kind, lex, dt, lang) tuple."""
+    from .tripleterm import _comp
+
+    w = _Writer()
+    for code, payload in ops:
+        if code == "H":
+            name, val = payload
+            if isinstance(val, str):
+                val, _pos = _comp(val, 0, "object")
+            w.field(1, CT_STRUCT, 0)
+            f = w.field(1, CT_BINARY, 0)
+            w.string(name)
+            _write_term(w, 2, f, val, values=False)
+            w.stop()
+        elif code in ("A", "D"):
+            (s_kind, s_lex, p, o_kind, o_lex, o_dt, o_lang, g) = payload
+            w.field(2 if code == "A" else 3, CT_STRUCT, 0)
+            f = _write_term(w, 1, 0, (s_kind, s_lex, "", ""), values=False)
+            f = _write_term(w, 2, f, (KIND_IRI, p, "", ""), values=False)
+            f = _write_term(w, 3, f, (o_kind, o_lex, o_dt, o_lang), values=False)
+            gt = _graph_term(g)
+            if gt is not None:
+                _write_term(w, 4, f, gt, values=False)
+            w.stop()
+        elif code == "PA":
+            g, prefix, uri = payload
+            w.field(4, CT_STRUCT, 0)
+            f = 0
+            gt = _graph_term(g)
+            if gt is not None:
+                f = _write_term(w, 1, 0, gt, values=False)
+            f = w.field(2, CT_BINARY, f)
+            w.string(prefix)
+            w.field(3, CT_BINARY, f)
+            w.string(uri)
+            w.stop()
+        elif code == "PD":
+            g, prefix = payload
+            w.field(5, CT_STRUCT, 0)
+            f = 0
+            gt = _graph_term(g)
+            if gt is not None:
+                f = _write_term(w, 1, 0, gt, values=False)
+            w.field(2, CT_BINARY, f)
+            w.string(prefix)
+            w.stop()
+        elif code in _PATCH_TXN_INV:
+            w.field(6, CT_I32, 0)
+            w.i_zz(_PATCH_TXN_INV[code])
+        else:
+            raise RDFParseError(f"RDF Patch: unknown op code {code!r}")
+        w.stop()  # RDF_Patch_Row union struct
+    return bytes(w.buf)
+
+
 __all__ = [
     "parse_thrift",
     "write_thrift_rows",
     "parse_thrift_results",
     "write_thrift_results",
+    "parse_patch_thrift",
+    "write_patch_thrift",
 ]

@@ -4,15 +4,22 @@ Parity: jena-rdfpatch (RDFChanges interface, RDFChanges.java:30-120 —
 events A (add) / D (delete) over quads; file log rdfpatch/filelog/).
 SURVEY §4 names this the model for incremental updates of the KG.
 
-A patch is a text log, one operation per line:
+A patch is a text log, one operation per line — the full text grammar of
+the reference (RDFPatchReaderText.java:95-185, codes PatchCodes.java:31-43):
 
-    A <s> <p> <o> .          # add triple (N-Triples term syntax)
-    D <s> <p> <o> .          # delete triple
-    TX / TC                  # transaction begin/commit (ignored: a patch
-                             # file is applied atomically as a whole)
+    H <field> <term> .       # header (e.g. ``H id <uuid:...>``) — metadata
+    A <s> <p> <o> [<g>] .    # add triple/quad (N-Triples term syntax)
+    D <s> <p> <o> [<g>] .    # delete triple/quad
+    PA "pfx" <uri> [<g>] .   # prefix add (dataset prefix-map mutation)
+    PD "pfx" [<g>] .         # prefix delete
+    TX / TB . TC . TA .      # transaction begin / commit / ABORT — ops of
+                             # an aborted transaction are DISCARDED
+                             # (RDFChangesApply.txnAbort → dsg.abort())
+    Z .                      # segment marker (ignored, like segment())
 
-Ops are replayed in FILE ORDER to effective add/delete sets (last op per
-triple wins — sequential RDFChanges semantics), then applied distributed:
+Committed ops are replayed in FILE ORDER to effective add/delete sets
+(last op per triple wins — sequential RDFChanges semantics), then applied
+distributed:
   new = (current ∪ adds) ∖ deletes
 realized as a broadcast of the (small) delete set + union + exact dedup.
 For patch batches large enough to break the broadcast assumption, apply
@@ -21,6 +28,8 @@ in hash-partitioned chunks (the dedup shuffle already partitions).
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 from ..model import TRIPLE_SCHEMA, RDFParseError
@@ -28,32 +37,142 @@ from ..rdf.ntriples import parse_ntriples
 from ..stages.dedup import KEY_COLS, exact_dedup
 
 
-def parse_patch_ops(text: str) -> list[tuple[str, tuple]]:
-    """Patch text → ordered [(op, term-8-tuple), ...] in file order."""
-    ops: list[tuple[str, tuple]] = []
+_PA_RE = re.compile(
+    r'^(?:"(?P<qpfx>[^"]*)"|(?P<wpfx>[A-Za-z0-9_.-]*))\s+'
+    r'(?:<(?P<iri>[^>]*)>|"(?P<qiri>[^"]*)")'
+    r'(?:\s+(?P<g><[^>]*>|_:\S+))?\s*\.\s*$'
+)
+_PD_RE = re.compile(
+    r'^(?:"(?P<qpfx>[^"]*)"|(?P<wpfx>[A-Za-z0-9_.-]*))'
+    r'(?:\s+(?P<g><[^>]*>|_:\S+))?\s*\.\s*$'
+)
+_H_RE = re.compile(r'^(?P<field>\S+)\s+(?P<term>.+?)\s*\.\s*$')
+
+
+def _graph_of(tok: str | None) -> str:
+    if not tok:
+        return ""
+    return tok[1:-1] if tok.startswith("<") else tok
+
+
+def parse_patch_ops(text: str) -> list[tuple[str, tuple | None]]:
+    """Patch text → ordered [(code, payload), ...] in file order.
+    Payloads: A/D → term 8-tuple; PA → (graph, prefix, uri);
+    PD → (graph, prefix); H → (field, raw term text);
+    TX/TC/TA/Z → None."""
+    ops: list[tuple[str, tuple | None]] = []
     for lineno, line in enumerate(text.split("\n"), 1):
         line = line.strip()
-        if not line or line.startswith("#") or line in ("TX .", "TC .", "TX", "TC"):
+        if not line or line.startswith("#"):
             continue
         op, _, rest = line.partition(" ")
+        rest = rest.strip()
         if op in ("A", "D"):
-            ops.extend((op, t) for t in parse_ntriples(rest))
+            ops.extend((op, t) for t in parse_ntriples(rest, quads=True))
+        elif op in ("TX", "TB", "TC", "TA", "Z"):
+            ops.append(("TX" if op == "TB" else op, None))
+        elif op == "PA":
+            m = _PA_RE.match(rest)
+            if not m:
+                raise RDFParseError(f"patch line {lineno}: bad PA line")
+            pfx = m.group("qpfx") if m.group("qpfx") is not None else m.group("wpfx")
+            uri = m.group("iri") if m.group("iri") is not None else m.group("qiri")
+            ops.append(("PA", (_graph_of(m.group("g")), pfx, uri)))
+        elif op == "PD":
+            m = _PD_RE.match(rest)
+            if not m:
+                raise RDFParseError(f"patch line {lineno}: bad PD line")
+            pfx = m.group("qpfx") if m.group("qpfx") is not None else m.group("wpfx")
+            ops.append(("PD", (_graph_of(m.group("g")), pfx)))
+        elif op == "H":
+            m = _H_RE.match(rest)
+            if not m:
+                raise RDFParseError(f"patch line {lineno}: bad header line")
+            ops.append(("H", (m.group("field"), m.group("term"))))
         else:
             raise RDFParseError(f"patch line {lineno}: unknown op {op!r}")
     return ops
 
 
-def parse_patch(text: str) -> tuple[list[tuple], list[tuple]]:
-    """Patch text → EFFECTIVE (adds, deletes): ops are replayed in file
-    order and the LAST op per triple key wins (jena-rdfpatch RDFChanges is
-    sequential — 'D t' then 'A t' must leave t present; ADVICE r1 #5), so
-    the effective sets are disjoint and set algebra applies cleanly."""
+def _ops_of(src) -> list[tuple[str, tuple | None]]:
+    """Text or binary (Thrift, RDFChangesWriterBinary framing) patch →
+    the shared op list."""
+    if isinstance(src, (bytes, bytearray)):
+        from ..rdf.thrift import parse_patch_thrift
+
+        return parse_patch_thrift(bytes(src))
+    return parse_patch_ops(src)
+
+
+def _committed_ops(text) -> list[tuple[str, tuple | None]]:
+    """Replay transaction markers: ops inside TX..TA are discarded, ops
+    inside TX..TC (and outside any transaction) survive."""
+    kept: list[tuple[str, tuple | None]] = []
+    buffer: list[tuple[str, tuple | None]] | None = None
+    for code, payload in _ops_of(text):
+        if code == "TX":
+            buffer = []
+        elif code == "TC":
+            if buffer is not None:
+                kept.extend(buffer)
+            buffer = None
+        elif code == "TA":
+            buffer = None
+        elif code == "Z":
+            continue
+        elif buffer is not None:
+            buffer.append((code, payload))
+        else:
+            kept.append((code, payload))
+    if buffer is not None:
+        # dangling TX without TC/TA: the reference's reader aborts the
+        # sink transaction on stream end (apply1 catch) — discard
+        buffer = None
+    return kept
+
+
+def patch_header(text) -> dict[str, str]:
+    """Leading H lines → {field: raw term text} (PatchHeader,
+    RDFPatchReaderText.readerHeader — stops at the first non-H code).
+    Accepts text or binary patches."""
+    header: dict[str, str] = {}
+    for code, payload in _ops_of(text):
+        if code != "H":
+            break
+        header[payload[0]] = payload[1]
+    return header
+
+
+def parse_patch(text) -> tuple[list[tuple], list[tuple]]:
+    """Patch (text or binary) → EFFECTIVE (adds, deletes): committed ops are replayed
+    in file order and the LAST op per triple key wins (jena-rdfpatch
+    RDFChanges is sequential — 'D t' then 'A t' must leave t present;
+    ADVICE r1 #5), so the effective sets are disjoint and set algebra
+    applies cleanly. Header/prefix ops don't touch the triple sets."""
     last: dict[tuple, tuple[str, tuple]] = {}
-    for op, t in parse_patch_ops(text):
-        last[tuple(t[:8])] = (op, t)
+    for op, t in _committed_ops(text):
+        if op in ("A", "D"):
+            last[tuple(t[:8])] = (op, t)
     adds = [t for op, t in last.values() if op == "A"]
     deletes = [t for op, t in last.values() if op == "D"]
     return adds, deletes
+
+
+def patch_prefixes(
+    text: str, prefixes: dict[tuple[str, str], str] | None = None
+) -> dict[tuple[str, str], str]:
+    """Replay committed PA/PD ops over a {(graph, prefix): uri} map
+    (RDFChangesApply.addPrefix/deletePrefix — per-graph prefix maps;
+    graph "" = default graph)."""
+    pmap = dict(prefixes or {})
+    for op, payload in _committed_ops(text):
+        if op == "PA":
+            g, pfx, uri = payload
+            pmap[(g, pfx)] = uri
+        elif op == "PD":
+            g, pfx = payload
+            pmap.pop((g, pfx), None)
+    return pmap
 
 
 def _to_table(tuples: list[tuple], doc_id: str) -> pa.Table:
@@ -77,7 +196,7 @@ def _key_of_row(t: tuple) -> tuple:
     return tuple(t[:8])
 
 
-def apply_patch(triples_ds, patch_text: str, *, patch_id: str = "patch"):
+def apply_patch(triples_ds, patch_text, *, patch_id: str = "patch"):
     """(current ∪ adds) ∖ deletes, deduplicated. Returns a new Dataset."""
     import ray
     import ray.data as rd

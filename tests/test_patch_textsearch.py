@@ -93,3 +93,80 @@ def test_patch_ops_apply_in_file_order():
     assert out.count() == 1
     out2 = apply_patch(empty, f"A {t}\nD {t}\n")
     assert out2.count() == 0
+
+
+def test_patch_reference_syntax_fixture():
+    """The reference's own text-syntax fixture parses: headers, prefix
+    add/delete (incl. the empty prefix), quads, one transaction
+    (jena-rdfpatch/testing/files/syntax-1.rdfp)."""
+    from jena_ray.state.patch import parse_patch, patch_header, patch_prefixes
+
+    text = open("/root/reference/jena-rdfpatch/testing/files/syntax-1.rdfp").read()
+    header = patch_header(text)
+    assert header == {"id": "<uuid:bbe2edae-325e-11ec-abcc-a70bbba0dfb1>"}
+    adds, deletes = parse_patch(text)
+    # A then D of the same quad → net delete
+    assert not adds and len(deletes) == 1
+    assert deletes[0][7] == "http://example/g"  # graph slot of the quad
+    # PA ex → PD ex → PA "" → PD "" nets out to an empty map
+    assert patch_prefixes(text) == {}
+
+
+def test_patch_transaction_abort_discards():
+    """Ops inside TX..TA are discarded (RDFChangesApply.txnAbort);
+    committed and top-level ops survive."""
+    from jena_ray.state.patch import parse_patch, patch_prefixes
+
+    text = """
+A <http://e/top> <http://e/p> "kept" .
+TX .
+A <http://e/s1> <http://e/p> "gone" .
+PA "x" <http://e/x#> .
+TA .
+TX .
+A <http://e/s2> <http://e/p> "kept2" .
+PA "y" <http://e/y#> .
+TC .
+Z .
+TB .
+A <http://e/s3> <http://e/p> "dangling" .
+"""
+    adds, deletes = parse_patch(text)
+    assert {t[1] for t in adds} == {"http://e/top", "http://e/s2"}
+    assert not deletes
+    assert patch_prefixes(text) == {("", "y"): "http://e/y#"}
+
+
+def test_patch_binary_roundtrip():
+    """Binary (Thrift) patch rows carry the same ops as the text form:
+    text-parse → binary-write → binary-parse is identity, and the
+    effective-set / header / prefix functions accept bytes directly."""
+    from jena_ray.rdf.thrift import parse_patch_thrift, write_patch_thrift
+    from jena_ray.state.patch import (
+        parse_patch,
+        parse_patch_ops,
+        patch_header,
+        patch_prefixes,
+    )
+
+    text = open("/root/reference/jena-rdfpatch/testing/files/syntax-1.rdfp").read()
+    ops = parse_patch_ops(text)
+    data = write_patch_thrift(ops)
+    assert parse_patch_thrift(data) == ops
+    # fragments concatenate
+    assert b"".join(write_patch_thrift([op]) for op in ops) == data
+    # the bytes overloads agree with the text ones
+    assert parse_patch(data) == parse_patch(text)
+    assert patch_header(data) == patch_header(text)
+    assert patch_prefixes(data) == patch_prefixes(text)
+
+
+def test_patch_prefix_graph_scoped():
+    from jena_ray.state.patch import patch_prefixes
+
+    text = 'PA "ex" <http://e/> <http://e/g> .\nPA "ex" "http://other/" .\n'
+    pmap = patch_prefixes(text)
+    assert pmap == {
+        ("http://e/g", "ex"): "http://e/",
+        ("", "ex"): "http://other/",
+    }
