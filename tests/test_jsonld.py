@@ -109,3 +109,45 @@ def test_remote_context_rejected():
 def test_bad_json():
     with pytest.raises(RDFParseError):
         parse_jsonld("{not json")
+
+
+# --- RIOT vendored corpora (jena-arq/testing/RIOT/jsonld{,11}) -----------
+
+RIOT = "/root/reference/jena-arq/testing/RIOT"
+
+
+@pytest.mark.parametrize("name,golden,gparse", [
+    ("graph1", "graph1.ttl", "turtle"),
+    ("graph2", "graph2.ttl", "turtle"),
+    ("dataset1", "dataset1.trig", "trig"),
+])
+def test_riot_jsonld_goldens(name, golden, gparse):
+    """The reference's RIOT JSON-LD documents parse graph-isomorphic to
+    their Turtle/TriG goldens (TestJsonLDReader fixtures)."""
+    from jena_ray.rdf.iso import graph_iso
+    from jena_ray.rdf.turtle import parse_trig, parse_turtle
+
+    doc = open(f"{RIOT}/jsonld/{name}.jsonld").read()
+    got = parse_jsonld(doc)
+    gold_text = open(f"{RIOT}/jsonld/{golden}").read()
+    want = parse_turtle(gold_text) if gparse == "turtle" else parse_trig(gold_text)
+    assert graph_iso(sorted(got), sorted(want))
+
+
+def test_riot_jsonld11_docs():
+    """JSON-LD 1.1 sample docs (@version 1.1, @vocab, typed term maps,
+    array-of-contexts)."""
+    doc1 = open(f"{RIOT}/jsonld11/doc-1.jsonld11").read()
+    out = parse_jsonld(doc1)
+    assert out == [
+        (KIND_IRI, "http://example/s", "http://example/p",
+         KIND_LITERAL, "123", XSD_NS + "integer", "", "")
+    ]
+    for name, want_o in (
+        ("doc-2", "http://twitter.com/"),
+        ("doc-3", "http://twitter.com/picture"),  # chained contexts
+    ):
+        (t,) = parse_jsonld(open(f"{RIOT}/jsonld11/{name}.jsonld11").read())
+        assert t[0] == KIND_BNODE
+        assert t[2] == "http://xmlns.com/foaf/0.1/depication"
+        assert t[4] == want_o
