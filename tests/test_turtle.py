@@ -146,3 +146,19 @@ ex:s ex:p [ ex:q (1 2 [ ex:r true ]) ] ."""
 
 def test_skip_mode():
     assert parse_turtle("this is not turtle", on_error="skip") == []
+
+
+@pytest.mark.parametrize("i", ["01", "02", "03"])
+def test_riot_turtle2_stress(i):
+    """RIOT Lang/Turtle2 stress fixtures: 10k statements / one 10k-object
+    list / one 10k-item predicateObjectList (the reference uses these to
+    exceed the default Bison stack; here they pin the tokenizer and the
+    non-recursive list handling at depth)."""
+    from jena_ray.rdf.ntriples import parse_ntriples
+    from jena_ray.rdf.turtle import parse_turtle
+
+    base = "/root/reference/jena-arq/testing/RIOT/Lang/Turtle2/turtle-eval-extra-"
+    got = parse_turtle(open(base + i + ".ttl").read())
+    want = parse_ntriples(open(base + i + ".nt").read())
+    assert len(got) == 10000
+    assert set(got) == set(want)
