@@ -6,12 +6,21 @@ real-world documents, without remote-context fetching (the sandbox has no
 network; remote @context URLs raise):
 
 - @context: term→IRI strings, prefix definitions, expanded term defs
-  ({"@id", "@type": coercion / "@id", "@container": "@list"/"@set"},
-  @vocab, @base, @language)
+  ({"@id", "@type": coercion / "@id" / "@json", "@container":
+  @list/@set/@index/@language/@id/@type, "@reverse", term-scoped
+  "@context"}, @vocab, @base, @language)
 - node objects: @id (IRI or _:bnode), @type, nested nodes (fresh bnodes),
-  node references, arrays, @graph (top-level and named)
-- value objects: @value with @type / @language
-- @list containers → rdf:first/rest chains
+  node references, arrays, @graph (top-level and named), @reverse,
+  @included, @nest
+- value objects: @value with @type / @language; @json literals
+  (rdf:JSON, canonical sorted-key lexical)
+- @list containers → rdf:first/rest chains; language maps → tagged
+  literals (@none key = untagged); index maps drop the index key;
+  id/type maps inject the key as @id / an extra @type
+
+Not covered (documented out, LangJSONLD11.java delegates these to
+titanium): remote contexts (no network), @direction base direction,
+type-scoped contexts, @propagate/@protected enforcement.
 
 Output: term 8-tuples like the other parsers (doc-local bnode labels).
 """
@@ -37,7 +46,24 @@ from .iri import resolve
 
 _KEYWORDS = {"@context", "@id", "@type", "@value", "@language", "@list",
              "@set", "@graph", "@base", "@vocab", "@container", "@reverse",
-             "@index", "@nest"}
+             "@index", "@nest", "@included", "@json", "@none", "@version",
+             "@direction", "@propagate", "@protected"}
+
+RDF_JSON = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
+
+
+def _json_canonical(v) -> str:
+    """Canonical JSON lexical for rdf:JSON literals (JSON-LD 1.1 §8.2 —
+    sorted keys, minimal separators, no ASCII escaping)."""
+    return json.dumps(v, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
+
+
+def _containers(tdef: dict) -> set:
+    c = tdef.get("@container")
+    if c is None:
+        return set()
+    return set(c) if isinstance(c, list) else {c}
 
 
 class _Context:
@@ -131,9 +157,13 @@ def _subject_of(node: dict, ctx: _Context, st: _State):
 
 def _object_term(value, ctx: _Context, st: _State, tdef: dict, graph: str):
     """Returns (kind, lex, datatype, lang) or None if no triple."""
+    if tdef.get("@type") == "@json":
+        return (KIND_LITERAL, _json_canonical(value), RDF_JSON, "")
     if isinstance(value, dict):
         if "@value" in value:
             v = value["@value"]
+            if value.get("@type") == "@json":
+                return (KIND_LITERAL, _json_canonical(v), RDF_JSON, "")
             if isinstance(v, bool):
                 return (KIND_LITERAL, "true" if v else "false",
                         XSD_NS + "boolean", "")
@@ -212,27 +242,109 @@ def _node(node: dict, ctx: _Context, st: _State, graph: str = ""):
         for child in _as_list(node["@graph"]):
             _node(child, ctx, st, gname)
 
+    if "@included" in node:  # JSON-LD 1.1 §9.13: sibling nodes, same graph
+        for child in _as_list(node["@included"]):
+            _node(child, ctx, st, graph)
+
+    if "@reverse" in node:  # {"@reverse": {pred: nodes}} → (obj, pred, subj)
+        for rkey, rval in node["@reverse"].items():
+            rpred = ctx.expand_iri(rkey, vocab=True)
+            for v in _as_list(rval):
+                obj = _node(v, ctx, st, graph) if isinstance(v, dict) else (
+                    (KIND_BNODE, v[2:]) if isinstance(v, str) and v.startswith("_:")
+                    else (KIND_IRI, ctx.expand_iri(v))
+                )
+                st.out.append(
+                    (obj[0], obj[1], rpred, subj[0], subj[1], "", "", graph)
+                )
+
+    _props(subj, node, ctx, st, graph)
+    return subj
+
+
+def _props(subj, node: dict, ctx: _Context, st: _State, graph: str):
+    """Emit the property triples of one node object (also used for the
+    contents of @nest groups, which attach to the PARENT node)."""
     for key, value in node.items():
+        if key == "@nest" or ctx.term_def(key).get("@id") == "@nest":
+            for nest_obj in _as_list(value):
+                if not isinstance(nest_obj, dict) or "@value" in nest_obj:
+                    raise RDFParseError("@nest value must be a node-like map")
+                _props(subj, nest_obj, ctx, st, graph)
+            continue
         if key in _KEYWORDS:
             continue
         tdef = ctx.term_def(key)
+        if "@context" in tdef:  # term-scoped context (property scope)
+            ctx_here = ctx.child(tdef["@context"])
+            tdef = {k: v for k, v in tdef.items() if k != "@context"}
+        else:
+            ctx_here = ctx
+        if "@reverse" in tdef:  # reverse term: {"children": {"@reverse": iri}}
+            rpred = ctx_here.expand_iri(tdef["@reverse"], vocab=True)
+            for v in _as_list(value):
+                obj = _node(v, ctx_here, st, graph) if isinstance(v, dict) else (
+                    (KIND_BNODE, v[2:]) if isinstance(v, str) and v.startswith("_:")
+                    else (KIND_IRI, ctx_here.expand_iri(v))
+                )
+                st.out.append(
+                    (obj[0], obj[1], rpred, subj[0], subj[1], "", "", graph)
+                )
+            continue
         pred = ctx.expand_iri(key, vocab=True)
         if pred is None or (pred.startswith("@")):
             continue
         if ":" not in pred:
             continue  # term not expandable to an IRI → dropped (spec behavior)
+        conts = _containers(tdef)
+        if "@language" in conts and isinstance(value, dict):
+            # language map: key = tag ("@none" = untagged), value = strings
+            for tag, vals in value.items():
+                for v in _as_list(vals):
+                    if v is None:
+                        continue
+                    term = (
+                        (KIND_LITERAL, str(v), XSD_STRING, "")
+                        if tag == "@none"
+                        else (KIND_LITERAL, str(v), RDF_LANGSTRING, tag)
+                    )
+                    st.out.append((subj[0], subj[1], pred, *term, graph))
+            continue
+        if "@index" in conts and isinstance(value, dict):
+            # index map: index keys are dropped on the way to RDF
+            value = [v for vals in value.values() for v in _as_list(vals)]
+        elif "@id" in conts and isinstance(value, dict):
+            # id map: the key becomes the node's @id ("@none" → bnode)
+            expanded = []
+            for nid, v in value.items():
+                for item in _as_list(v):
+                    item = dict(item) if isinstance(item, dict) else {"@id": item}
+                    if "@id" not in item and nid != "@none":
+                        item["@id"] = nid
+                    expanded.append(item)
+            value = expanded
+        elif "@type" in conts and isinstance(value, dict):
+            # type map: the key joins the node's @type list
+            expanded = []
+            for tkey, v in value.items():
+                for item in _as_list(v):
+                    item = dict(item) if isinstance(item, dict) else {"@id": item}
+                    if tkey != "@none":
+                        tl = _as_list(item.get("@type", []))
+                        item["@type"] = tl + [tkey]
+                    expanded.append(item)
+            value = expanded
         values = value if isinstance(value, list) else [value]
-        if tdef.get("@container") == "@list" and not (
+        if "@list" in conts and not (
             len(values) == 1 and isinstance(values[0], dict) and "@list" in values[0]
         ):
             values = [{"@list": values}]
         for v in values:
-            term = _object_term(v, ctx, st, tdef, graph)
+            term = _object_term(v, ctx_here, st, tdef, graph)
             if term is not None:
                 st.out.append(
                     (subj[0], subj[1], pred, term[0], term[1], term[2], term[3], graph)
                 )
-    return subj
 
 
 def _as_list(v):

@@ -151,3 +151,103 @@ def test_riot_jsonld11_docs():
         assert t[0] == KIND_BNODE
         assert t[2] == "http://xmlns.com/foaf/0.1/depication"
         assert t[4] == want_o
+
+
+# --- JSON-LD 1.1 features added round 4 ---------------------------------
+
+
+def test_reverse_node_and_term():
+    doc = """{
+      "@context": {"children": {"@reverse": "http://e/parent"}},
+      "@id": "http://e/mom",
+      "children": [{"@id": "http://e/kid1"}, "http://e/kid2"],
+      "@reverse": {"http://e/boss": {"@id": "http://e/worker"}}
+    }"""
+    out = parse_jsonld(doc)
+    trip = {(t[1], t[2], t[4]) for t in out}
+    assert ("http://e/kid1", "http://e/parent", "http://e/mom") in trip
+    assert ("http://e/kid2", "http://e/parent", "http://e/mom") in trip
+    assert ("http://e/worker", "http://e/boss", "http://e/mom") in trip
+
+
+def test_nest_and_included():
+    doc = """{
+      "@context": {"@vocab": "http://v/", "meta": "@nest"},
+      "@id": "http://e/x",
+      "meta": {"a": "1", "b": "2"},
+      "@included": [{"@id": "http://e/y", "c": "3"}]
+    }"""
+    out = parse_jsonld(doc)
+    trip = {(t[1], t[2], t[4]) for t in out}
+    assert ("http://e/x", "http://v/a", "1") in trip
+    assert ("http://e/x", "http://v/b", "2") in trip
+    assert ("http://e/y", "http://v/c", "3") in trip
+
+
+def test_language_map():
+    doc = """{
+      "@context": {"label": {"@id": "http://e/label", "@container": "@language"}},
+      "@id": "http://e/x",
+      "label": {"en": "cat", "fr": ["chat", "minou"], "@none": "plain"}
+    }"""
+    out = parse_jsonld(doc)
+    tagged = {(t[4], t[6]) for t in out}
+    assert tagged == {("cat", "en"), ("chat", "fr"), ("minou", "fr"), ("plain", "")}
+
+
+def test_index_id_type_maps():
+    doc = """{
+      "@context": {
+        "byidx": {"@id": "http://e/p", "@container": "@index"},
+        "byid": {"@id": "http://e/q", "@container": "@id"},
+        "bytype": {"@id": "http://e/r", "@container": "@type"}
+      },
+      "@id": "http://e/x",
+      "byidx": {"i1": "a", "i2": ["b"]},
+      "byid": {"http://e/n1": {"http://e/v": "1"}},
+      "bytype": {"http://e/T": {"@id": "http://e/n2"}}
+    }"""
+    out = parse_jsonld(doc)
+    trip = {(t[1], t[2], t[4]) for t in out}
+    assert ("http://e/x", "http://e/p", "a") in trip
+    assert ("http://e/x", "http://e/p", "b") in trip
+    assert ("http://e/x", "http://e/q", "http://e/n1") in trip
+    assert ("http://e/n1", "http://e/v", "1") in trip
+    assert ("http://e/x", "http://e/r", "http://e/n2") in trip
+    from jena_ray.model import RDF_TYPE
+    assert ("http://e/n2", RDF_TYPE, "http://e/T") in trip
+
+
+def test_json_literal():
+    from jena_ray.rdf.jsonld import RDF_JSON
+
+    doc = """{
+      "@context": {"data": {"@id": "http://e/data", "@type": "@json"}},
+      "@id": "http://e/x",
+      "data": {"b": 2, "a": [1, true, null]}
+    }"""
+    (t,) = parse_jsonld(doc)
+    assert t[5] == RDF_JSON
+    assert t[4] == '{"a":[1,true,null],"b":2}'  # canonical: sorted, minimal
+    # value-object form
+    doc2 = ('{"@id": "http://e/x", "http://e/d": '
+            '{"@value": [3, 2], "@type": "@json"}}')
+    (t2,) = parse_jsonld(doc2)
+    assert (t2[4], t2[5]) == ("[3,2]", RDF_JSON)
+
+
+def test_term_scoped_context():
+    doc = """{
+      "@context": {
+        "@vocab": "http://v/",
+        "detail": {"@id": "http://e/detail",
+                   "@context": {"@vocab": "http://inner/"}}
+      },
+      "@id": "http://e/x",
+      "detail": {"p": "1"},
+      "other": "2"
+    }"""
+    out = parse_jsonld(doc)
+    trip = {(t[2], t[4]) for t in out}
+    assert ("http://inner/p", "1") in trip     # scoped @vocab applies inside
+    assert ("http://v/other", "2") in trip     # outer @vocab elsewhere
