@@ -235,6 +235,13 @@ def write_results(ds, out_dir: str, fmt: str = "csv"):
         path = os.path.join(out_dir, f"results.{fmt}")
         with open(path, "w", encoding="utf-8") as f:
             f.write(text)
+    elif fmt in ("srt", "srp"):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"results.{fmt}")
+        with open(path, "wb") as f:
+            f.write(results_binary(ds, fmt))
     else:
         raise ValueError(f"unknown result format: {fmt!r}")
     return out_dir

@@ -275,10 +275,10 @@ def test_write_rdf_binary_sink(tmp_path, fmt):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_results_binary():
+def test_results_binary(tmp_path):
     import ray.data as rd
 
-    from jena_ray.stages.serialize import results_binary
+    from jena_ray.stages.serialize import results_binary, write_results
 
     ds = rd.from_items([{"a": "x", "b": 1}, {"a": "y", "b": 2}])
     names, rows = parse_thrift_results(results_binary(ds, "srt"))
@@ -286,3 +286,7 @@ def test_results_binary():
     assert [r[0][1] for r in rows] == ["x", "y"]
     names2, rows2 = parse_protobuf_results(results_binary(ds, "srp"))
     assert (names2, rows2) == (names, rows)
+    # write_results file forms
+    out = write_results(ds, str(tmp_path / "srt"), "srt")
+    data = open(f"{out}/results.srt", "rb").read()
+    assert parse_thrift_results(data) == (names, rows)
