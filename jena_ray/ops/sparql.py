@@ -2594,9 +2594,25 @@ def _fn_xpath_node(iri: str, name: str, args: list):
     if name == "numeric-integer-divide":
         _need_args(iri, args, 2)
         return ("mathfn", "idiv", args)
+    if name == "format-number":
+        # FN_FormatNumber: 2 or 3 args; the 3rd is a BCP-47 tag naming
+        # the DecimalFormatSymbols locale (XSDFuncOp.formatNumber,
+        # XSDFuncOp.java:1757). Non-string picture/locale constants are
+        # RUNTIME eval errors in jena, not build errors.
+        _need_args(iri, args, 2, 3)
+        pat = _const_str(args[1])
+        loc = _const_str(args[2]) if len(args) == 3 else ""
+        if pat is None or loc is None:
+            if args[1][0] in ("var",) or (len(args) == 3
+                                          and args[2][0] in ("var",)):
+                raise RDFParseError(
+                    f"SPARQL: <{iri}> picture/locale must be string "
+                    "constants")
+            return ("errfn", iri, args)  # e.g. an IRI picture: eval error
+        return ("fmtnum", args[0], pat, loc)
     # a REAL xpath function the engine hasn't implemented (fn:apply,
-    # fn:format-number, fn:collation-key, ...): reject (honest
-    # out-of-subset skip) rather than mis-evaluate to empty
+    # fn:collation-key, ...): reject (honest out-of-subset skip) rather
+    # than mis-evaluate to empty
     raise RDFParseError(f"SPARQL: unsupported function <{iri}>")
 
 
@@ -3391,6 +3407,31 @@ def _eval_value(node, t: pa.Table):
             [None if x is None else _ud.normalize(form, x)
              for x in arr.to_pylist()],
             pa.large_string())
+    if tag == "fmtnum":
+        # fn:format-number → Java DecimalFormat semantics
+        # (functions/decimalformat.py). Integer-typed rows format via
+        # the long path (XSDFuncOp OP_INTEGER), others via double.
+        from ..functions.decimalformat import (DecimalFormatError,
+                                               format_number)
+
+        nums = _eval_num(node[1], t)
+        if isinstance(nums, pa.Scalar):
+            nums = pa.array([nums.as_py()] * t.num_rows, pa.float64())
+        rank = _num_rank(node[1], t)
+        if isinstance(rank, pa.Scalar):
+            rank = pa.array([rank.as_py()] * t.num_rows, pa.int8())
+        try:
+            out = []
+            for v, r in zip(nums.to_pylist(), rank.to_pylist()):
+                if v is None:
+                    out.append(None)
+                elif r == 0 and float(v).is_integer():
+                    out.append(format_number(int(v), node[2], node[3]))
+                else:
+                    out.append(format_number(v, node[2], node[3]))
+            return pa.array(out, pa.large_string())
+        except DecimalFormatError:
+            return pa.scalar(None, pa.large_string())
     if tag == "durfn":
         return _eval_durfn(node, t)
     if tag == "dtcombine":
@@ -4702,7 +4743,7 @@ def _expr_static_meta(node):
         return (KIND_TRIPLE_TERM, "", "")
     if tag == "fn1" and node[1] in ("STR", "UCASE", "LCASE"):
         return (KIND_LITERAL, XSD_STRING, "")
-    if tag in ("normspace", "normuni"):
+    if tag in ("normspace", "normuni", "fmtnum"):
         return (KIND_LITERAL, XSD_STRING, "")
     if tag == "mathfn":
         return (KIND_LITERAL, XSD_NS + "double", "")

@@ -251,4 +251,62 @@ def test_unknown_fn_rejects():
     with pytest.raises(RDFParseError):
         sparql_select(_store(["x"]), PRE + """
             SELECT ?r WHERE { ?s <http://ex/v> ?o .
-              BIND(fn:format-number(1, "#") AS ?r) }""")
+              BIND(fn:collation-key("a") AS ?r) }""")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFormatNumber:
+    """fn:format-number — the reference's own golden cases
+    (TestFnFunctionsFormat.java:53-67 formatNumber_01..15; Java
+    DecimalFormat semantics via XSDFuncOp.java:1757 formatNumber)."""
+
+    CASES = [
+        ("fn:format-number(0, '#')", "0"),
+        ("fn:format-number(1234, '#')", "1234"),
+        ("fn:format-number(1234, '#,###')", "1,234"),
+        ("fn:format-number(1e3, '#,###,###.#')", "1,000"),
+        ("fn:format-number(10.5, '##.#')", "10.5"),
+        ("fn:format-number(-10.5, '##.##')", "-10.5"),
+        ("fn:format-number(123, 'NotAPattern')", "NotAPattern123"),
+        ("fn:format-number(0, '#', 'fr')", "0"),
+        ("fn:format-number(1234.5, '#,###.#', 'fr')", "1 234,5"),
+        ("fn:format-number(1234.5, '#,###.#', 'de')", "1.234,5"),
+        ("fn:format-number(12, '0,000.0', 'en')", "0,012.0"),
+        ("fn:format-number(0, '00,000', 'fr')", "00 000"),
+    ]
+
+    @pytest.mark.parametrize("expr,want", CASES)
+    def test_reference_goldens(self, expr, want):
+        r = _one("SELECT ?r WHERE { ?s <http://ex/v> ?o . "
+                 f"BIND({expr} AS ?r) }}")
+        assert r["r"] == want
+
+    def test_var_value_and_percent(self):
+        rows = sparql_select(_store([0.07, 1234567]), PRE + """
+            SELECT ?p ?g WHERE { ?s <http://ex/v> ?o .
+              BIND(fn:format-number(?o, '0.0%') AS ?p)
+              BIND(fn:format-number(?o, '#,##0') AS ?g) }""").take_all()
+        by_g = sorted(rows, key=lambda r: r["g"])
+        assert by_g[0]["p"] == "7.0%"
+        assert by_g[1]["g"] == "1,234,567"
+
+    def test_negative_subpattern(self):
+        r = _one("""SELECT ?r WHERE { ?s <http://ex/v> ?o .
+            BIND(fn:format-number(-3, '#;(#)') AS ?r) }""")
+        assert r["r"] == "(3)"
+
+    def test_non_number_is_eval_error(self):
+        # formatNumber_20: a string value raises ExprEvalException per
+        # solution → the BIND leaves ?r unbound
+        rows = sparql_select(_store(["String"]), PRE + """
+            SELECT ?r WHERE { ?s <http://ex/v> ?o .
+              BIND(fn:format-number(?o, '#') AS ?r) }""").take_all()
+        assert rows[0]["r"] is None
+
+    def test_bad_picture_is_eval_error(self):
+        # formatNumber_21: a non-string picture is a runtime error
+        rows = sparql_select(_store([1]), PRE + """
+            SELECT ?r WHERE { ?s <http://ex/v> ?o .
+              BIND(fn:format-number(123, <http://ex/uri>) AS ?r) }
+            """).take_all()
+        assert rows[0]["r"] is None
