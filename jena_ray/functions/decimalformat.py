@@ -157,6 +157,8 @@ def _format_with(pat: _Pattern, value, syms) -> str:
     if exp > 0:
         lex += "0" * exp
         exp = 0
+    if -exp > len(lex):  # 0.07 → digits (7,), exp -2: pad to "07"
+        lex = "0" * (-exp - len(lex)) + lex
     frac = lex[len(lex) + exp:] if exp else ""
     ints = lex[:len(lex) + exp] if exp else lex
     ints = ints.lstrip("0")

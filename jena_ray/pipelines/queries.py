@@ -1991,6 +1991,56 @@ def q_sparql_math_funcs(sf_dir: str):
     )
 
 
+def q_sparql_format_number(sf_dir: str):
+    """fn:format-number through the front door (FN_FormatNumber.java:37,
+    XSDFuncOp.java:1757 formatNumber = java.text.DecimalFormat over a
+    picture string; locale arg picks the DecimalFormatSymbols). Formats
+    customer balances with grouping + fixed fraction in the root and
+    'de' locales."""
+    from ..ops.sparql import sparql_select
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.scalar("c:", pa.large_string()),
+            pc.cast(t["c_custkey"], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        return pa.table(
+            {"s_lex": s,
+             "p": pa.array(["bal"] * t.num_rows, pa.large_string()),
+             "o_lex": pc.cast(t["c_acctbal"], pa.large_string())}
+        )
+
+    triples = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        f, batch_format="pyarrow")
+    return sparql_select(
+        triples,
+        """
+        PREFIX fn: <http://www.w3.org/2005/xpath-functions#>
+        SELECT ?s (fn:format-number(?b, '#,##0.00') AS ?en)
+               (fn:format-number(?b, '#,##0.00', 'de') AS ?de)
+        WHERE { ?s <bal> ?b }
+        """,
+    )
+
+
+SQL_SPARQL_FORMAT_NUMBER = """
+WITH fmt AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS s,
+         CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END
+         || format('{:,}', CAST(trunc(abs(c_acctbal)) AS BIGINT))
+         || '.'
+         || lpad(CAST(CAST(round((abs(c_acctbal) - trunc(abs(c_acctbal)))
+                                 * 100, 0) AS BIGINT) AS VARCHAR), 2, '0')
+           AS en
+  FROM customer
+)
+SELECT s, en,
+       replace(replace(replace(en, ',', '#'), '.', ','), '#', '.') AS de
+FROM fmt
+"""
+
+
 SQL_SPARQL_MATH_FUNCS = """
 SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS s,
        CAST(CAST(p_size AS BIGINT) * p_size AS VARCHAR) AS sq,
@@ -2816,6 +2866,8 @@ REGISTRY: dict[str, tuple] = {
     "sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),
     "sparql_expr_funcs": (q_sparql_expr_funcs, SQL_SPARQL_EXPR_FUNCS),
     "sparql_math_funcs": (q_sparql_math_funcs, SQL_SPARQL_MATH_FUNCS),
+    "sparql_format_number": (q_sparql_format_number,
+                             SQL_SPARQL_FORMAT_NUMBER),
     "sparql_group_concat": (q_sparql_group_concat, SQL_SPARQL_GROUP_CONCAT),
     "shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
     "sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
@@ -2843,7 +2895,7 @@ REGISTRY: dict[str, tuple] = {
 _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
-    "sparql_agg_distinct", "sparql_math_funcs",
+    "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
