@@ -2594,6 +2594,22 @@ def _fn_xpath_node(iri: str, name: str, args: list):
     if name == "numeric-integer-divide":
         _need_args(iri, args, 2)
         return ("mathfn", "idiv", args)
+    if name == "apply":
+        # FN_Apply (F&O 3.1): fn:apply(functionIRI, args...) — the
+        # function id resolves through the registry; a constant IRI
+        # desugars to the call itself at build time. Blank/literal ids
+        # are runtime eval errors (FN_Apply.java:66-71); a variable id
+        # (per-row dispatch) is out of subset here.
+        if not args:
+            raise RDFParseError("SPARQL: fn:apply needs a function id")
+        head = args[0]
+        if head[0] == "iriconst":
+            return _iri_function_node(head[1], args[1:])
+        if head[0] == "var":
+            raise RDFParseError(
+                "SPARQL: fn:apply with a variable function id is out "
+                "of subset (constant IRI only)")
+        return ("errfn", iri, args)  # literal/bnode id: eval error
     if name == "format-number":
         # FN_FormatNumber: 2 or 3 args; the 3rd is a BCP-47 tag naming
         # the DecimalFormatSymbols locale (XSDFuncOp.formatNumber,

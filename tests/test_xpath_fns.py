@@ -247,6 +247,31 @@ class TestLeviathan:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFnApply:
+    """fn:apply (FN_Apply.java): constant function IRI desugars to the
+    call; literal/bnode ids are per-solution eval errors."""
+
+    def test_apply_constant_iri(self):
+        r = _one("""SELECT ?r ?m WHERE { ?s <http://ex/v> ?o .
+            BIND(fn:apply(math:sqrt, ?o) AS ?r)
+            BIND(fn:apply(fn:upper-case, "abc") AS ?m) }""")
+        assert r["r"] == "2"
+        assert r["m"] == "ABC"
+
+    def test_apply_literal_id_is_eval_error(self):
+        rows = sparql_select(_store([4]), PRE + """
+            SELECT ?r WHERE { ?s <http://ex/v> ?o .
+              BIND(fn:apply("nope", ?o) AS ?r) }""").take_all()
+        assert rows[0]["r"] is None
+
+    def test_apply_variable_id_rejects(self):
+        with pytest.raises(RDFParseError):
+            sparql_select(_store([4]), PRE + """
+                SELECT ?r WHERE { ?s <http://ex/v> ?o .
+                  BIND(fn:apply(?o, 1) AS ?r) }""")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_unknown_fn_rejects():
     with pytest.raises(RDFParseError):
         sparql_select(_store(["x"]), PRE + """
