@@ -67,6 +67,78 @@ def normalized_dedup_docs(docs_ds):
     )
 
 
+# --- paragraph-level exact dedup --------------------------------------------
+
+# At most 2^20 (1M) paragraphs per document: lets (doc_id, idx) pack
+# into one int64 so the corpus-wide first occurrence is a single Min
+# aggregate per paragraph hash (one shuffle, no two-key argmin).
+_PARA_IDX_BITS = 20
+
+
+def _explode_paragraphs(b: pa.Table, sep: str) -> pa.Table:
+    """doc rows → paragraph rows (doc_id, idx, para, h, pack), fully
+    vectorized: split_pattern + list_flatten, parent ids via np.repeat."""
+    parts = pc.split_pattern(b["text"].combine_chunks(), sep)
+    flat = pc.cast(pc.list_flatten(parts), pa.large_string())
+    lens = pc.list_value_length(parts).to_numpy().astype(np.int64)
+    doc = np.repeat(b["doc_id"].to_numpy(), lens)
+    # per-document positions: 0..len-1 within each list
+    total = int(lens.sum())
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    idx = np.arange(total, dtype=np.int64) - starts
+    hashes = pa.array(
+        [hashlib.md5(p.encode()).hexdigest() for p in flat.to_pylist()])
+    return pa.table(
+        {"doc_id": pa.array(doc), "idx": pa.array(idx), "para": flat,
+         "h": hashes,
+         "pack": pa.array((doc << _PARA_IDX_BITS) | idx)})
+
+
+def paragraph_dedup(docs_ds, sep: str = "\n\n"):
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
+    FineWeb line-dedup shape at paragraph granularity): a paragraph
+    survives only at its FIRST corpus occurrence (min (doc_id, idx));
+    each document is reassembled from its surviving paragraphs in
+    original order. Documents whose every paragraph is a duplicate
+    drop out.
+
+    Plan: explode → groupby(h).Min(pack) [shuffle 1] → hash-join back
+    on h [shuffle 2] → winners only → groupby(doc_id) reassemble
+    [shuffle 3]. The winners side carries (h, pack) only — paragraph
+    text never ships twice."""
+    from ray.data.aggregate import Min
+
+    from ..util import compact_blocks
+
+    paras = compact_blocks(
+        docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            lambda b: _explode_paragraphs(b, sep), batch_format="pyarrow"))
+    winners = paras.select_columns(["h", "pack"]).groupby("h").aggregate(
+        Min("pack", alias_name="w"))
+    surv = paras.join(winners, join_type="inner", num_partitions=16,
+                      on=("h",))
+
+    def keep_first(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "para": pa.array([], pa.large_string())})
+        m = pc.equal(b["pack"], b["w"])
+        return b.filter(m).select(["doc_id", "idx", "para"])
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("idx", "ascending")])
+        paras_sorted = pc.take(g["para"], order)
+        return pa.table(
+            {"doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+             "text": pa.array([sep.join(paras_sorted.to_pylist())],
+                              pa.large_string())})
+
+    return (surv.map_batches(keep_first, batch_format="pyarrow")
+            .groupby("doc_id")
+            .map_groups(reassemble, batch_format="pyarrow"))
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 N_PERM = 64

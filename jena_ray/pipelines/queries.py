@@ -936,6 +936,32 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb/FineWeb
+    line-dedup at paragraph granularity): keep each paragraph only at
+    its first corpus occurrence, reassemble documents from survivors."""
+    from ..ops.dedup_text import paragraph_dedup
+
+    return paragraph_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_PARAGRAPHS = r"""
+WITH paras AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, E'\n\n'), 1) - 1 AS idx,
+         unnest(string_split(text, E'\n\n')) AS para
+  FROM documents
+), winners AS (
+  SELECT para, min(doc_id * (1 << 20) + idx) AS w
+  FROM paras GROUP BY para
+)
+SELECT p.doc_id, string_agg(p.para, E'\n\n' ORDER BY p.idx) AS text
+FROM paras p JOIN winners w
+  ON p.para = w.para AND p.doc_id * (1 << 20) + p.idx = w.w
+GROUP BY p.doc_id
+"""
+
+
 def q_embedding_near_dup(sf_dir: str):
     from ..ops.dedup_text import embedding_near_dup
 
@@ -2832,6 +2858,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_blocked": (
         q_embedding_near_dup_blocked,
@@ -2896,6 +2923,7 @@ _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
+    "dedup_paragraphs",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

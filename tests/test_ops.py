@@ -280,3 +280,35 @@ def test_simhash_hot_bucket_chain_degrades():
         assert all(r["hamming"] == 0 for r in pairs)
     finally:
         dt.MAX_BUCKET_ALLPAIRS = old
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_keeps_first_occurrence():
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import paragraph_dedup
+
+    docs = rd.from_items([
+        {"doc_id": 3, "text": "unique-c\n\nshared-x\n\nunique-d"},
+        {"doc_id": 1, "text": "shared-x\n\nunique-a\n\nshared-y"},
+        {"doc_id": 2, "text": "shared-y\n\nunique-b\n\nshared-x"},
+        {"doc_id": 4, "text": "shared-x\n\nshared-y"},  # fully duplicate
+    ])
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).take_all()}
+    # doc 1 is the corpus-first occurrence of shared-x and shared-y
+    assert out[1] == "shared-x\n\nunique-a\n\nshared-y"
+    assert out[2] == "unique-b"
+    assert out[3] == "unique-c\n\nunique-d"
+    # every paragraph of doc 4 was seen earlier → the doc drops out
+    assert 4 not in out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_within_doc_repeat():
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import paragraph_dedup
+
+    docs = rd.from_items([{"doc_id": 7, "text": "p\n\np\n\nq"}])
+    out = paragraph_dedup(docs).take_all()
+    assert out == [{"doc_id": 7, "text": "p\n\nq"}]
