@@ -23,9 +23,21 @@ Implemented subset:
   FORWARD-COMPILED — same derivable fact set, materialized instead of
   goal-directed (LPBackwardRuleReasoner.java:39 is an execution
   strategy, not different semantics); head-position builtins reject
-- NOT in subset (documented): functors, embedded rules, ``@include``,
+- functors (round 4) — embedded structured literals in the OBJECT
+  position of patterns, Jena's ``all(?P, ?D)`` / ``error(...)`` idiom
+  (Functor.java:40-44 "embedded structured literals that are used to
+  cache matched subgraphs"; FunctorDatatype.theFunctorDatatype is the
+  value's literal datatype, Functor.java:311). Realization: a functor
+  value is a literal with the sentinel datatype ``urn:x-jena:functor``
+  whose lexical is a control-char-separated encoding of (name, term
+  args). Head functors are built VECTORIZED from the binding columns;
+  a body pattern with a functor object compiles to a fresh variable in
+  the pattern plus a prepended destructure guard (vectorized
+  split_pattern + per-arg bind/filter). No functor nesting — same as
+  the reference (Functor.java:38 "any type except functor nodes").
+- NOT in subset (documented): embedded rules, ``@include``,
   head-position builtins, ``table``/``tableAll`` hints (no RETE
-  memories to hint)
+  memories to hint), functors in subject position
 
 Ray realization: SEMI-NAIVE delta evaluation. Round 1 evaluates every
 rule body as a BGP over the input graph (ops/bgp.match_bgp — chained
@@ -80,6 +92,31 @@ class Const:
 class Builtin:
     name: str
     args: list  # Var | Const
+
+
+@dataclass(frozen=True)
+class Functor:
+    """Embedded structured literal (Functor.java:45-50): a name plus
+    flat term args (Var | Const — no nesting, Functor.java:38)."""
+    name: str
+    args: tuple  # tuple[Var | Const, ...]
+
+
+# sentinel datatype of encoded functor values (the engine's analog of
+# FunctorDatatype.theFunctorDatatype, Functor.java:311)
+FUNCTOR_DT = "urn:x-jena:functor"
+# lexical encoding separators (control chars never appear in RDF
+# lexicals produced by the parsers; documented constraint)
+_F_SEP = "\x1f"   # name / between-args separator
+_F_SUB = "\x1e"   # within-arg: kind, lex, datatype, lang
+
+
+@dataclass
+class Destructure:
+    """Prepended guard for a body-pattern functor: match the fresh
+    variable's value against the functor shape, bind/filter its args."""
+    var: Var          # the fresh variable standing in for the functor
+    functor: Functor
 
 
 @dataclass
@@ -188,6 +225,21 @@ class _Parser:
                 lang = t2[1:]
             return Const(LIT, lex, dt, lang)
         if kind == "pname":
+            if ":" not in tok and self.peek()[1] == "(":
+                # functor term: name '(' args ')' (Rule.java:81 "Functor
+                # names may be any simple identifier"; args are plain
+                # terms — no nesting, Functor.java:38)
+                self.next()
+                args = []
+                while self.peek()[1] != ")":
+                    a = self.term()
+                    if isinstance(a, Functor):
+                        raise ValueError(
+                            f"nested functor in {tok}(...) — functor args "
+                            "are non-functor terms (Functor.java:38)")
+                    args.append(a)
+                self.expect(")")
+                return Functor(tok, tuple(args))
             return Const(IRI, self._resolve(tok))
         raise ValueError(f"unexpected term token {tok!r}")
 
@@ -274,7 +326,30 @@ class _Parser:
         if not head or not body:
             raise ValueError("rule needs a non-empty body, an arrow, "
                              "and a head")
-        return Rule(name=name, body=body, guards=guards, head=head)
+        for g in guards:
+            if any(isinstance(a, Functor) for a in g.args):
+                raise ValueError(
+                    f"functor argument to builtin {g.name!r} is not in "
+                    "the subset")
+        # body functors: rewrite (s p f(args)) to (s p ?__fnK) plus a
+        # PREPENDED Destructure guard (runs before user guards, which
+        # may reference the functor-bound variables)
+        destructs, new_body = [], []
+        for (s, p, o) in body:
+            if isinstance(s, Functor) or isinstance(p, Functor):
+                raise ValueError(
+                    "functors are object-position only in this subset")
+            if isinstance(o, Functor):
+                fv = Var(f"__fn{len(destructs)}")
+                destructs.append(Destructure(fv, o))
+                o = fv
+            new_body.append((s, p, o))
+        for (s, p, o) in head:
+            if isinstance(s, Functor) or isinstance(p, Functor):
+                raise ValueError(
+                    "functors are object-position only in this subset")
+        return Rule(name=name, body=new_body,
+                    guards=destructs + guards, head=head)
 
 
 def parse_rules(text: str) -> list[Rule]:
@@ -368,6 +443,96 @@ def _guard_mask(t: pa.Table, g: Builtin):
     }[g.name]
     # nulls (non-numeric lexicals under a numeric builtin) fail the guard
     return pc.fill_null(op(a, b), False)
+
+
+def _append_binding_cols(t: pa.Table, var: Var, lex, kind, dt, lang):
+    """Append a freshly bound var with PER-ROW term metadata arrays
+    (functor destructuring yields mixed kinds/datatypes per row)."""
+    t = t.append_column(var.name, lex)
+    kc, dc, lc = meta_cols_of(var.name)
+    t = t.append_column(kc, kind)
+    t = t.append_column(dc, dt)
+    t = t.append_column(lc, lang)
+    return t.filter(pc.fill_null(pc.is_valid(t[var.name]), False))
+
+
+def _destructure(t: pa.Table, d: Destructure) -> pa.Table:
+    """Match the fresh variable's values against the functor shape and
+    bind/filter its args — vectorized (split_pattern over the encoded
+    lexical). Non-functor values, name or arity mismatches drop the row
+    (a functor pattern only matches functor-valued literals,
+    Functor.java:250-253)."""
+    fn = d.functor
+    names = set(t.schema.names)
+    kc, dc, _lc = meta_cols_of(d.var.name)
+    n = t.num_rows
+    kind = (t[kc].combine_chunks().cast(pa.int8()) if kc in names
+            else pa.array([KIND_IRI] * n, pa.int8()))
+    dt = (t[dc].combine_chunks().cast(pa.large_string()) if dc in names
+          else pa.array([""] * n, pa.large_string()))
+    mask = pc.and_(
+        pc.equal(kind, pa.scalar(KIND_LITERAL, pa.int8())),
+        pc.equal(dt, pa.scalar(FUNCTOR_DT, pa.large_string())),
+    )
+    t = t.filter(pc.fill_null(mask, False))
+    if t.num_rows == 0:
+        return t
+    lex = t[d.var.name].combine_chunks().cast(pa.large_string())
+    splits = pc.split_pattern(lex, _F_SEP)
+    mask = pc.and_(
+        pc.equal(pc.list_value_length(splits),
+                 pa.scalar(len(fn.args) + 1, pa.int32())),
+        pc.equal(pc.list_element(splits, 0),
+                 pa.scalar(fn.name)),
+    )
+    t = t.filter(pc.fill_null(mask, False))
+    if t.num_rows == 0:
+        return t
+    lex = t[d.var.name].combine_chunks().cast(pa.large_string())
+    splits = pc.split_pattern(lex, _F_SEP)
+    for i, a in enumerate(fn.args):
+        sub = pc.split_pattern(pc.list_element(splits, i + 1), _F_SUB)
+        a_kind = pc.cast(pc.list_element(sub, 0), pa.int8())
+        a_lex = pc.list_element(sub, 1).cast(pa.large_string())
+        a_dt = pc.list_element(sub, 2).cast(pa.large_string())
+        a_lang = pc.list_element(sub, 3).cast(pa.large_string())
+        if isinstance(a, Const):
+            want_kind = KIND_IRI if a.kind == IRI else KIND_LITERAL
+            m = pc.and_(
+                pc.and_(pc.equal(a_kind, pa.scalar(want_kind, pa.int8())),
+                        pc.equal(a_lex, pa.scalar(a.lex))),
+                pc.and_(pc.equal(a_dt, pa.scalar(a.dt)),
+                        pc.equal(a_lang, pa.scalar(a.lang))),
+            )
+        elif a.name in t.schema.names:
+            # repeated / already-bound variable: term-equality filter
+            cur_lex = t[a.name].combine_chunks().cast(pa.large_string())
+            ckc, cdc, clc = meta_cols_of(a.name)
+            tn = set(t.schema.names)
+            cur_kind = (t[ckc].combine_chunks().cast(pa.int8())
+                        if ckc in tn
+                        else pa.array([KIND_IRI] * t.num_rows, pa.int8()))
+            cur_dt = (t[cdc].combine_chunks().cast(pa.large_string())
+                      if cdc in tn
+                      else pa.array([""] * t.num_rows, pa.large_string()))
+            cur_lang = (t[clc].combine_chunks().cast(pa.large_string())
+                        if clc in tn
+                        else pa.array([""] * t.num_rows, pa.large_string()))
+            m = pc.and_(
+                pc.and_(pc.equal(a_kind, cur_kind),
+                        pc.equal(a_lex, cur_lex)),
+                pc.and_(pc.equal(a_dt, cur_dt),
+                        pc.equal(a_lang, cur_lang)),
+            )
+        else:
+            t = _append_binding_cols(t, a, a_lex, a_kind, a_dt, a_lang)
+            continue
+        t = t.filter(pc.fill_null(m, False))
+        if t.num_rows == 0:
+            return t
+        lex = t[d.var.name].combine_chunks().cast(pa.large_string())
+        splits = pc.split_pattern(lex, _F_SEP)
+    return t
 
 
 def _append_binding(t: pa.Table, var: Var, lex, kind_val: int, dt: str):
@@ -523,7 +688,9 @@ def _apply_guards(bindings_ds, guards: list[Builtin], graph=None):
             if t.num_columns == 0 or t.num_rows == 0:
                 return t
             for g in run:
-                if g.name in BINDER_BUILTINS:
+                if isinstance(g, Destructure):
+                    t = _destructure(t, g)
+                elif g.name in BINDER_BUILTINS:
                     t = _bind_builtin(t, g)
                 else:
                     t = t.filter(_guard_mask(t, g))
@@ -534,9 +701,9 @@ def _apply_guards(bindings_ds, guards: list[Builtin], graph=None):
         return kern
 
     ds = bindings_ds
-    run: list[Builtin] = []
+    run: list = []
     for g in guards:
-        if g.name in GRAPH_BUILTINS:
+        if not isinstance(g, Destructure) and g.name in GRAPH_BUILTINS:
             if run:
                 ds = ds.map_batches(fused(run), batch_format="pyarrow")
                 run = []
@@ -588,6 +755,27 @@ def _instantiate(head: list, rule_name: str):
                 pa.array([c.lang] * n, pa.large_string()),
             )
 
+        def functor_cols(fn: Functor):
+            # encoded functor literal, built vectorized from the
+            # binding columns (makeFunctorNode, Functor.java:302-311)
+            encs = []
+            for a in fn.args:
+                k, lx, d, lg = (
+                    var_cols(a.name) if isinstance(a, Var) else const_cols(a)
+                )
+                encs.append(pc.binary_join_element_wise(
+                    pc.cast(k, pa.large_string()), lx, d, lg,
+                    pa.scalar(_F_SUB, pa.large_string())))
+            name_col = pa.array([fn.name] * n, pa.large_string())
+            lex = pc.binary_join_element_wise(
+                name_col, *encs, pa.scalar(_F_SEP, pa.large_string()))
+            return (
+                pa.array([KIND_LITERAL] * n, pa.int8()),
+                lex,
+                pa.array([FUNCTOR_DT] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+            )
+
         empty = pa.array([""] * n, pa.large_string())
         doc = pa.array([f"rule:{rule_name}"] * n, pa.large_string())
         out = []
@@ -599,9 +787,12 @@ def _instantiate(head: list, rule_name: str):
                 p_col = t[p.name].combine_chunks().cast(pa.large_string())
             else:
                 p_col = pa.array([p.lex] * n, pa.large_string())
-            o_kind, o_lex, o_dt, o_lang = (
-                var_cols(o.name) if isinstance(o, Var) else const_cols(o)
-            )
+            if isinstance(o, Var):
+                o_kind, o_lex, o_dt, o_lang = var_cols(o.name)
+            elif isinstance(o, Functor):
+                o_kind, o_lex, o_dt, o_lang = functor_cols(o)
+            else:
+                o_kind, o_lex, o_dt, o_lang = const_cols(o)
             out.append(
                 pa.Table.from_arrays(
                     [s_kind, s_lex, p_col, o_kind, o_lex, o_dt, o_lang,

@@ -250,3 +250,113 @@ def test_backward_rule_head_builtin_rejected():
 
     with pytest.raises(ValueError, match="HEAD"):
         parse_rules("[r: (?a <p> ?b) ge(?b 1) <- (?a <q> ?b)]")
+
+
+def test_parse_functor_terms():
+    rules = parse_rules(
+        "@prefix ex: <http://e/> .\n"
+        "[r: (?c ex:equiv all(?p, ?d)) -> (?c ex:onProp ?p)]"
+    )
+    # body functor compiles to a fresh var + prepended destructure guard
+    from jena_ray.stages.rules import Destructure, Functor
+
+    r = rules[0]
+    assert isinstance(r.body[0][2], Var)
+    assert isinstance(r.guards[0], Destructure)
+    assert r.guards[0].functor == Functor("all", (Var("p"), Var("d")))
+    # head functors stay in place
+    rules2 = parse_rules(
+        "@prefix ex: <http://e/> .\n"
+        "[r: (?c ex:p ?d) -> (?c ex:equiv all(ex:q, ?d))]"
+    )
+    assert isinstance(rules2[0].head[0][2], Functor)
+
+
+def test_parse_functor_rejects():
+    with pytest.raises(ValueError):  # nesting (Functor.java:38)
+        parse_rules("@prefix ex: <http://e/> .\n"
+                    "[r: (?c ex:p all(some(?x), ?d)) -> (?c ex:q ?d)]")
+    with pytest.raises(ValueError):  # subject position
+        parse_rules("@prefix ex: <http://e/> .\n"
+                    "[r: (all(?p) ex:p ?d) -> (?d ex:q ?p)]")
+    with pytest.raises(ValueError):  # functor arg to a builtin
+        parse_rules("@prefix ex: <http://e/> .\n"
+                    "[r: (?c ex:p ?d) equal(?d all(?x)) -> (?c ex:q ?d)]")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_functor_head_then_destructure():
+    """Head functor built in round 1 is destructured by a second rule in
+    round 2 (the owl-fb 'cache matched subgraphs' idiom,
+    Functor.java:40-44) — exercises the semi-naive loop with functor
+    values in the delta."""
+    import ray.data as rd
+
+    data = _triples([
+        (E + "C", E + "restrict", KIND_IRI, E + "P", ""),
+        (E + "C", E + "restrictTo", KIND_IRI, E + "D", ""),
+        (E + "x", TYPE, KIND_IRI, E + "C", ""),
+    ])
+    out = forward_chain(
+        rd.from_arrow(data),
+        "@prefix ex: <http://e/> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "[mk: (?c ex:restrict ?p) (?c ex:restrictTo ?d)"
+        "  -> (?c ex:all all(?p, ?d))]\n"
+        "[use: (?c ex:all all(?p, ?d)) (?x rdf:type ?c)"
+        "  -> (?x ?p ?d)]",
+    )
+    rows = out.take_all()
+    derived = {(r["s_lex"], r["p"], r["o_lex"]) for r in rows}
+    assert (E + "x", E + "P", E + "D") in derived
+    # the intermediate functor literal exists with the sentinel datatype
+    from jena_ray.stages.rules import FUNCTOR_DT
+
+    fns = [r for r in rows if r["o_datatype"] == FUNCTOR_DT]
+    assert len(fns) == 1 and fns[0]["s_lex"] == E + "C"
+    assert fns[0]["o_kind"] == KIND_LITERAL
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_functor_const_args_and_repeated_var():
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", E + "p", KIND_IRI, E + "a", ""),
+        (E + "b", E + "p", KIND_IRI, E + "c", ""),
+    ])
+    out = forward_chain(
+        rd.from_arrow(data),
+        "@prefix ex: <http://e/> .\n"
+        "[mk: (?s ex:p ?o) -> (?s ex:f pair(?s, ?o, 'tag'))]\n"
+        # repeated var ?x: only fires when both functor args are equal
+        "[same: (?s ex:f pair(?x, ?x, 'tag')) -> (?x ex:selfLoop 'y')]\n"
+        # constant mismatch: never fires
+        "[no: (?s ex:f pair(?x, ?y, 'other')) -> (?x ex:never 'y')]",
+    )
+    rows = out.take_all()
+    self_loops = {r["s_lex"] for r in rows if r["p"] == E + "selfLoop"}
+    assert self_loops == {E + "a"}
+    assert not any(r["p"] == E + "never" for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_functor_literal_args_roundtrip():
+    """Literal functor args keep their datatype through the
+    encode/destructure round trip."""
+    import ray.data as rd
+
+    data = _triples([
+        (E + "a", E + "age", KIND_LITERAL, "41", XSD + "integer"),
+    ])
+    out = forward_chain(
+        rd.from_arrow(data),
+        "@prefix ex: <http://e/> .\n"
+        "[mk: (?s ex:age ?a) -> (?s ex:cache info(?a))]\n"
+        "[use: (?s ex:cache info(?v)) ge(?v 18) -> (?s ex:adult ?v)]",
+    )
+    adults = [r for r in out.take_all() if r["p"] == E + "adult"]
+    assert len(adults) == 1
+    assert adults[0]["o_lex"] == "41"
+    assert adults[0]["o_datatype"] == XSD + "integer"
+    assert adults[0]["o_kind"] == KIND_LITERAL
