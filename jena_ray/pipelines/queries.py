@@ -2464,6 +2464,67 @@ FROM customer
 """
 
 
+def q_rule_backward_query(sf_dir: str):
+    """Goal-directed backward rules (LPBackwardRuleReasoner.java:39 /
+    FBRuleReasoner hybrid) via the magic-set rewrite onto the
+    distributed semi-naive engine (stages/magic.backward_query):
+    ``in``-membership defined by three ``<-`` rules, queried with the
+    REGION BOUND — only the goal-relevant closure is derived. The
+    transitive rule's body is written object-first so the left-to-right
+    sideways-information pass keeps the bound region flowing."""
+    from ..model import KIND_IRI, TRIPLE_SCHEMA
+    from ..stages.magic import backward_query
+
+    def to_schema9(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array([KIND_IRI] * n, pa.int8()),
+                t["s"].combine_chunks().cast(pa.large_string()),
+                t["p"].combine_chunks().cast(pa.large_string()),
+                pa.array([KIND_IRI] * n, pa.int8()),
+                t["o"].combine_chunks().cast(pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array([""] * n, pa.large_string()),
+                pa.array(["m"] * n, pa.large_string()),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    edges = _membership_edges(sf_dir).map_batches(
+        to_schema9, batch_format="pyarrow"
+    )
+    rules = """
+    [b1: (?a <in> ?b) <- (?a <in_nation> ?b)]
+    [b2: (?a <in> ?b) <- (?a <in_region> ?b)]
+    [tr: (?a <in> ?c) <- (?b <in> ?c) (?a <in> ?b)]
+    """
+    out = backward_query(edges, rules, "(?x <in> <r:0>)")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s": t["x"].combine_chunks().cast(pa.large_string())}
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_RULE_BACKWARD_QUERY = """
+WITH RECURSIVE base AS (
+  SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS o FROM customer
+  UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+),
+closure(s, o) AS (
+  SELECT s, o FROM base
+  UNION
+  SELECT c.s, b.o FROM closure c JOIN base b ON c.o = b.s
+)
+SELECT DISTINCT s FROM closure WHERE o = 'r:0'
+"""
+
+
 def q_bgp_match(sf_dir: str):
     """BGP solve (OpExecutor.java:127, StageMatchTriple.java):
     { ?c in_nation ?n . ?n in_region ?r } with a constant-object filter —
@@ -2877,6 +2938,7 @@ REGISTRY: dict[str, tuple] = {
     "owl_transitive_in": (q_owl_transitive_in, SQL_OWL_TRANSITIVE_IN),
     "rule_forward_chain": (q_rule_forward_chain, SQL_RULE_FORWARD_CHAIN),
     "rule_builtins": (q_rule_builtins, SQL_RULE_BUILTINS),
+    "rule_backward_query": (q_rule_backward_query, SQL_RULE_BACKWARD_QUERY),
     "sparql_select": (q_sparql_select, SQL_SPARQL_SELECT),
     "sparql_aggregate": (q_sparql_aggregate, SQL_SPARQL_AGGREGATE),
     "sparql_having": (q_sparql_having, SQL_SPARQL_HAVING),
@@ -2923,7 +2985,7 @@ _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
-    "dedup_paragraphs",
+    "dedup_paragraphs", "rule_backward_query",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
