@@ -739,3 +739,100 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95):
         )
 
     return emb_ds.map_batches(block, batch_format="pyarrow", batch_size=2048)
+
+
+def decontaminate(docs_ds, bench_ds, k: int = 3, threshold: float = 0.2):
+    """Benchmark decontamination: per training doc, the share of its
+    DISTINCT word k-grams that also occur in a held-out benchmark/eval
+    corpus — the standard pre-training hygiene pass (public practice:
+    GPT-3 appendix C n-gram overlap; Dodge et al. 2021 C4 analysis).
+
+    Ray shape: the benchmark's distinct k-gram set is computed
+    DISTRIBUTED (explode → groupby-distinct), then collected and
+    broadcast ONCE via ray.put — eval suites are tiny next to a
+    training corpus (documented assumption; if the benchmark outgrows
+    worker heap, degrade to a semi-join on the shingle stream, the
+    ngram_jaccard_pairs machinery). Each training doc then needs one
+    vectorized membership pass over its shingle stream plus an in-batch
+    combiner before a single groupby(doc_id) — no all-to-all on text.
+
+    Shingle semantics match ngram_jaccard_pairs (lowercase, whitespace
+    tokens, distinct k-grams; docs shorter than k tokens contribute
+    their whole token string; empty docs have zero grams). Output:
+    (doc_id, n_grams, n_hit, contaminated 0/1) for every training doc.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = text.lower().split()
+            if not toks:
+                sh = {""}  # sentinel row so empty docs stay in the output
+            elif len(toks) < k:
+                sh = {" ".join(toks)}
+            else:
+                sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+            for g in sorted(sh):
+                ids.append(d)
+                grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, id_type), "shingle": pa.array(grams)}
+        )
+
+    from ..util import compact_blocks
+
+    bench_rows = (
+        compact_blocks(bench_ds.map_batches(explode, batch_format="pyarrow"))
+        .groupby("shingle")
+        .count()
+        .take_all()
+    )
+    bench_ref = ray.put(
+        frozenset(r["shingle"] for r in bench_rows if r["shingle"])
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        s = ray.get(bench_ref)
+        grams = t["shingle"].to_pylist()
+        real = pa.array([g != "" for g in grams])
+        hit = pa.array([g != "" and g in s for g in grams])
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pc.cast(real, pa.int64()),
+                "n_hit": pc.cast(hit, pa.int64()),
+            }
+        )
+        # in-batch combiner: one row per doc per batch before the shuffle
+        agg = out.group_by("doc_id").aggregate(
+            [("n_grams", "sum"), ("n_hit", "sum")]
+        )
+        return agg.rename_columns(["doc_id", "n_grams", "n_hit"])
+
+    per_doc = (
+        compact_blocks(docs_ds.map_batches(explode, batch_format="pyarrow"))
+        .map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_hit", alias_name="n_hit"))
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_grams"], pa.float64())
+        h = pc.cast(t["n_hit"], pa.float64())
+        ratio = pc.if_else(pc.greater(n, 0.0), pc.divide(h, pc.max_element_wise(n, 1.0)), pa.scalar(0.0))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_hit": pc.cast(t["n_hit"], pa.int64()),
+                "contaminated": pc.cast(
+                    pc.greater_equal(ratio, threshold), pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(verdict, batch_format="pyarrow")

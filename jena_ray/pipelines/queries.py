@@ -1027,6 +1027,73 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C style n-gram
+    overlap): docs with doc_id % 10 == 7 act as the held-out eval set;
+    every other doc reports how many of its distinct word 3-grams also
+    occur in the benchmark, plus a 0/1 contamination verdict at 20%
+    overlap. Integer evidence columns keep the oracle compare
+    float-free except the threshold test (same IEEE division on both
+    sides)."""
+    from ..ops.dedup_text import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            # doc_id % 10 (non-negative ids; pyarrow divide truncates)
+            is_bench = pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 10), 10),
+                ),
+                7,
+            )
+            return t.filter(is_bench if keep_bench else pc.invert(is_bench))
+
+        return fn
+
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    return decontaminate(train, bench, k=3, threshold=0.2)
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ts, ' ')
+  FROM toks WHERE len(ts) > 0 AND len(ts) < 3
+),
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 10 = 7),
+train AS (SELECT * FROM shingles WHERE doc_id % 10 <> 7),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM train t LEFT JOIN bench b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       CAST(CASE WHEN n_hit * 1.0 / n_grams >= 0.2 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM toks WHERE len(ts) = 0 AND doc_id % 10 <> 7
+"""
+
+
 def q_embedding_near_dup_blocked(sf_dir: str):
     """Exact all-pairs near-dup with NO driver-side matrix: chunk-vs-chunk
     matmul tasks over object-store-resident normalized chunks."""
@@ -2919,6 +2986,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_blocked": (
@@ -2985,7 +3053,7 @@ _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
-    "dedup_paragraphs", "rule_backward_query",
+    "dedup_paragraphs", "rule_backward_query", "decontaminate",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

@@ -312,3 +312,36 @@ def test_paragraph_dedup_within_doc_repeat():
     docs = rd.from_items([{"doc_id": 7, "text": "p\n\np\n\nq"}])
     out = paragraph_dedup(docs).take_all()
     assert out == [{"doc_id": 7, "text": "p\n\nq"}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_overlapping_docs():
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import decontaminate
+
+    bench = rd.from_items([
+        {"doc_id": 900, "text": "the quick brown fox jumps over the lazy dog"},
+    ])
+    train = rd.from_items([
+        # verbatim benchmark leak → fully contaminated
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        # clean doc, zero overlap
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta"},
+        # partial overlap: leading 5 benchmark tokens inside fresh text
+        {"doc_id": 3, "text": "the quick brown fox jumps far away home now"},
+        # shorter than k → whole-string shingle, not in benchmark
+        {"doc_id": 4, "text": "quick brown"},
+        # empty doc → zero grams, not contaminated
+        {"doc_id": 5, "text": ""},
+    ])
+    out = {r["doc_id"]: r for r in
+           decontaminate(train, bench, k=3, threshold=0.2).take_all()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["n_hit"] == out[1]["n_grams"] == 7
+    assert out[1]["contaminated"] == 1
+    assert out[2]["n_hit"] == 0 and out[2]["contaminated"] == 0
+    assert out[3]["n_grams"] == 7 and out[3]["n_hit"] == 3
+    assert out[3]["contaminated"] == 1  # 3/7 ≥ 0.2
+    assert out[4]["n_grams"] == 1 and out[4]["n_hit"] == 0
+    assert out[5]["n_grams"] == 0 and out[5]["contaminated"] == 0
