@@ -114,3 +114,44 @@ def fingerprint_batch(b: pa.Table) -> pa.Table:
         [b["doc_id"].combine_chunks(), pa.array(fps, pa.int64())],
         names=["doc_id", "fingerprint"],
     )
+
+
+def repetition_batch(b: pa.Table) -> pa.Table:
+    """Repetition quality signals (Gopher data-quality filters, Rae et
+    al. 2021 §A1.1 — public practice): excessive word / n-gram
+    repetition marks low-quality machine-generated or boilerplate text.
+    Per doc: word counts, duplicate-word fraction, the most frequent
+    word's share, and the most frequent word-bigram's share. Pure
+    per-row kernel — embarrassingly parallel, no shuffle."""
+    from collections import Counter
+
+    ids = b["doc_id"].combine_chunks()
+    n_words, n_distinct = [], []
+    dup_frac, top_word, top_bigram = [], [], []
+    for text in b["text"].to_pylist():
+        toks = text.lower().split()
+        n = len(toks)
+        nd = len(set(toks))
+        n_words.append(n)
+        n_distinct.append(nd)
+        dup_frac.append(round(1.0 - nd / n, 6) if n else 0.0)
+        top_word.append(
+            round(Counter(toks).most_common(1)[0][1] / n, 6) if n else 0.0)
+        if n >= 2:
+            bigrams = Counter(zip(toks, toks[1:]))
+            top_bigram.append(
+                round(bigrams.most_common(1)[0][1] / (n - 1), 6))
+        else:
+            top_bigram.append(0.0)
+    return pa.Table.from_arrays(
+        [
+            ids,
+            pa.array(n_words, pa.int64()),
+            pa.array(n_distinct, pa.int64()),
+            pa.array(dup_frac, pa.float64()),
+            pa.array(top_word, pa.float64()),
+            pa.array(top_bigram, pa.float64()),
+        ],
+        names=["doc_id", "n_words", "n_distinct", "dup_word_frac",
+               "top_word_frac", "top_bigram_frac"],
+    )

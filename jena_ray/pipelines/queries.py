@@ -894,6 +894,64 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, top-word share, top-bigram share — the
+    machine-text / boilerplate signals a pre-training quality pass
+    thresholds on. Pure per-row kernel, no shuffle."""
+    from ..ops.textstats import repetition_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+wc AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT w) AS nd
+  FROM words GROUP BY doc_id
+),
+topw AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+),
+topb AS (
+  SELECT doc_id, max(c) AS mb FROM (
+    SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(wc.n, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(wc.nd, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN coalesce(wc.n, 0) > 0
+            THEN round(1.0 - wc.nd * 1.0 / wc.n, 6) ELSE 0.0
+       END AS dup_word_frac,
+       CASE WHEN coalesce(wc.n, 0) > 0
+            THEN round(topw.mc * 1.0 / wc.n, 6) ELSE 0.0
+       END AS top_word_frac,
+       CASE WHEN coalesce(wc.n, 0) >= 2
+            THEN round(topb.mb * 1.0 / (wc.n - 1), 6) ELSE 0.0
+       END AS top_bigram_frac
+FROM toks t
+LEFT JOIN wc USING (doc_id)
+LEFT JOIN topw USING (doc_id)
+LEFT JOIN topb USING (doc_id)
+"""
+
+
 SQL_DOC_QUALITY = r"""
 WITH toks AS (
   SELECT doc_id, text,
@@ -2983,6 +3041,7 @@ REGISTRY: dict[str, tuple] = {
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3053,7 +3112,7 @@ _SAMPLE_FIRST = [
     "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
-    "dedup_paragraphs", "rule_backward_query", "decontaminate",
+    "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

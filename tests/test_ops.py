@@ -345,3 +345,21 @@ def test_decontaminate_flags_overlapping_docs():
     assert out[3]["contaminated"] == 1  # 3/7 ≥ 0.2
     assert out[4]["n_grams"] == 1 and out[4]["n_hit"] == 0
     assert out[5]["n_grams"] == 0 and out[5]["contaminated"] == 0
+
+
+def test_repetition_batch_kernel():
+    from jena_ray.ops.textstats import repetition_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["spam spam spam spam", "all words here differ", "one", ""],
+    })
+    out = repetition_batch(b).to_pylist()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["dup_word_frac"] == 0.75
+    assert by[1]["top_word_frac"] == 1.0
+    assert by[1]["top_bigram_frac"] == 1.0
+    assert by[2]["dup_word_frac"] == 0.0
+    assert by[2]["top_word_frac"] == 0.25
+    assert by[3]["n_words"] == 1 and by[3]["top_bigram_frac"] == 0.0
+    assert by[4]["n_words"] == 0 and by[4]["dup_word_frac"] == 0.0
