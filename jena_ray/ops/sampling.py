@@ -1,0 +1,102 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference has no sampling operator (its unit of work is a graph,
+not a corpus); a 100 TB pre-training pipeline needs reproducible,
+resumable sampling — a random() filter is neither (re-running a failed
+shard would draw a different sample). All three samplers here key on a
+cryptographic hash of a stable id, so the sample is a pure FILTER:
+embarrassingly parallel, no shuffle, identical across retries and
+cluster sizes, and exactly mirrorable in SQL for the oracle.
+
+- ``hash_sample``: Bernoulli p — keep rows whose md5(key) prefix falls
+  below the rate threshold (the standard deterministic-split trick,
+  e.g. train/validation splitting by id hash).
+- ``stratified_sample``: per-stratum rates (e.g. downsample English,
+  keep low-resource languages) — one vectorized pass, rate looked up
+  per row.
+- ``bottomk_sample``: uniform WITHOUT replacement — the k rows with
+  the globally smallest md5(key) (bottom-k / min-wise sampling, public
+  sketch literature: Cohen & Kaplan, "Summarizing data using bottom-k
+  sketches", PODC'07). Distributed as a per-batch k-smallest combiner
+  before one tiny global sort+limit, so the shuffle carries at most
+  k rows per block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# 8 hex chars = 32 bits of the md5 — plenty for rate resolution, cheap
+# to compare, and reproducible in any SQL dialect via substr(md5(...))
+_PREFIX = 8
+_SPACE = 16 ** _PREFIX
+
+
+def _hash_prefix_col(t: pa.Table, key: str, n: int = _PREFIX) -> pa.Array:
+    vals = t[key].to_pylist()
+    return pa.array(
+        [hashlib.md5(str(v).encode()).hexdigest()[:n] for v in vals],
+        pa.string(),
+    )
+
+
+def _rate_to_hex(rate: float) -> str:
+    bound = min(max(int(rate * _SPACE), 0), _SPACE)
+    if bound >= _SPACE:
+        return "g"  # sorts after every hex digit → keep everything
+    return format(bound, f"0{_PREFIX}x")
+
+
+def hash_sample(ds, rate: float, key: str = "doc_id"):
+    """Deterministic Bernoulli(rate) sample keyed on md5(key)."""
+    bound = _rate_to_hex(rate)
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _hash_prefix_col(t, key)
+        return t.filter(pc.less(h, pa.scalar(bound)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, rates: dict[str, float], *,
+                      strata_col: str = "lang", default_rate: float = 0.0,
+                      key: str = "doc_id"):
+    """Per-stratum deterministic rates; strata missing from ``rates``
+    get ``default_rate``. One vectorized filter pass, no shuffle."""
+    bounds = {s: _rate_to_hex(r) for s, r in rates.items()}
+    default_bound = _rate_to_hex(default_rate)
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _hash_prefix_col(t, key)
+        strata = t[strata_col].to_pylist()
+        limit = pa.array(
+            [bounds.get(s, default_bound) for s in strata], pa.string())
+        return t.filter(pc.less(h, limit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def bottomk_sample(ds, k: int, key: str = "doc_id"):
+    """Uniform sample of exactly min(k, N) rows without replacement:
+    the k globally smallest md5(key) values. Per-batch combiner keeps
+    only k candidates per block, so the final sort+limit is tiny."""
+
+    def candidates(t: pa.Table) -> pa.Table:
+        # FULL digest: the sample must be exactly reproducible, so no
+        # prefix-collision ambiguity in the global order
+        h = _hash_prefix_col(t, key, n=32)
+        t = t.append_column("__h", h)
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows), sort_keys=[("__h", "ascending")])
+        return t.take(idx)
+
+    pruned = ds.map_batches(candidates, batch_format="pyarrow")
+    return (
+        pruned.sort("__h")
+        .limit(k)
+        .map_batches(lambda t: t.drop_columns(["__h"]),
+                     batch_format="pyarrow")
+    )

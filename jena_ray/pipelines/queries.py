@@ -1085,6 +1085,43 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling (ops/sampling.py): downsample
+    English to 25%, everything else to 50%, keyed on md5(doc_id) — a
+    reproducible, shuffle-free filter (re-running a failed shard keeps
+    the same sample), exactly mirrored by the SQL oracle."""
+    from ..ops.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        docs, {"en": 0.25}, default_rate=0.5
+    ).select_columns(["doc_id", "lang"])
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN lang = 'en' THEN '40000000' ELSE '80000000' END
+"""
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Uniform sample WITHOUT replacement of exactly k docs: the k
+    globally smallest md5(doc_id) values (bottom-k / min-wise sampling,
+    Cohen & Kaplan PODC'07). Per-batch k-smallest combiner, then one
+    tiny sort+limit — at most k rows leave each block."""
+    from ..ops.sampling import bottomk_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return bottomk_sample(docs, k=100).select_columns(["doc_id"])
+
+
+SQL_SAMPLE_BOTTOMK = """
+SELECT doc_id FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 appendix-C style n-gram
     overlap): docs with doc_id % 10 == 7 act as the held-out eval set;
@@ -3046,6 +3083,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_bottomk": (q_sample_bottomk, SQL_SAMPLE_BOTTOMK),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_blocked": (
@@ -3113,6 +3152,7 @@ _SAMPLE_FIRST = [
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
+    "sample_stratified", "sample_bottomk",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

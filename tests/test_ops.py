@@ -363,3 +363,41 @@ def test_repetition_batch_kernel():
     assert by[2]["top_word_frac"] == 0.25
     assert by[3]["n_words"] == 1 and by[3]["top_bigram_frac"] == 0.0
     assert by[4]["n_words"] == 0 and by[4]["dup_word_frac"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sampling_deterministic_and_exact():
+    import ray.data as rd
+
+    from jena_ray.ops.sampling import (bottomk_sample, hash_sample,
+                                       stratified_sample)
+
+    rows = [{"doc_id": i, "lang": "en" if i % 3 else "de"}
+            for i in range(400)]
+    ds = rd.from_items(rows)
+    a = sorted(r["doc_id"] for r in hash_sample(ds, 0.25).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(ds, 0.25).take_all())
+    assert a == b  # reproducible
+    assert 0.15 < len(a) / 400 < 0.35  # near the rate
+    sup = set(r["doc_id"] for r in hash_sample(ds, 0.5).take_all())
+    assert set(a) <= sup  # nested: raising the rate only adds rows
+
+    st = stratified_sample(ds, {"de": 1.0}, default_rate=0.0).take_all()
+    assert {r["lang"] for r in st} == {"de"}
+    assert len(st) == sum(1 for r in rows if r["lang"] == "de")
+
+    bk = bottomk_sample(ds, k=7).take_all()
+    assert len(bk) == 7
+    import hashlib
+    want = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(400)
+    )[:7]
+    assert sorted(r["doc_id"] for r in bk) == sorted(i for _, i in want)
+
+
+def test_rate_to_hex_bounds():
+    from jena_ray.ops.sampling import _rate_to_hex
+
+    assert _rate_to_hex(0.0) == "00000000"
+    assert _rate_to_hex(0.25) == "40000000"
+    assert _rate_to_hex(1.0) == "g"  # sorts after all hex → keep all
