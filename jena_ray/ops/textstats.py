@@ -155,3 +155,66 @@ def repetition_batch(b: pa.Table) -> pa.Table:
         names=["doc_id", "n_words", "n_distinct", "dup_word_frac",
                "top_word_frac", "top_bigram_frac"],
     )
+
+
+def tfidf_topk(docs_ds, k: int = 5, num_docs: int | None = None):
+    """Per-doc top-k terms by TF-IDF — the classic relevance/quality
+    feature (public: Sparck Jones 1972; idf = ln(N/df)). Distributed
+    two-pass shape: in-batch term counting (Counter per doc, one row
+    per (doc, term)), document frequency as ONE groupby(term), scores
+    attached by a hash join on term, then a per-doc top-k inside
+    groupby(doc_id).map_groups. Ties break on (score desc, term asc)
+    over the ROUNDED score so results are deterministic and exactly
+    SQL-mirrorable."""
+    import math
+    from collections import Counter
+
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for term, n in Counter(text.lower().split()).items():
+                ids.append(d)
+                terms.append(term)
+                tfs.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, id_type),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    from ..util import compact_blocks
+
+    terms = compact_blocks(docs_ds.map_batches(explode,
+                                               batch_format="pyarrow"))
+    n_docs = num_docs if num_docs is not None else docs_ds.count()
+    # one row per (doc, term) → groupby(term) count IS the document
+    # frequency; joined back by a hash join keyed on term
+    df = terms.groupby("term").count()
+    parts = max(2, min(256, n_docs // 10_000 or 2))
+    joined = terms.join(df, join_type="inner", num_partitions=parts,
+                        on=("term",))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], id_type),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64())})
+        tf = t["tf"].to_pylist()
+        dfs = t["count()"].to_pylist()
+        s = [round(a * math.log(n_docs / b), 6) for a, b in zip(tf, dfs)]
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "tfidf": pa.array(s, pa.float64())})
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            g, k=min(k, g.num_rows),
+            sort_keys=[("tfidf", "descending"), ("term", "ascending")])
+        return g.take(idx)
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )

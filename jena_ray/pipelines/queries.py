@@ -1085,6 +1085,45 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per doc (idf = ln(N/df)): in-batch term
+    counting, ONE groupby(term) for document frequency, hash join back
+    on term, per-doc top-k in map_groups. Deterministic ties on
+    (rounded score desc, term asc) so the SQL window oracle matches
+    exactly."""
+    from ..ops.textstats import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
+SQL_DOC_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  GROUP BY doc_id, w
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number()
+      OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+"""
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sampling (ops/sampling.py): downsample
     English to 25%, everything else to 50%, keyed on md5(doc_id) — a
@@ -3083,6 +3122,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "doc_tfidf": (q_doc_tfidf, SQL_DOC_TFIDF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_bottomk": (q_sample_bottomk, SQL_SAMPLE_BOTTOMK),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
@@ -3152,7 +3192,7 @@ _SAMPLE_FIRST = [
     "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
-    "sample_stratified", "sample_bottomk",
+    "sample_stratified", "sample_bottomk", "doc_tfidf",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

@@ -401,3 +401,29 @@ def test_rate_to_hex_bounds():
     assert _rate_to_hex(0.0) == "00000000"
     assert _rate_to_hex(0.25) == "40000000"
     assert _rate_to_hex(1.0) == "g"  # sorts after all hex → keep all
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_topk_ranks_distinctive_terms():
+    import ray.data as rd
+
+    from jena_ray.ops.textstats import tfidf_topk
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "common common unicorn"},
+        {"doc_id": 2, "text": "common common dragon dragon"},
+        {"doc_id": 3, "text": "common phoenix"},
+    ])
+    out = tfidf_topk(ds, k=2).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # the doc-unique term always outranks the corpus-wide one
+    assert by[1][0]["term"] == "unicorn"
+    assert by[2][0]["term"] == "dragon"
+    assert by[3][0]["term"] == "phoenix"
+    # 'common' appears in all 3 docs → idf = ln(3/3) = 0
+    for rows in by.values():
+        for r in rows:
+            if r["term"] == "common":
+                assert r["tfidf"] == 0.0
