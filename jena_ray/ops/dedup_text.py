@@ -836,3 +836,91 @@ def decontaminate(docs_ds, bench_ds, k: int = 3, threshold: float = 0.2):
         )
 
     return per_doc.map_batches(verdict, batch_format="pyarrow")
+
+
+def substring_dup_pairs(docs_ds, k: int = 24, df_cap: int = NGRAM_DF_CAP):
+    """Verbatim-span dedup: doc pairs sharing an EXACT k-character
+    substring (the copy-paste/boilerplate signal word-level Jaccard
+    misses — public practice: Lee et al. 2021, "Deduplicating training
+    data makes language models better", which uses suffix arrays; the
+    distributed realization here is the char-k-gram inversion of the
+    same test — two docs share a ≥k-char span iff they share a char
+    k-gram, so stride-1 k-grams give EXACT span detection).
+
+    Shuffle shape mirrors ngram_jaccard_pairs: explode to DISTINCT
+    char k-grams per doc → document-frequency stop filter (grams in
+    more than ``df_cap`` docs are boilerplate; dropped on BOTH sides,
+    so the SQL oracle mirrors it with HAVING) → one groupby(gram) for
+    candidate pairs → one groupby(pair) for shared-gram counts.
+    Scale note: stride-1 grams are ~len(text) rows per doc; at corpus
+    scale run per-partition suffix arrays or a strided index + dense
+    probe pass instead — the pair algebra downstream is unchanged."""
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, grams, hashes = [], [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if len(text) < k:
+                continue
+            sh = {text[i:i + k] for i in range(len(text) - k + 1)}
+            for g in sorted(sh):
+                ids.append(d)
+                grams.append(g)
+                hashes.append(zlib.crc32(g.encode()))
+        return pa.table(
+            {"doc_id": pa.array(ids, id_type), "g": pa.array(grams),
+             "h": pa.array(hashes, pa.int64())}
+        )
+
+    import ray
+
+    from ..util import compact_blocks
+
+    grams = compact_blocks(docs_ds.map_batches(explode,
+                                               batch_format="pyarrow"))
+    stop_rows = (
+        grams.groupby(["h", "g"])
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], df_cap))
+            if t.num_columns else t,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    stop_ref = ray.put(frozenset(r["g"] for r in stop_rows))
+
+    def drop_stop(t: pa.Table) -> pa.Table:
+        s = ray.get(stop_ref)
+        if not s:
+            return t
+        return t.filter(pa.array([g not in s for g in t["g"].to_pylist()]))
+
+    grams = compact_blocks(grams.map_batches(drop_stop,
+                                             batch_format="pyarrow"))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        if not rows:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame(rows, columns=["a", "b"])
+
+    pairs = (
+        grams.groupby(["h", "g"])
+        .map_groups(pairs_in_group, batch_format="pandas")
+    )
+    counted = pairs.groupby(["a", "b"]).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type),
+                             "shared": pa.array([], pa.int64())})
+        return pa.table({
+            "a": t["a"].combine_chunks().cast(id_type),
+            "b": t["b"].combine_chunks().cast(id_type),
+            "shared": t["count()"].combine_chunks().cast(pa.int64()),
+        })
+
+    return counted.map_batches(finish, batch_format="pyarrow")

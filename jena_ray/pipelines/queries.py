@@ -1085,6 +1085,32 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_dedup_substring(sf_dir: str):
+    """Verbatim-span dedup (Lee et al. 2021 signal): doc pairs sharing
+    an exact 24-char substring, with a document-frequency stop filter
+    (grams in >256 docs are boilerplate) — the copy-paste detector
+    word-level Jaccard misses. Integer evidence column keeps the
+    oracle compare float-free."""
+    from ..ops.dedup_text import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=24)
+
+
+SQL_DEDUP_SUBSTRING = r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, 24) AS g
+  FROM documents, UNNEST(range(1, len(text) - 24 + 2)) AS t(i)
+  WHERE len(text) >= 24
+),
+kept AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 256),
+gk AS (SELECT doc_id, g FROM grams JOIN kept USING (g))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+FROM gk x JOIN gk y ON x.g = y.g AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_doc_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per doc (idf = ln(N/df)): in-batch term
     counting, ONE groupby(term) for document frequency, hash join back
@@ -3123,6 +3149,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "doc_tfidf": (q_doc_tfidf, SQL_DOC_TFIDF),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_bottomk": (q_sample_bottomk, SQL_SAMPLE_BOTTOMK),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
@@ -3193,6 +3220,7 @@ _SAMPLE_FIRST = [
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
     "sample_stratified", "sample_bottomk", "doc_tfidf",
+    "dedup_substring",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",

@@ -427,3 +427,25 @@ def test_tfidf_topk_ranks_distinctive_terms():
         for r in rows:
             if r["term"] == "common":
                 assert r["tfidf"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_dup_pairs_detects_copied_span():
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import substring_dup_pairs
+
+    span = "THIS EXACT SPAN WAS COPIED VERBATIM INTO BOTH DOCS"
+    # distinct chars ADJACENT to the span on both sides, so no window
+    # crossing the span boundary is shared — shared count is exact
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "opening wordsX" + span + "Ytrailing one"},
+        {"doc_id": 2, "text": "different headQ" + span + "Zother tail"},
+        {"doc_id": 3, "text": "completely unrelated text with no overlap"},
+        {"doc_id": 4, "text": "short"},  # below k → no grams
+    ])
+    out = substring_dup_pairs(ds, k=24).take_all()
+    pairs = {(r["a"], r["b"]): r["shared"] for r in out}
+    assert set(pairs) == {(1, 2)}
+    # a shared span of length L yields L-k+1 shared k-grams
+    assert pairs[(1, 2)] == len(span) - 24 + 1
