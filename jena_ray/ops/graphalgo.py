@@ -254,3 +254,93 @@ def _pagerank_broadcast(edges_ds, *, damping: float = 0.85, iterations: int = 10
              "rank": pa.array([v for _, v in items], pa.float64())}
         )
     )
+
+
+def distinct_int_pairs(pairs_ds, cols=("a", "b"), *, num_parts: int = 64):
+    """DISTINCT over two int64 columns without Ray's slow multi-column
+    sort-groupby (measured 38 s for 265k rows at 8 cpus): per-batch
+    arrow group_by pre-dedup, ONE int64 hash-partition shuffle, then a
+    vectorized per-partition group_by — the stages/dedup.py int-hash
+    trick specialized to integer keys (hash collisions only affect
+    placement, never correctness)."""
+    import numpy as np
+
+    from ..util import compact_blocks
+
+    a_col, b_col = cols
+
+    def pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.select([a_col, b_col]).group_by([a_col, b_col]).aggregate([])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int64()))
+        a = t[a_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t[b_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        part = (h % np.uint64(num_parts)).astype("int64")
+        return t.append_column("part", pa.array(part))
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        out = t.select([a_col, b_col]).group_by([a_col, b_col]).aggregate([])
+        return out.rename_columns([a_col, b_col])
+
+    pre_ds = pairs_ds.map_batches(pre, batch_format="pyarrow",
+                                  batch_size=65536).map_batches(
+        add_part, batch_format="pyarrow", batch_size=65536
+    )
+    return compact_blocks(
+        pre_ds.groupby("part").map_groups(dedup_group, batch_format="pyarrow")
+    )
+
+
+def triangle_count(edges_ds, *, num_partitions: int | None = None):
+    """Distributed triangle counting over an undirected edge Dataset
+    with columns (a, b), a < b, distinct rows — the canonical
+    ordered-wedge join (public algorithm; e.g. Suri & Vassilvitskii,
+    WWW'11 MapReduce triangle counting): wedges (a<b<c) from
+    E(a,b) ⋈ E(b,c), closed by E(a,c). Two hash joins, no driver
+    state; skew note: ordering every edge low→high bounds wedge
+    generation by the HIGHER-degree endpoint's ordered degree, the
+    standard hot-vertex mitigation. Returns a one-row Dataset
+    (n_triangles).
+
+    The wedge join is materialized (compact_blocks) before the closing
+    join: two JoinOperators in ONE streaming plan each reserve their
+    partition aggregators up front and deadlock when the CPU pool is
+    smaller than the combined reservation. num_partitions defaults to
+    data-sized (edge count // 2M, capped 64) like every other join in
+    this package."""
+
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(c, c) for c in t.column_names])
+
+        return fn
+
+    from ..util import compact_blocks, fast_count
+
+    n_edges, e = fast_count(edges_ds)
+    if num_partitions is None:
+        num_partitions = max(1, min(64, n_edges // 2_000_000))
+    # wedge join on the middle vertex: (a,b) ⋈ (b,c)
+    left = e.map_batches(rename({"a": "a", "b": "m"}),
+                         batch_format="pyarrow")
+    right = e.map_batches(rename({"a": "m", "b": "c"}),
+                          batch_format="pyarrow")
+    wedges = compact_blocks(
+        left.join(right, join_type="inner",
+                  num_partitions=num_partitions, on=("m",))
+    )
+    # close the wedge: (a,c) must be an edge
+    closing = e.map_batches(rename({"b": "c"}), batch_format="pyarrow")
+    tri = wedges.join(closing, join_type="inner",
+                      num_partitions=num_partitions, on=("a", "c"))
+    n = tri.count()
+    import ray.data as rd
+
+    return rd.from_items([{"n_triangles": n}])

@@ -1085,6 +1085,59 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_graph_triangles(sf_dir: str):
+    """Distributed triangle counting (ordered-wedge join, Suri &
+    Vassilvitskii WWW'11) over a co-occurrence graph: users are
+    connected when they share an event-props key; triangles close via
+    two hash joins, ordering every edge low→high so wedge fan-out is
+    bounded by the ordered degree (the standard hot-vertex
+    mitigation)."""
+    import pandas as pd
+
+    from ..ops.graphalgo import distinct_int_pairs, triangle_count
+
+    ev = _read(sf_dir, "events", ["user_id", "props"])
+
+    def ku(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.replace_substring_regex(t["props"], r"[^0-9]", ""),
+            pa.int64(),
+        )
+        return pa.table({"k": k, "u": t["user_id"]}).group_by(
+            ["k", "u"]).aggregate([])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        us = sorted(g["u"].unique())
+        rows = [(a, b) for i, a in enumerate(us) for b in us[i + 1:]]
+        return pd.DataFrame(rows, columns=["a", "b"]) if rows else \
+            pd.DataFrame({"a": [], "b": []})
+
+    edges = distinct_int_pairs(
+        ev.map_batches(ku, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return triangle_count(edges)
+
+
+SQL_GRAPH_TRIANGLES = r"""
+WITH ku AS (
+  SELECT DISTINCT
+         CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k,
+         user_id AS u
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT x.u AS a, y.u AS b
+  FROM ku x JOIN ku y ON x.k = y.k AND x.u < y.u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.a
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def q_dedup_substring(sf_dir: str):
     """Verbatim-span dedup (Lee et al. 2021 signal): doc pairs sharing
     an exact 24-char substring, with a document-frequency stop filter
@@ -3150,6 +3203,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "doc_tfidf": (q_doc_tfidf, SQL_DOC_TFIDF),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_bottomk": (q_sample_bottomk, SQL_SAMPLE_BOTTOMK),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
@@ -3220,7 +3274,7 @@ _SAMPLE_FIRST = [
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
     "sample_stratified", "sample_bottomk", "doc_tfidf",
-    "dedup_substring",
+    "dedup_substring", "graph_triangles",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
