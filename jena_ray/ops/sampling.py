@@ -79,6 +79,37 @@ def stratified_sample(ds, rates: dict[str, float], *,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def per_key_cap(ds, k: int, *, group_col: str = "source",
+                key: str = "doc_id"):
+    """Keep at most ``k`` rows per group — the per-host / per-domain
+    quota cap every web-corpus pipeline applies so one crawl-heavy site
+    can't dominate the corpus. Deterministic: within a group, survivors
+    are the k rows with the smallest full md5(key) (reproducible across
+    retries and cluster sizes; mirrors a SQL row_number() OVER
+    (PARTITION BY group ORDER BY md5(key)) <= k).
+
+    Distributed shape: a per-batch combiner first prunes every group to
+    its k local smallest, so the single shuffle on the group column
+    carries at most k rows per (block, group) — a hot domain contributes
+    k rows per block, not its full row count."""
+    import pandas as pd
+
+    def prune(t: pa.Table) -> pa.Table:
+        h = _hash_prefix_col(t, key, n=32)
+        df = t.append_column("__h", h).to_pandas()
+        df = df.sort_values("__h", kind="mergesort").groupby(
+            group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def head_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("__h", kind="mergesort").head(k).drop(
+            columns="__h")
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.groupby(group_col).map_groups(
+        head_group, batch_format="pandas")
+
+
 def bottomk_sample(ds, k: int, key: str = "doc_id"):
     """Uniform sample of exactly min(k, N) rows without replacement:
     the k globally smallest md5(key) values. Per-batch combiner keeps

@@ -1085,6 +1085,115 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def q_dedup_fuzzy_clusters(sf_dir: str):
+    """End-to-end fuzzy dedup — the standard web-corpus shape (e.g.
+    SlimPajama / BigCode pipelines): near-dup pairs → connected
+    components over the pair graph → one representative per cluster
+    (min doc_id) → keep/drop verdict per document. The pair stage here
+    is the exact n-gram Jaccard operator so the WHOLE pipeline is
+    SQL-oracle-able; at 100 TB the pair stage swaps for
+    minhash_lsh_pairs — the downstream CC + representative selection
+    is identical. Returns (doc_id, rep, kept) for every document."""
+    from ..stages.sameas import components_distributed
+    from ..ops.dedup_text import ngram_jaccard_pairs
+    from ..util import compact_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3)
+
+    # components_distributed labels over strings; zero-pad so string-min
+    # == numeric-min for int64 doc ids
+    def pad(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"a": pa.array([], pa.large_string()),
+                             "b": pa.array([], pa.large_string())})
+        return pa.table({
+            "a": pc.utf8_lpad(pc.cast(t["a"], pa.string()), 12, "0")
+            .combine_chunks(),
+            "b": pc.utf8_lpad(pc.cast(t["b"], pa.string()), 12, "0")
+            .combine_chunks(),
+        })
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        pad, batch_format="pyarrow")
+    comp = components_distributed(edges)
+
+    def unpad(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "__rep": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pc.cast(t["node"], pa.int64()).combine_chunks(),
+            "__rep": pc.cast(t["rep"], pa.int64()).combine_chunks(),
+        })
+
+    comp_int = compact_blocks(comp.map_batches(unpad, batch_format="pyarrow"))
+    ids = compact_blocks(docs.select_columns(["doc_id"]))
+    n_parts = max(1, min(64, ids.count() // 2_000_000))
+    joined = ids.join(comp_int, join_type="left_outer",
+                      num_partitions=n_parts, on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.bool_())})
+        doc = t["doc_id"].combine_chunks()
+        rep = pc.coalesce(t["__rep"].combine_chunks(), doc)
+        return pa.table({"doc_id": doc, "rep": rep,
+                         "kept": pc.equal(rep, doc)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEDUP_FUZZY_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ts, ' ')
+  FROM toks WHERE len(ts) > 0 AND len(ts) < 3
+  UNION
+  SELECT DISTINCT doc_id, '' FROM toks WHERE len(ts) = 0
+),
+kept_sh AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 256
+),
+sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN kept_sh USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM pairs0
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.rep, d.doc_id) AS rep,
+       coalesce(c.rep, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_graph_triangles(sf_dir: str):
     """Distributed triangle counting (ordered-wedge join, Suri &
     Vassilvitskii WWW'11) over a co-occurrence graph: users are
@@ -1237,6 +1346,28 @@ def q_sample_bottomk(sf_dir: str):
 SQL_SAMPLE_BOTTOMK = """
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+"""
+
+
+def q_sample_per_key_cap(sf_dir: str):
+    """Per-source quota cap (the per-host/domain cap every web pipeline
+    applies so one crawl-heavy site can't dominate): keep at most 30
+    docs per source, chosen deterministically as the md5(doc_id)
+    bottom-30 of each group. Per-batch combiner bounds the shuffle to
+    k rows per (block, group)."""
+    from ..ops.sampling import per_key_cap
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return per_key_cap(docs, k=30, group_col="source", key="doc_id")
+
+
+SQL_SAMPLE_PER_KEY_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+WHERE rn <= 30
 """
 
 
@@ -3204,8 +3335,10 @@ REGISTRY: dict[str, tuple] = {
     "doc_tfidf": (q_doc_tfidf, SQL_DOC_TFIDF),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "dedup_fuzzy_clusters": (q_dedup_fuzzy_clusters, SQL_DEDUP_FUZZY_CLUSTERS),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_bottomk": (q_sample_bottomk, SQL_SAMPLE_BOTTOMK),
+    "sample_per_key_cap": (q_sample_per_key_cap, SQL_SAMPLE_PER_KEY_CAP),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "embedding_near_dup_blocked": (
@@ -3274,7 +3407,8 @@ _SAMPLE_FIRST = [
     "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
     "sample_stratified", "sample_bottomk", "doc_tfidf",
-    "dedup_substring", "graph_triangles",
+    "dedup_substring", "graph_triangles", "dedup_fuzzy_clusters",
+    "sample_per_key_cap",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
