@@ -157,6 +157,51 @@ def repetition_batch(b: pa.Table) -> pa.Table:
     )
 
 
+def vocab_topk(docs_ds, k: int = 1000, pattern: str = r"[a-z0-9]+"):
+    """Global vocabulary: the corpus's top-k terms by frequency — the
+    first pass of any tokenizer/vocab build (BPE/WordPiece corpus
+    statistics). The classic distributed word-count shape: per-batch
+    Counter partial aggregation (combiner — the shuffle carries one row
+    per (block, term), not per occurrence), ONE groupby(term) sum,
+    per-block top-k pruning, then a tiny global sort+limit. Ties break
+    (count desc, term asc) so the cutoff is deterministic and
+    SQL-mirrorable."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(pattern)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in b["text"].to_pylist():
+            c.update(tok.findall(text.lower()))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.select_k_unstable(
+            t, k=min(k, t.num_rows),
+            sort_keys=[("cnt", "descending"), ("term", "ascending")])
+        return t.take(idx)
+
+    return (
+        counts.map_batches(prune, batch_format="pyarrow")
+        .sort(key=["cnt", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def tfidf_topk(docs_ds, k: int = 5, num_docs: int | None = None):
     """Per-doc top-k terms by TF-IDF — the classic relevance/quality
     feature (public: Sparck Jones 1972; idf = ln(N/df)). Distributed

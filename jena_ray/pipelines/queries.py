@@ -1312,6 +1312,87 @@ SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
 """
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: top-500 terms by global frequency — the first
+    pass of a tokenizer/vocab build. Distributed word-count with a
+    per-batch Counter combiner (the shuffle carries one row per
+    (block, term)), one groupby(term) sum, per-block top-k pruning and
+    a tiny global sort+limit. Deterministic cutoff on (count desc,
+    term asc)."""
+    from ..ops.textstats import vocab_topk
+
+    return vocab_topk(_read(sf_dir, "documents", ["text"]), k=500)
+
+
+SQL_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+)
+SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 500
+"""
+
+
+def q_chunk_windows(sf_dir: str):
+    """Passage chunking (ops/chunking.py): whitespace-token windows of
+    64 tokens every 48 (RAG-index / sequence-packing shape). Pure
+    flat-map, no shuffle; empty docs produce no chunks. Chunk text is
+    hashed to md5 for the compare so the oracle diff stays narrow."""
+    from ..ops.chunking import chunk_windows
+
+    chunks = chunk_windows(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        window=64, stride=48,
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        if t.num_columns == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_md5": pa.array([], pa.string()),
+            })
+        md5 = [hashlib.md5(s.encode()).hexdigest()
+               for s in t["chunk_text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "chunk_id": t["chunk_id"],
+            "start_tok": t["start_tok"],
+            "n_tokens": t["n_tokens"],
+            "chunk_md5": pa.array(md5, pa.string()),
+        })
+
+    return chunks.map_batches(digest, batch_format="pyarrow")
+
+
+SQL_CHUNK_WINDOWS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ts, CAST(i AS BIGINT) AS start_tok
+  FROM toks, UNNEST(range(0, len(ts), 48)) AS g(i)
+)
+SELECT doc_id,
+       start_tok // 48 AS chunk_id,
+       start_tok,
+       CAST(least(64, len(ts) - start_tok) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ts[start_tok + 1 : least(start_tok + 64, len(ts))],
+                           ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sampling (ops/sampling.py): downsample
     English to 25%, everything else to 50%, keyed on md5(doc_id) — a
@@ -3333,6 +3414,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "doc_tfidf": (q_doc_tfidf, SQL_DOC_TFIDF),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "dedup_fuzzy_clusters": (q_dedup_fuzzy_clusters, SQL_DEDUP_FUZZY_CLUSTERS),
@@ -3408,7 +3491,7 @@ _SAMPLE_FIRST = [
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
     "sample_stratified", "sample_bottomk", "doc_tfidf",
     "dedup_substring", "graph_triangles", "dedup_fuzzy_clusters",
-    "sample_per_key_cap",
+    "sample_per_key_cap", "vocab_topk", "chunk_windows",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
