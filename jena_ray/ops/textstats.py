@@ -157,6 +157,45 @@ def repetition_batch(b: pa.Table) -> pa.Table:
     )
 
 
+class QualityScorer:
+    """Batched quality-model inference — the actor-pool 'model scoring'
+    stage shape: the model (here a deterministic linear scorer over the
+    quality_batch features, so the pipeline is SQL-oracle-able; at
+    scale swap in a real classifier) is built ONCE per actor in
+    __init__, scoring is one vectorized pass per batch in __call__.
+    Emits (doc_id, score, keep) with score = w·x + bias rounded to 6
+    and keep = score > threshold."""
+
+    def __init__(self, weights: dict | None = None, bias: float = 0.5,
+                 threshold: float = 0.55):
+        self.w = weights or {
+            "stopword_ratio": 2.0, "mean_token_len": -0.1, "n_dots": 0.01,
+        }
+        self.bias = bias
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        feats = quality_batch(b)
+        # fixed evaluation order (left-assoc sum) so the oracle's SQL
+        # expression produces bit-identical doubles
+        score = pc.multiply(feats["stopword_ratio"],
+                            pa.scalar(self.w["stopword_ratio"]))
+        score = pc.add(score, pc.multiply(feats["mean_token_len"],
+                                          pa.scalar(self.w["mean_token_len"])))
+        score = pc.add(score, pc.multiply(
+            pc.cast(feats["n_dots"], pa.float64()),
+            pa.scalar(self.w["n_dots"])))
+        # DuckDB round() is half-away-from-zero; pyarrow defaults to
+        # half-to-even — ties at the 7th digit would diverge
+        score = pc.round(pc.add(score, pa.scalar(self.bias)), ndigits=6,
+                         round_mode="half_towards_infinity")
+        return pa.table({
+            "doc_id": feats["doc_id"],
+            "score": score,
+            "keep": pc.greater(score, pa.scalar(self.threshold)),
+        })
+
+
 def vocab_topk(docs_ds, k: int = 1000, pattern: str = r"[a-z0-9]+"):
     """Global vocabulary: the corpus's top-k terms by frequency — the
     first pass of any tokenizer/vocab build (BPE/WordPiece corpus

@@ -969,6 +969,45 @@ FROM toks
 """
 
 
+def q_quality_score(sf_dir: str):
+    """Batched quality-model inference (ops/textstats.QualityScorer):
+    a stateful actor-pool stage — model built once per actor in
+    __init__, one vectorized scoring pass per batch — over the
+    quality_batch features with deterministic linear weights so the
+    whole 'score and filter' pipeline is SQL-oracle-able."""
+    from ..ops.textstats import QualityScorer
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=2
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         round(len(list_filter(t, x -> list_contains(
+             ['the','and','of','a','to','in','is','it','for','on'], x)))
+             / greatest(1, len(t))::double, 6) AS stopword_ratio,
+         round(list_sum(list_transform(t, x -> length(x)))
+             / greatest(1, len(t))::double, 6) AS mean_token_len,
+         length(text) - length(replace(text, '.', '')) AS n_dots
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         round(2.0 * stopword_ratio + (-0.1) * mean_token_len
+               + 0.01 * n_dots + 0.5, 6) AS score
+  FROM feats
+)
+SELECT doc_id, score, score > 0.55 AS keep FROM scored
+"""
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from ..ops.dedup_text import exact_dedup_docs
 
@@ -3408,6 +3447,7 @@ REGISTRY: dict[str, tuple] = {
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_normalized_docs": (q_dedup_normalized_docs, SQL_DEDUP_NORMALIZED_DOCS),
@@ -3491,7 +3531,7 @@ _SAMPLE_FIRST = [
     "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
     "sample_stratified", "sample_bottomk", "doc_tfidf",
     "dedup_substring", "graph_triangles", "dedup_fuzzy_clusters",
-    "sample_per_key_cap", "vocab_topk", "chunk_windows",
+    "sample_per_key_cap", "vocab_topk", "chunk_windows", "quality_score",
     "sparql_order_typed", "sparql_subquery", "sparql_graph",
     "sparql_optional", "sparql_exists", "sparql_expr_funcs",
     "sparql_group_concat", "shacl_sparql", "sparql_update",
