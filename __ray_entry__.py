@@ -162,6 +162,22 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return mf(interleaved_docs(sf_dir), concurrency=2)
 
+    def media_resize(sf_dir: str):
+        from jena_ray.ops.multimodal import media_features as mf
+        from jena_ray.ops.multimodal import media_resize as rz
+        from jena_ray.sources.docs import interleaved_docs
+
+        return rz(mf(interleaved_docs(sf_dir), concurrency=2),
+                  max_w=128, max_h=96, concurrency=2)
+
+    def media_frame_sample(sf_dir: str):
+        from jena_ray.ops.multimodal import media_features as mf
+        from jena_ray.ops.multimodal import media_frame_sample as fs
+        from jena_ray.sources.docs import interleaved_docs
+
+        return fs(mf(interleaved_docs(sf_dir), concurrency=2),
+                  k=4, concurrency=2)
+
     def kg_skolemized(sf_dir: str):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -307,6 +323,8 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "approx_count_distinct": approx_count_distinct,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "media_features": media_features,
+        "media_resize": media_resize,
+        "media_frame_sample": media_frame_sample,
         "hash_variants": _hash_variants,
     }
 

@@ -89,9 +89,139 @@ class MediaFeatureExtractor:
 def media_features(docs_ds, concurrency=2, batch_size: int = 64):
     """Small batch_size: media rows are wide; concurrency × batch must fit
     worker heaps (SURVEY §4 memory-pressure row)."""
+    # num_cpus=0.5: decode stubs are cheap; fractional reservation lets a
+    # chained downstream actor pool (resize / frame-sample) co-schedule on
+    # a small CPU pool instead of deadlocking on whole-CPU reservations
     return docs_ds.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("out_width", pa.int32()),
+        ("out_height", pa.int32()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: fit each media item into a target box,
+    preserving aspect ratio (integer floor math — deterministic across
+    retries). The pixel resample itself is the stubbed decode step; the
+    DIMENSION plan is the real, testable output a downstream writer or
+    thumbnailer consumes."""
+
+    def __init__(self, max_w: int = 256, max_h: int = 256):
+        self.max_w = max_w
+        self.max_h = max_h
+
+    def _plan(self, w: int, h: int) -> tuple[int, int]:
+        if w <= self.max_w and h <= self.max_h:
+            return w, h
+        if w * self.max_h <= h * self.max_w:
+            # height binds: scale = max_h / h
+            return max(1, w * self.max_h // h), self.max_h
+        # width binds: scale = max_w / w
+        return self.max_w, max(1, h * self.max_w // w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out = [self._plan(w, h) for w, h in zip(ws, hs)]
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"].combine_chunks().cast(pa.string()),
+                batch["media_ref"].combine_chunks().cast(pa.string()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array([o[0] for o in out], pa.int32()),
+                pa.array([o[1] for o in out], pa.int32()),
+            ],
+            schema=RESIZE_SCHEMA,
+        )
+
+
+FRAME_SAMPLE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("frame_ref", pa.string()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: k uniformly spaced frames per
+    media item (idx_i = floor(i * n_frames / k), deduplicated for short
+    clips) — the standard video keyframe subsample before per-frame
+    feature extraction. One output row per sampled frame; frame_ref is
+    the addressable '<media_ref>#<idx>' the (stubbed) decoder would
+    fetch."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, refs, idxs, frefs = [], [], [], []
+        for d, r, n in zip(
+            batch["doc_id"].to_pylist(),
+            batch["media_ref"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+        ):
+            seen = set()
+            for i in range(self.k):
+                idx = i * n // self.k
+                if idx in seen:
+                    continue
+                seen.add(idx)
+                doc_ids.append(d)
+                refs.append(r)
+                idxs.append(idx)
+                frefs.append(f"{r}#{idx}")
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.array(refs, pa.string()),
+                pa.array(idxs, pa.int32()),
+                pa.array(frefs, pa.string()),
+            ],
+            schema=FRAME_SAMPLE_SCHEMA,
+        )
+
+
+def media_resize(features_ds, *, max_w: int = 256, max_h: int = 256,
+                 concurrency=2, batch_size: int = 64):
+    """Resize plan over the media_features output (or any table with
+    doc_id/media_ref/width/height)."""
+    return features_ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+def media_frame_sample(features_ds, *, k: int = 4, concurrency=2,
+                       batch_size: int = 64):
+    """Uniform k-frame subsample over the media_features output (or any
+    table with doc_id/media_ref/n_frames)."""
+    return features_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
     )

@@ -119,6 +119,52 @@ def test_media_features_plumbing():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_media_resize_plan():
+    from jena_ray.ops.multimodal import (MediaResizer, media_features,
+                                         media_resize)
+    from jena_ray.sources.docs import interleaved_docs
+
+    out = media_resize(media_features(interleaved_docs(SF), concurrency=2),
+                       max_w=128, max_h=96, concurrency=2)
+    rows = out.take(10)
+    assert rows
+    for r in rows:
+        assert 1 <= r["out_width"] <= 128 and 1 <= r["out_height"] <= 96
+        # aspect preserved within floor rounding: out_w/out_h ≈ w/h
+        if r["width"] > 128 or r["height"] > 96:
+            assert r["out_width"] == 128 or r["out_height"] == 96
+    # unit geometry: landscape binds width, portrait binds height,
+    # small images pass through
+    rz = MediaResizer(max_w=128, max_h=96)
+    assert rz._plan(100, 50) == (100, 50)
+    assert rz._plan(1280, 480) == (128, 48)
+    assert rz._plan(480, 960) == (48, 96)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_frame_sample():
+    from jena_ray.ops.multimodal import (FrameSampler, media_features,
+                                         media_frame_sample)
+    from jena_ray.sources.docs import interleaved_docs
+
+    feats = media_features(interleaved_docs(SF), concurrency=2)
+    out = media_frame_sample(feats, k=4, concurrency=2)
+    rows = out.take(20)
+    assert rows
+    for r in rows:
+        assert r["frame_ref"] == f"{r['media_ref']}#{r['frame_idx']}"
+    # per-item: k uniformly spaced distinct indices, fewer for short clips
+    import pyarrow as pa
+
+    fs = FrameSampler(k=4)
+    t = pa.table({"doc_id": ["d"], "media_ref": ["m"], "n_frames": [10]})
+    got = fs(t)
+    assert got["frame_idx"].to_pylist() == [0, 2, 5, 7]
+    t1 = pa.table({"doc_id": ["d"], "media_ref": ["m"], "n_frames": [2]})
+    assert fs(t1)["frame_idx"].to_pylist() == [0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_media_decode_real_is_stubbed():
     from jena_ray.ops.multimodal import decode_real
 
