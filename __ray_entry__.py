@@ -135,6 +135,46 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
                                   pa.float64())}
         )
 
+    def bloom_filter_probe(sf_dir: str):
+        # rows-only: Bloom membership is FP-approximate by design; the
+        # test bounds the FP rate and asserts zero false negatives
+        import ray.data as rd
+
+        from jena_ray.ops.sketches import bloom_build, bloom_probe
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+        def every_third(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            return t.filter(pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3)), 0))
+
+        third = docs.map_batches(every_third, batch_format="pyarrow")
+        bits = bloom_build(third, "doc_id", m_bits=1 << 17, k=5)
+        return bloom_probe(docs, "doc_id", bits, k=5)
+
+    def countmin_heavy_hitters(sf_dir: str):
+        # rows-only: Count-Min overcounts by design; the test bounds
+        # the error at e·N/width
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jena_ray.ops.sketches import countmin_build, countmin_estimate
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+        sk = countmin_build(ev, "user_id", width=1 << 14)
+        probes = [r["user_id"] for r in ev.limit(64).take_all()]
+        est = countmin_estimate(sk, probes)
+        return pa.table({
+            "user_id": pa.array(probes, pa.int64()),
+            "est_count": pa.array(est.tolist(), pa.int64()),
+        })
+
     def ann_ivf(sf_dir: str):
         import ray.data as rd
 
@@ -321,6 +361,8 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "approx_count_distinct": approx_count_distinct,
+        "bloom_filter_probe": bloom_filter_probe,
+        "countmin_heavy_hitters": countmin_heavy_hitters,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "media_features": media_features,
         "media_resize": media_resize,

@@ -303,6 +303,55 @@ def test_hll_approx_count_distinct():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bloom_filter_no_false_negatives_bounded_fp():
+    """Bloom membership: every built key probes True (no false
+    negatives); non-members probe True at a bounded rate; the built
+    filter is partition-independent (merge is bitwise OR)."""
+    import ray.data as rd
+
+    from jena_ray.ops.sketches import bloom_build, bloom_probe
+
+    keys = rd.from_items([{"k": f"key-{i}"} for i in range(5000)])
+    bits = bloom_build(keys, "k", m_bits=1 << 17, k=5)
+    assert bits == bloom_build(keys.repartition(7), "k", m_bits=1 << 17, k=5)
+
+    members = bloom_probe(keys, "k", bits, k=5).take_all()
+    assert all(r["maybe_member"] for r in members)
+
+    others = rd.from_items([{"k": f"other-{i}"} for i in range(5000)])
+    fp = sum(r["maybe_member"] for r in bloom_probe(others, "k", bits,
+                                                    k=5).take_all())
+    # m/n = 26 bits/key, k=5 → theoretical FP ~0.1%; allow 1%
+    assert fp < 50, fp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_countmin_heavy_hitters():
+    """Count-Min: estimates never undercount, heavy hitters are exact
+    within e·N/width, and the sketch is partition-independent (merge
+    is elementwise sum)."""
+    import numpy as np
+    import ray.data as rd
+
+    from jena_ray.ops.sketches import countmin_build, countmin_estimate
+
+    rows = [{"k": "heavy-a"}] * 3000 + [{"k": "heavy-b"}] * 1500 + [
+        {"k": f"tail-{i % 997}"} for i in range(10000)
+    ]
+    ds = rd.from_items(rows)
+    sk = countmin_build(ds, "k", width=1 << 14)
+    assert np.array_equal(sk, countmin_build(ds.repartition(11), "k",
+                                             width=1 << 14))
+
+    est = countmin_estimate(sk, ["heavy-a", "heavy-b", "absent"])
+    n = len(rows)
+    slack = np.e * n / (1 << 14)
+    assert 3000 <= est[0] <= 3000 + slack
+    assert 1500 <= est[1] <= 1500 + slack
+    assert est[2] <= slack
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_hot_bucket_chain_degrades():
     """A segment bucket beyond MAX_BUCKET_ALLPAIRS chain-degrades to O(n)
     sorted-successor pairs instead of O(n²) all-pairs (VERDICT r2 #3);
