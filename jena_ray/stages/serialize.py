@@ -216,6 +216,72 @@ def results_xml(ds) -> str:
     )
 
 
+def results_csv(ds) -> str:
+    """W3C SPARQL 1.1 CSV results (riot/rowset/rw/RowSetWriterCSV.java):
+    header of bare variable names, plain lexical forms (IRIs bare,
+    bnodes ``_:label``), RFC 4180 quoting. Driver-assembled (see
+    results_tsv); stream big row sets with write_results(fmt="csv")."""
+    from ..model import KIND_BNODE
+
+    def _cell(lex, kind, dt, lang) -> str:
+        if lex is None:
+            return ""
+        s = f"_:{lex}" if kind == KIND_BNODE else str(lex)
+        if any(c in s for c in (",", '"', "\n", "\r")):
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    lines: list[str] = []
+    variables: list[str] | None = None
+    for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        if variables is None:
+            variables = _binding_vars(t.schema.names)
+            lines.append(",".join(variables))
+        for row in _row_terms(t, variables):
+            lines.append(",".join(_cell(*row[v]) for v in variables))
+    if variables is None:
+        return "\r\n"
+    return "\r\n".join(lines) + "\r\n"
+
+
+def results_json(ds) -> str:
+    """W3C SPARQL 1.1 Results JSON (riot/rowset/rw/RowSetWriterJSON.java):
+    ``{"head": {"vars": [...]}, "results": {"bindings": [...]}}`` with
+    typed term objects. Driver-assembled (see results_tsv)."""
+    import json as _json
+
+    from ..model import KIND_BNODE, KIND_IRI, XSD_STRING
+
+    bindings: list[dict] = []
+    variables: list[str] | None = None
+    for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        if variables is None:
+            variables = _binding_vars(t.schema.names)
+        for row in _row_terms(t, variables):
+            b = {}
+            for v in variables:
+                lex, kind, dt, lang = row[v]
+                if lex is None:
+                    continue  # unbound: member omitted, per the format
+                if kind == KIND_IRI:
+                    b[v] = {"type": "uri", "value": str(lex)}
+                elif kind == KIND_BNODE:
+                    b[v] = {"type": "bnode", "value": str(lex)}
+                else:
+                    term: dict = {"type": "literal", "value": str(lex)}
+                    if lang:
+                        term["xml:lang"] = lang
+                    elif dt and dt != XSD_STRING:
+                        term["datatype"] = dt
+                    b[v] = term
+            bindings.append(b)
+    return _json.dumps(
+        {"head": {"vars": variables or []},
+         "results": {"bindings": bindings}},
+        indent=2,
+    ) + "\n"
+
+
 def write_results(ds, out_dir: str, fmt: str = "csv"):
     """Result-set writers (rows, not triples) — the analog of the
     reference's SPARQL result-set serializers (riot/rowset/rw/,
@@ -227,11 +293,12 @@ def write_results(ds, out_dir: str, fmt: str = "csv"):
         ds.write_json(out_dir)
     elif fmt == "parquet":
         ds.write_parquet(out_dir)
-    elif fmt in ("tsv", "xml"):
+    elif fmt in ("tsv", "xml", "srj"):
         import os
 
         os.makedirs(out_dir, exist_ok=True)
-        text = results_tsv(ds) if fmt == "tsv" else results_xml(ds)
+        text = {"tsv": results_tsv, "xml": results_xml,
+                "srj": results_json}[fmt](ds)
         path = os.path.join(out_dir, f"results.{fmt}")
         with open(path, "w", encoding="utf-8") as f:
             f.write(text)
