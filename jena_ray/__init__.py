@@ -34,14 +34,16 @@ def read(paths, **kw):
     return read_rdf(paths, **kw)
 
 
-def query(source, query_text: str):
+def query(source, query_text: str, with_meta: bool = False):
     """Run a SPARQL query (SELECT / ASK / CONSTRUCT subset — see
-    ops/sparql.py) over a triple Dataset or RDF file path(s)."""
+    ops/sparql.py) over a triple Dataset or RDF file path(s).
+    ``with_meta=True`` keeps SELECT results' hidden term-metadata
+    columns for typed result-set serialization (CLI / writers)."""
     from .ops.sparql import sparql_query
 
     if isinstance(source, (str, list, tuple)):
         source = read(source)
-    return sparql_query(source, query_text)
+    return sparql_query(source, query_text, with_meta=with_meta)
 
 
 def update(source, update_text: str):

@@ -78,7 +78,26 @@ def _run_kg(ns) -> dict:
         ns.sf_dir, ns.out, num_shards=ns.shards, reps=ns.reps
     )
     triples_dir = os.path.join(ns.out, "triples")
-    materialize(final, triples_dir)
+    done_marker = triples_dir + "._DONE"
+    if stats.get("shards_computed", 1) == 0 and os.path.exists(done_marker):
+        # all phase-1 shards skipped via lineage manifests and the triple
+        # table finished on a prior submit — phase 2 is idempotent on the
+        # same shards, so the existing table is current; re-materializing
+        # would APPEND a second full copy (Ray write_parquet appends with
+        # per-run UUID filenames)
+        pass
+    else:
+        if os.path.isdir(triples_dir):
+            # partial/previous table: rewrite from scratch (atomic-ish:
+            # the _DONE marker is only written after a full materialize)
+            import shutil
+
+            if os.path.exists(done_marker):
+                os.remove(done_marker)
+            shutil.rmtree(triples_dir)
+        materialize(final, triples_dir)
+        with open(done_marker, "w") as f:
+            f.write("ok\n")
     wall = time.monotonic() - t0
     import ray.data as rd
 
@@ -112,7 +131,7 @@ def _run_query(ns) -> dict:
     )
 
     text = ns.query if ns.query is not None else open(ns.query_file).read()
-    res = run_query(ns.data, text)
+    res = run_query(ns.data, text, with_meta=True)
 
     fmt = ns.format
     if fmt is None and ns.out:
@@ -124,7 +143,8 @@ def _run_query(ns) -> dict:
         fmt = fmt or "json"
     elif "s_kind" in res.schema().names:  # CONSTRUCT → triples
         lines = res.map_batches(format_nt_batch, batch_format="pyarrow")
-        payload = "".join(r["line"] for r in lines.take_all())
+        rows = [r["line"] for r in lines.take_all()]
+        payload = "\n".join(rows) + ("\n" if rows else "")
         fmt = "nt"
     else:  # SELECT bindings
         if fmt not in ("tsv", "xml", "json", "csv"):

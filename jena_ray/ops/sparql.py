@@ -7816,9 +7816,12 @@ def sparql_describe(triples_ds, query_text: str, base: str = "",
     return exact_dedup(out.map_batches(to_default, batch_format="pyarrow"))
 
 
-def sparql_query(triples_ds, query_text: str):
+def sparql_query(triples_ds, query_text: str, with_meta: bool = False):
     """Form dispatcher: SELECT → binding Dataset, ASK → bool,
-    CONSTRUCT/DESCRIBE → triple Dataset."""
+    CONSTRUCT/DESCRIBE → triple Dataset. ``with_meta=True`` keeps the
+    hidden per-var term-metadata columns ({v}__kind/__dt/__lang) in
+    SELECT results so result-set serializers can emit real term types
+    (the RowSetWriter* path always sees typed Bindings)."""
     form = _Parser(query_text).parse()["form"]
     if form == "ask":
         return sparql_ask(triples_ds, query_text)
@@ -7826,17 +7829,19 @@ def sparql_query(triples_ds, query_text: str):
         return sparql_construct(triples_ds, query_text)
     if form == "describe":
         return sparql_describe(triples_ds, query_text)
-    return sparql_select(triples_ds, query_text)
+    return sparql_select(triples_ds, query_text, with_meta=with_meta)
 
 
 def sparql_select(triples_ds, query_text: str, base: str = "",
-                  arq: bool = False):
+                  arq: bool = False, with_meta: bool = False):
     """Parse + compile + execute a SELECT query over the triple Dataset.
-    Returns a binding Dataset (one large_string column per projected var)."""
+    Returns a binding Dataset (one large_string column per projected var;
+    ``with_meta=True`` additionally keeps each var's {v}__kind/__dt/__lang
+    term-metadata columns for typed result serialization)."""
     q = _Parser(query_text, base=base, arq=arq).parse()
     if q["form"] != "select":
         raise RDFParseError("sparql_select: not a SELECT query")
-    out, _cols = _exec_select(triples_ds, q)
+    out, _cols = _exec_select(triples_ds, q, keep_meta=with_meta)
     return out
 
 
@@ -8071,11 +8076,13 @@ def _agg_count_distinct(col: str, alias: str):
     )
 
 
-def _exec_select(triples_ds, q: dict, graph=""):
+def _exec_select(triples_ds, q: dict, graph="", keep_meta: bool = False):
     """Execute a parsed SELECT dict → (Dataset, projected column names).
     Shared by the top-level form and { SELECT ... } subqueries; ``graph``
     propagates an enclosing GRAPH scope into the subquery's patterns
-    (SPARQL 1.1 §13.3.1 — the active graph applies inside subqueries)."""
+    (SPARQL 1.1 §13.3.1 — the active graph applies inside subqueries).
+    ``keep_meta=True`` (top-level result-writer path only) keeps each
+    projected var's hidden {v}__kind/__dt/__lang columns in the output."""
     bindings, all_vars = _compile_group(triples_ds, q["group"], graph=graph)
     # SELECT * projects only NAMED variables — anonymous-bnode pattern
     # placeholders (__bn_*) are existentials, invisible to projection
@@ -8576,9 +8583,11 @@ def _exec_select(triples_ds, q: dict, graph=""):
                 deduped = _dedup(wide, dedup_cols)
                 if q["order"]:
                     deduped = _term_sort(deduped, q["order"])
+            final_cols = (proj + [m for v in proj for m in meta_cols_of(v)]
+                          if keep_meta else proj)
             out = deduped.map_batches(
-                lambda t: pa.table(
-                    {c: t[c].combine_chunks() for c in proj
+                lambda t, _fc=tuple(final_cols): pa.table(
+                    {c: t[c].combine_chunks() for c in _fc
                      if c in t.schema.names})
                 if t.num_columns
                 else t,
@@ -8589,9 +8598,11 @@ def _exec_select(triples_ds, q: dict, graph=""):
             # binding table (meta still attached), then project; the
             # projection map preserves row order
             bindings = _term_sort(bindings, q["order"])
-            out = select(bindings, proj)
+            out = (_select_keep_meta(bindings, proj) if keep_meta
+                   else select(bindings, proj))
         else:
-            out = select(bindings, proj)
+            out = (_select_keep_meta(bindings, proj) if keep_meta
+                   else select(bindings, proj))
     if agg_items and q["group_by"]:
         # the group-key term-meta columns were part of the groupby key
         # (term-identity grouping) — project them away from the FINAL
@@ -8600,6 +8611,10 @@ def _exec_select(triples_ds, q: dict, graph=""):
         keepc = list(proj) + [
             m for al in fold_aliases if al in proj
             for m in (al + "__kind", al + "__dt", al + "__lang")]
+        if keep_meta:
+            from .bgp import meta_cols_of as _mco
+
+            keepc += [m for v in proj for m in _mco(v) if m not in keepc]
 
         def _strip_key_meta(t: pa.Table, _k=tuple(keepc)) -> pa.Table:
             if t.num_columns == 0:
@@ -8624,6 +8639,29 @@ def _exec_select(triples_ds, q: dict, graph=""):
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out, proj
+
+
+def _select_keep_meta(bindings_ds, proj):
+    """Projection that keeps each projected var's hidden term-metadata
+    columns ({v}__kind/__dt/__lang) when present — the result-writer
+    path (jena's Binding always carries Node term types; our writers
+    recover them from these columns via serialize._row_terms)."""
+    from .bgp import meta_cols_of
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {c: pa.array([], pa.large_string()) for c in proj})
+        names = set(t.schema.names)
+        cols = {}
+        for v in proj:
+            cols[v] = t[v].combine_chunks()
+            for m in meta_cols_of(v):
+                if m in names:
+                    cols[m] = t[m].combine_chunks()
+        return pa.table(cols)
+
+    return bindings_ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def _dataset_offset(ds, offset: int, proj):

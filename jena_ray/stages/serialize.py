@@ -91,8 +91,19 @@ def write_ntriples(triples_ds, out_dir: str):
 
 def _binding_vars(names) -> list[str]:
     """Visible variables of a binding table (hidden term-metadata columns
-    {v}__kind/__dt/__lang excluded)."""
-    return [n for n in names if not n.endswith(("__kind", "__dt", "__lang"))]
+    {v}__kind/__dt/__lang and the zero-var __exists marker excluded)."""
+    return [n for n in names
+            if not n.endswith(("__kind", "__dt", "__lang"))
+            and n != "__exists"]
+
+
+def _dataset_vars(ds) -> list[str]:
+    """Visible variables straight from the Dataset schema — resolved
+    BEFORE iterating batches so empty result sets still carry the
+    projected variable list (the reference's RowSetWriter* always write
+    the header/vars block; a zero-batch stream must too)."""
+    schema = ds.schema(fetch_if_missing=True)
+    return _binding_vars(schema.names if schema is not None else [])
 
 
 def _term_sparql(lex, kind, dt, lang) -> str:
@@ -158,16 +169,11 @@ def results_tsv(ds) -> str:
     ``?var`` header line, one Turtle-term row per solution. Assembled on
     the driver — result sets are query OUTPUTS (driver-scale by nature);
     stream big row sets with write_results(fmt=\"csv\"/\"parquet\")."""
-    lines: list[str] = []
-    variables: list[str] | None = None
+    variables = _dataset_vars(ds)
+    lines: list[str] = ["\t".join("?" + v for v in variables)]
     for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if variables is None:
-            variables = _binding_vars(t.schema.names)
-            lines.append("\t".join("?" + v for v in variables))
         for row in _row_terms(t, variables):
             lines.append("\t".join(_term_sparql(*row[v]) for v in variables))
-    if variables is None:
-        return "\n"
     return "\n".join(lines) + "\n"
 
 
@@ -180,10 +186,8 @@ def results_xml(ds) -> str:
     from ..model import KIND_BNODE, KIND_IRI
 
     body: list[str] = []
-    variables: list[str] | None = None
+    variables = _dataset_vars(ds)
     for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if variables is None:
-            variables = _binding_vars(t.schema.names)
         for row in _row_terms(t, variables):
             parts = ["  <result>"]
             for v in variables:
@@ -205,7 +209,6 @@ def results_xml(ds) -> str:
                 parts.append(f'    <binding name="{escape(v)}">{val}</binding>')
             parts.append("  </result>")
             body.append("\n".join(parts))
-    variables = variables or []
     head = "\n".join(f'  <variable name="{v}"/>' for v in variables)
     return (
         '<?xml version="1.0"?>\n'
@@ -231,16 +234,11 @@ def results_csv(ds) -> str:
             return '"' + s.replace('"', '""') + '"'
         return s
 
-    lines: list[str] = []
-    variables: list[str] | None = None
+    variables = _dataset_vars(ds)
+    lines: list[str] = [",".join(variables)]
     for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if variables is None:
-            variables = _binding_vars(t.schema.names)
-            lines.append(",".join(variables))
         for row in _row_terms(t, variables):
             lines.append(",".join(_cell(*row[v]) for v in variables))
-    if variables is None:
-        return "\r\n"
     return "\r\n".join(lines) + "\r\n"
 
 
@@ -253,10 +251,8 @@ def results_json(ds) -> str:
     from ..model import KIND_BNODE, KIND_IRI, XSD_STRING
 
     bindings: list[dict] = []
-    variables: list[str] | None = None
+    variables = _dataset_vars(ds)
     for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if variables is None:
-            variables = _binding_vars(t.schema.names)
         for row in _row_terms(t, variables):
             b = {}
             for v in variables:
@@ -276,7 +272,7 @@ def results_json(ds) -> str:
                     b[v] = term
             bindings.append(b)
     return _json.dumps(
-        {"head": {"vars": variables or []},
+        {"head": {"vars": variables},
          "results": {"bindings": bindings}},
         indent=2,
     ) + "\n"
@@ -375,11 +371,9 @@ def results_binary(ds, fmt: str = "srt") -> bytes:
     assembled like results_tsv — result sets are query outputs."""
     from ..model import KIND_LITERAL
 
-    variables: list[str] | None = None
+    variables = _dataset_vars(ds)
     rows: list[list] = []
     for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if variables is None:
-            variables = _binding_vars(t.schema.names)
         for row in _row_terms(t, variables):
             terms = []
             for v in variables:
@@ -391,7 +385,6 @@ def results_binary(ds, fmt: str = "srt") -> bytes:
                         (KIND_LITERAL if kind is None else kind, str(lex), dt, lang)
                     )
             rows.append(terms)
-    variables = variables or []
     if fmt == "srt":
         from ..rdf.thrift import write_thrift_results
 

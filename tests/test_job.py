@@ -52,7 +52,8 @@ def test_job_query_select_csv(nt_file, tmp_path):
               "--query",
               "SELECT ?s ?o WHERE { ?s <http://ex.org/p> ?o } ORDER BY ?s ?o"])
     assert m["rows"] == 3 and m["format"] == "csv"
-    lines = open(out).read().split("\r\n")
+    # newline='' keeps the W3C-required CRLF visible to the assertions
+    lines = open(out, newline="").read().split("\r\n")
     assert lines[0] == "s,o"
     assert lines[1] == 'http://ex.org/a,"has,comma"'
     assert lines[2] == "http://ex.org/a,x"
@@ -91,6 +92,20 @@ def test_job_query_ask_and_construct(nt_file, tmp_path, capsys):
     text = open(out).read()
     assert "<http://ex.org/r>" in text and "XMLSchema#integer" in text
 
+    # multi-triple CONSTRUCT: one N-Triples line per triple (the 1-triple
+    # case can't see a missing line separator)
+    out2 = str(tmp_path / "out2.nt")
+    m = main(["query", "--data", nt_file, "--out", out2,
+              "--query",
+              "CONSTRUCT { ?s <http://ex.org/r> ?o } "
+              "WHERE { ?s <http://ex.org/p> ?o }"])
+    assert m["rows"] == 3
+    from jena_ray.rdf.ntriples import parse_ntriples
+
+    body = open(out2).read()
+    assert body.endswith(" .\n") and len(body.rstrip("\n").split("\n")) == 3
+    assert len(parse_ntriples(body)) == 3
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_results_json_roundtrip(nt_file):
@@ -122,4 +137,4 @@ def test_job_subprocess_owns_session(nt_file, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     metrics = json.loads(proc.stdout.strip().splitlines()[-1])
     assert metrics["rows"] == 1
-    assert open(out).read().startswith("s\r\n")
+    assert open(out, newline="").read().startswith("s\r\n")

@@ -356,3 +356,35 @@ def test_rowset_tsv_and_xml_writers(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(out, "results.xml"))
+
+
+def test_rowset_writers_empty_result_keeps_header():
+    """Zero-row result sets still carry the projected variable list:
+    CSV/TSV emit the header row, JSON head.vars, XML <variable> elements
+    (the reference RowSetWriter* always write the head — a zero-batch
+    stream must too)."""
+    import ray.data as rd
+
+    from jena_ray.stages.serialize import (
+        results_csv,
+        results_json,
+        results_tsv,
+        results_xml,
+    )
+
+    tbl = pa.table(
+        {
+            "s": pa.array([], pa.large_string()),
+            "o": pa.array([], pa.large_string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    assert results_csv(ds) == "s,o\r\n"
+    assert results_tsv(ds) == "?s\t?o\n"
+    import json
+
+    doc = json.loads(results_json(ds))
+    assert doc["head"]["vars"] == ["s", "o"]
+    assert doc["results"]["bindings"] == []
+    xml = results_xml(ds)
+    assert '<variable name="s"/>' in xml and '<variable name="o"/>' in xml
