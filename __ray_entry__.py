@@ -106,6 +106,18 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
+    def semdedup(sf_dir: str):
+        # rows-only: the k-means quantizer is not SQL-expressible; the
+        # planted-duplicate recall test is tests/test_ops.py
+        import ray.data as rd
+
+        from jena_ray.ops.similarity import semdedup as sd
+
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return sd(emb, n_clusters=16, threshold=0.95)
+
     def embedding_near_dup_lsh(sf_dir: str):
         import ray.data as rd
 
@@ -364,6 +376,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_filter_probe": bloom_filter_probe,
         "countmin_heavy_hitters": countmin_heavy_hitters,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "semdedup": semdedup,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,

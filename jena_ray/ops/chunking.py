@@ -46,3 +46,66 @@ def chunk_windows(docs_ds, *, window: int = 64, stride: int = 48,
         })
 
     return docs_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def seq_pack(docs_ds, *, budget: int = 1024, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Pretraining sequence packing (concat-and-chunk): documents laid
+    end-to-end in ``id_col`` order on one global token tape, then the
+    tape is cut every ``budget`` tokens — the standard way training
+    pipelines pack variable-length documents into fixed-length
+    sequences (GPT-style "chunked" packing).
+
+    Returns (doc_id, n_tokens, tape_start, pack_id, pack_off) where
+    pack_id = tape_start // budget and pack_off = tape_start % budget.
+
+    Distributed shape: one sort shuffle pins the tape order, the global
+    prefix sum runs on BLOCK-level subtotals only — per-block token
+    sums are computed in worker tasks, the driver folds the (tiny,
+    one-number-per-block) subtotal list into block start offsets, and a
+    second worker pass stamps each block's rows with cumsum + offset.
+    No row data ever reaches the driver, so the op scales to any corpus
+    whose BLOCK COUNT fits driver memory (it always does)."""
+    import ray
+    import ray.data as rd
+
+    def toks(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b[text_col].to_pylist()]
+        return pa.table({
+            "doc_id": b[id_col].combine_chunks(),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    mat = docs_ds.map_batches(toks, batch_format="pyarrow") \
+                 .sort("doc_id").materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _subtotal(t: pa.Table) -> int:
+        import pyarrow.compute as _pc
+
+        return _pc.sum(t["n_tokens"]).as_py() or 0
+
+    subtotals = ray.get([_subtotal.remote(r) for r in refs])
+    starts, acc = [], 0
+    for s in subtotals:
+        starts.append(acc)
+        acc += s
+
+    @ray.remote(num_cpus=0.25)
+    def _stamp(t: pa.Table, start: int, _budget: int) -> pa.Table:
+        import numpy as np
+
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        tape = start + np.concatenate(([0], np.cumsum(n)[:-1])) \
+            if len(n) else np.array([], dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "tape_start": pa.array(tape, pa.int64()),
+            "pack_id": pa.array(tape // _budget, pa.int64()),
+            "pack_off": pa.array(tape % _budget, pa.int64()),
+        })
+
+    out = [_stamp.remote(r, st, budget) for r, st in zip(refs, starts)]
+    return rd.from_arrow_refs(out)

@@ -15,6 +15,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -187,3 +188,75 @@ def lsh_topk(emb_ds, query: np.ndarray, k: int = 5, probes: int = 4):
 
     cand = emb_ds.map_batches(bucket_filter, batch_format="pyarrow")
     return cand.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+
+
+MAX_SEMDEDUP_GROUP = 4096
+
+
+def semdedup(emb_ds, *, n_clusters: int = 16, threshold: float = 0.95,
+             train_size: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and dropping
+    all but one member of every within-cluster near-identical pair
+    (cosine ≥ threshold). The cluster step is what makes the O(N²)
+    pair search tractable — pairs are only computed inside a cluster.
+
+    Distributed shape: the coarse quantizer trains on a driver-side
+    sample (KB-scale, broadcast once via ray.put — same pattern as
+    ivf_topk); cluster assignment is a vectorized map_batches; the
+    within-cluster pass is ONE groupby(cluster).map_groups with a numpy
+    gram matrix per group. Keeper = lowest vec_id of each duplicate
+    set (deterministic). Hot clusters chain-degrade: groups above
+    MAX_SEMDEDUP_GROUP compare inside vec_id-sorted chunks only (the
+    same bounded-bucket policy as simhash_pairs), trading recall for a
+    hard memory bound.
+
+    Returns (vec_id, cluster, keep) for every input vector."""
+    import ray
+
+    train = []
+    for b in emb_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        train.extend(b["embedding"].to_pylist()[:train_size - len(train)])
+        if len(train) >= train_size:
+            break
+    mat = _norm_rows(np.array(train, dtype=np.float64))
+    centroids_ref = ray.put(_kmeans(mat, n_clusters))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cents = ray.get(centroids_ref)
+        m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "embedding": b["embedding"]})
+        mn = _norm_rows(m)
+        d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+            "cluster": pa.array(d.argmin(axis=1), pa.int64()),
+            "embedding": b["embedding"].combine_chunks(),
+        })
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("vec_id", "ascending")])
+        g = g.take(order)
+        ids = g["vec_id"].to_pylist()
+        m = _norm_rows(np.array(g["embedding"].to_pylist(),
+                                dtype=np.float64))
+        keep = np.ones(len(ids), dtype=bool)
+        for lo in range(0, len(ids), MAX_SEMDEDUP_GROUP):
+            mm = m[lo:lo + MAX_SEMDEDUP_GROUP]
+            sims = mm @ mm.T
+            # i is dropped if an earlier (lower-id) j in the chunk is a
+            # near-duplicate — strictly-lower triangle of the gram matrix
+            dup = (np.tril(sims, k=-1) >= threshold).any(axis=1)
+            keep[lo:lo + MAX_SEMDEDUP_GROUP] = ~dup
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": g["cluster"],
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return (emb_ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_group, batch_format="pyarrow"))

@@ -302,3 +302,77 @@ def tfidf_topk(docs_ds, k: int = 5, num_docs: int | None = None):
         .groupby("doc_id")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def unigram_xent(docs_ds, total_tokens: int | None = None):
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the classic CCNet-style LM quality signal (Wenzek et al. 2020, with
+    the n-gram LM reduced to its unigram term so the score is exactly
+    SQL-mirrorable): xent = -(1/n) Σ_w tf_w · log2(cf_w / T), where
+    cf_w is the corpus frequency of word w and T the corpus token
+    count. Low = boilerplate-ish/common words, high = rare-word soup.
+
+    Distributed shape: in-batch (doc, term, tf) explode (same kernel
+    family as tfidf_topk), corpus frequencies as ONE groupby(term) sum
+    joined back by term hash join, per-doc aggregation as ONE
+    groupby(doc_id) — all relations stay Datasets; the only driver
+    scalar is T."""
+    import math
+    from collections import Counter
+
+    from ..util import compact_blocks
+
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for term, n in Counter((text or "").lower().split()).items():
+                ids.append(d)
+                terms.append(term)
+                tfs.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, id_type),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    terms = compact_blocks(docs_ds.map_batches(explode,
+                                               batch_format="pyarrow"))
+    from ray.data.aggregate import Sum
+
+    T = total_tokens if total_tokens is not None else \
+        int(terms.sum("tf") or 0)
+    cf = terms.groupby("term").aggregate(Sum("tf", alias_name="cf"))
+    joined = terms.join(cf, join_type="inner", num_partitions=8,
+                        on=("term",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], id_type),
+                             "n": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.float64())})
+        tf = t["tf"].to_pylist()
+        cfs = t["cf"].to_pylist()
+        bits = [-a * math.log2(c / T) for a, c in zip(tf, cfs)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n": t["tf"],
+                         "bits": pa.array(bits, pa.float64())})
+
+    per_doc = (joined.map_batches(contrib, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("n", alias_name="n_tokens"),
+                          Sum("bits", alias_name="bits")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], id_type),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "xent": pa.array([], pa.float64())})
+        n = t["n_tokens"].to_pylist()
+        b = t["bits"].to_pylist()
+        x = [round(bb / nn, 6) if nn else None for bb, nn in zip(b, n)]
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "xent": pa.array(x, pa.float64())})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

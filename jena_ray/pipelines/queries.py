@@ -3422,7 +3422,127 @@ FROM members
 """
 
 
+def q_seq_pack(sf_dir: str):
+    """Pretraining sequence packing (concat-and-chunk): global token
+    tape in doc_id order cut every 512 tokens — block-metadata prefix
+    sums, no driver row data (ops/chunking.seq_pack)."""
+    from ..ops.chunking import seq_pack
+
+    return seq_pack(_read(sf_dir, "documents", ["doc_id", "text"]),
+                    budget=512)
+
+
+SQL_SEQ_PACK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tape_start
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tape_start AS BIGINT) AS tape_start,
+       CAST(tape_start // 512 AS BIGINT) AS pack_id,
+       CAST(tape_start % 512 AS BIGINT) AS pack_off
+FROM c
+"""
+
+
+def q_doc_perplexity(sf_dir: str):
+    """Per-doc cross-entropy under the corpus unigram LM (the CCNet LM
+    quality signal reduced to its SQL-mirrorable unigram term —
+    ops/textstats.unigram_xent)."""
+    from ..ops.textstats import unigram_xent
+
+    return unigram_xent(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DOC_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(tf) AS T FROM tf)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf * log2(cf / T)) / sum(tf), 6) AS xent
+FROM tf JOIN cf USING (term), tot
+GROUP BY doc_id
+"""
+
+
+def q_pii_scrub(sf_dir: str):
+    """Rule-based PII redaction (ops/pii.pii_scrub): the corpus text is
+    deterministically enriched with one synthetic email/phone/IP per doc
+    (the synthetic tables hold no real PII), then scrubbed with the RE2
+    kernels — identical enrichment on the oracle side makes the scrub
+    itself the thing under test."""
+    import pyarrow as pa
+
+    from ..ops.pii import pii_scrub
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = [
+            f"{t} contact u{d}@mail.example.org or "
+            f"+1-555-{d % 10000:04d} at 10.0.{d % 256}.{d % 100}"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"].combine_chunks(),
+                         "text": pa.array(out, pa.large_string())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow")
+    return pii_scrub(docs)
+
+
+SQL_PII_SCRUB = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@mail.example.org or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' at 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) AS t
+  FROM documents
+), pass1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(t,
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+           '[EMAIL]', 'g') AS t
+  FROM enriched
+), pass2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '[IP]', 'g') AS t
+  FROM pass1
+)
+SELECT doc_id,
+       regexp_replace(t, '\+\d{1,2}-\d{3}-\d{3,4}(-\d{3,4})?',
+                      '[PHONE]', 'g') AS clean_text,
+       n_email, n_ip,
+       CAST(len(regexp_extract_all(t,
+         '\+\d{1,2}-\d{3}-\d{3,4}(-\d{3,4})?')) AS BIGINT) AS n_phone
+FROM pass2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "doc_perplexity": (q_doc_perplexity, SQL_DOC_PERPLEXITY),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
     "median": (q_median, SQL_MEDIAN),
@@ -3520,23 +3640,27 @@ REGISTRY: dict[str, tuple] = {
 }
 
 # Driver-sample rotation (VERDICT r3 item 9): the driver's correctness
-# gate caps at 50 sampled queries per round — rotate the queries WITHOUT
-# a driver-green row (not in CORRECTNESS_r03.json) to the front so each
-# gets sampled within two rounds. All 66 stay green in the local oracle
-# mirror (tests/test_queries.py) either way.
+# gate caps at 50 sampled queries per round — order = (1) queries new
+# this round, (2) queries whose last driver-green row predates round 4
+# (every registry query has at least one driver-green row across
+# CORRECTNESS_r01–r04). The full registry stays green in the local
+# oracle mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
-    "sparql_agg_expr", "sparql_order_expr", "sparql_exists_expr",
-    "sparql_in_expr", "sparql_propfunc", "sparql_lateral",
-    "sparql_agg_distinct", "sparql_math_funcs", "sparql_format_number",
-    "dedup_paragraphs", "rule_backward_query", "decontaminate", "doc_repetition",
-    "sample_stratified", "sample_bottomk", "doc_tfidf",
-    "dedup_substring", "graph_triangles", "dedup_fuzzy_clusters",
-    "sample_per_key_cap", "vocab_topk", "chunk_windows", "quality_score",
-    "sparql_order_typed", "sparql_subquery", "sparql_graph",
-    "sparql_optional", "sparql_exists", "sparql_expr_funcs",
-    "sparql_group_concat", "shacl_sparql", "sparql_update",
-    "cdt_list_funcs", "mode", "fold_collect", "facet_counts",
-    "control_flow", "unnest", "session_windows",
+    # new in round 5
+    "seq_pack", "doc_perplexity", "pii_scrub",
+    # last driver-sampled before round 4
+    "union_bag", "except_minus", "string_funcs", "numeric_funcs",
+    "hash_funcs", "datetime_funcs", "datetime_tz_funcs", "duration_funcs",
+    "encode_uri_funcs", "window_tumbling", "connected_components",
+    "doc_tokens", "doc_quality", "dedup_exact_docs",
+    "dedup_normalized_docs", "dedup_ngram_jaccard", "embedding_near_dup",
+    "embedding_near_dup_blocked", "ann_bruteforce", "path_2hop",
+    "path_star_alt", "path_nested_closure", "path_star_seq",
+    "path_seq_star", "path_inverse_seq", "path_negset", "bgp_match",
+    "bgp_star_join", "owl_transitive_in", "rule_forward_chain",
+    "rule_builtins", "sparql_select", "sparql_aggregate", "sparql_having",
+    "sparql_values", "sparql_offset", "sparql_year",
+    "sparql_construct_where", "sparql_filter_typed",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _SAMPLE_FIRST},

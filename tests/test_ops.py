@@ -544,3 +544,84 @@ def test_substring_dup_pairs_detects_copied_span():
     assert set(pairs) == {(1, 2)}
     # a shared span of length L yields L-k+1 shared k-grams
     assert pairs[(1, 2)] == len(span) - 24 + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seq_pack_prefix_sums_and_budget():
+    import ray.data as rd
+
+    from jena_ray.ops.chunking import seq_pack
+
+    docs = [{"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in enumerate([3, 5, 0, 10, 4, 7])]
+    out = sorted(seq_pack(rd.from_items(docs, override_num_blocks=3),
+                          budget=8).take_all(),
+                 key=lambda r: r["doc_id"])
+    # tape order = doc_id order; starts are exact prefix sums
+    assert [r["tape_start"] for r in out] == [0, 3, 8, 8, 18, 22]
+    assert [r["pack_id"] for r in out] == [0, 0, 1, 1, 2, 2]
+    assert [r["pack_off"] for r in out] == [0, 3, 0, 0, 2, 6]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_scrub_redacts_and_counts():
+    import ray.data as rd
+
+    from jena_ray.ops.pii import pii_scrub
+
+    ds = rd.from_items([
+        {"doc_id": 1,
+         "text": "mail a.b+c@x-corp.co.uk now, ping 192.168.0.1 "
+                 "or call +1-555-0123"},
+        {"doc_id": 2, "text": "no pii here 3.14 v1.2.3"},
+    ])
+    rows = {r["doc_id"]: r for r in pii_scrub(ds).take_all()}
+    r1 = rows[1]
+    assert r1["clean_text"] == "mail [EMAIL] now, ping [IP] or call [PHONE]"
+    assert (r1["n_email"], r1["n_ip"], r1["n_phone"]) == (1, 1, 1)
+    r2 = rows[2]
+    # version strings / floats are NOT IPv4 (needs 4 octets)
+    assert r2["clean_text"] == "no pii here 3.14 v1.2.3"
+    assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unigram_xent_orders_common_vs_rare():
+    import ray.data as rd
+
+    from jena_ray.ops.textstats import unigram_xent
+
+    # doc 1 = all corpus-common words, doc 2 = half rare words
+    docs = [{"doc_id": 1, "text": "the the the cat"},
+            {"doc_id": 2, "text": "the zyx qwv cat"},
+            {"doc_id": 3, "text": "the cat the the"}]
+    rows = {r["doc_id"]: r for r in unigram_xent(
+        rd.from_items(docs)).take_all()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[2]["xent"] > rows[1]["xent"]
+    # same bag of words → identical cross-entropy
+    assert rows[3]["xent"] == rows[1]["xent"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_drops_planted_near_duplicates():
+    import numpy as np
+    import ray.data as rd
+
+    from jena_ray.ops.similarity import semdedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16)
+    items = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # plant exact duplicates of vectors 5 and 11
+    items.append({"vec_id": 100, "embedding": base[5].tolist()})
+    items.append({"vec_id": 101, "embedding": base[11].tolist()})
+    out = {r["vec_id"]: r for r in semdedup(
+        rd.from_items(items), n_clusters=4, threshold=0.99).take_all()}
+    assert len(out) == 42
+    # identical vectors share a cluster; the higher id is dropped
+    assert out[100]["cluster"] == out[5]["cluster"]
+    assert out[5]["keep"] and not out[100]["keep"]
+    assert out[11]["keep"] and not out[101]["keep"]
+    # non-duplicates all survive
+    assert sum(1 for r in out.values() if not r["keep"]) == 2
