@@ -234,6 +234,30 @@ class _Parser:
             return True
         return False
 
+    def _plain_agg_ahead(self) -> bool:
+        """Lookahead (no consumption) at ``AGG ( … )``: True iff the
+        token after the aggregate's balanced close-paren is AS — i.e.
+        the projection item is a plain ``(AGG(…) AS ?v)``. False means
+        the aggregate is a subexpression (``(COUNT(?x) + 1 AS ?c)``)
+        and must go through the expression grammar's hidden-aggregate
+        rewrite instead of the direct branch."""
+        j = self.i + 1  # the aggregate's own '('
+        if j >= len(self.toks) or self.toks[j] != ("op", "("):
+            return False
+        depth = 0
+        while j < len(self.toks):
+            k, v = self.toks[j]
+            if k == "op" and v == "(":
+                depth += 1
+            elif k == "op" and v == ")":
+                depth -= 1
+                if depth == 0:
+                    nxt = (self.toks[j + 1] if j + 1 < len(self.toks)
+                           else ("eof", ""))
+                    return nxt[0] == "kw" and nxt[1].upper() == "AS"
+            j += 1
+        return False
+
     def expand(self, kind, val) -> str:
         if kind == "iri":
             iri = val[1:-1]
@@ -687,7 +711,7 @@ class _Parser:
                     fn = vv.upper() if kk == "kw" else None
                     if fn in ("COUNT", "SUM", "MIN", "MAX", "AVG",
                               "SAMPLE", "GROUP_CONCAT",
-                              "MODE", "MEDIAN"):
+                              "MODE", "MEDIAN") and self._plain_agg_ahead():
                         self.next()
                         self.expect("op", "(")
                         agg_distinct = self.kw("DISTINCT")

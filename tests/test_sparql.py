@@ -901,3 +901,34 @@ def test_graph_var_subquery_aggregates_per_graph():
     assert [(r["g"], r["c"]) for r in rows] == [
         ("http://ex/g1", 3), ("http://ex/g2", 1),
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_aggregate_first_projection_expression_unparenthesized():
+    """(COUNT(?o) + 1 AS ?c) — aggregate-FIRST projection expression
+    without inner parens (ARQ parses this via the full expression
+    grammar; the direct-aggregate branch must yield when the aggregate
+    is a subexpression)."""
+    import ray.data as rd
+
+    from jena_ray.model import KIND_IRI, KIND_LITERAL
+    from jena_ray.ops.sparql import sparql_select
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        {"s_kind": KIND_IRI, "s_lex": f"http://e/s{i % 3}", "p": "http://e/p",
+         "o_kind": KIND_LITERAL, "o_lex": str(i), "o_datatype": XSD_INT,
+         "o_lang": "", "g": ""}
+        for i in range(6)
+    ]
+    ds = rd.from_items(rows)
+    got = sparql_select(
+        ds,
+        "SELECT ?s (COUNT(?o) + 1 AS ?c) WHERE { ?s <http://e/p> ?o } "
+        "GROUP BY ?s").take_all()
+    assert sorted((r["s"], r["c"]) for r in got) == [
+        ("http://e/s0", "3"), ("http://e/s1", "3"), ("http://e/s2", "3")]
+    got2 = sparql_select(
+        ds, "SELECT (SUM(?o) * 2 AS ?d) WHERE { ?s <http://e/p> ?o }"
+    ).take_all()
+    assert got2 == [{"d": "30"}]
