@@ -17,6 +17,12 @@ Subcommands:
 - ``query``  — load RDF files and run a SPARQL query; results to stdout
   or ``--out`` in csv/tsv/json/xml (SELECT/ASK) or N-Triples
   (CONSTRUCT).
+- ``riot``   — parse RDF files and re-serialize in another syntax
+  (the riot command analog).
+- ``validate`` — SHACL or ShEx validation; JSON report (the shacl /
+  shex command analogs).
+- ``load``   — bulk-load RDF files into the partitioned Parquet triple
+  table (the tdb2.tdbloader analog).
 
 Session ownership: when launched as a script (``python -m jena_ray`` /
 ``ray job submit``) this module owns the Ray session — it initialises
@@ -53,6 +59,38 @@ def _build_parser() -> argparse.ArgumentParser:
     kg.add_argument(
         "--metrics", default=None, help="also write the metrics JSON to this path"
     )
+
+    r = sub.add_parser(
+        "riot", help="parse RDF files and re-serialize (riot analog)")
+    r.add_argument("--data", nargs="+", required=True,
+                   help="RDF file(s)/glob(s)")
+    r.add_argument("--out", default=None, help="output file (else stdout)")
+    r.add_argument(
+        "--syntax", default="nt",
+        choices=["nt", "nq", "turtle", "rdfxml", "jsonld", "trix",
+                 "rdfjson"],
+        help="output syntax (default nt)",
+    )
+
+    v = sub.add_parser(
+        "validate", help="SHACL / ShEx validation (shacl, shex commands)")
+    v.add_argument("--data", nargs="+", required=True,
+                   help="RDF data file(s)/glob(s)")
+    v.add_argument("--shacl", default=None, help="SHACL shapes file (.ttl)")
+    v.add_argument("--shex", default=None, help="ShEx schema file")
+    v.add_argument("--map", dest="shape_map", default=None,
+                   help="ShEx shape map text or file")
+    v.add_argument("--out", default=None,
+                   help="write the JSON report here (else stdout)")
+
+    ld = sub.add_parser(
+        "load", help="bulk-load RDF files into a partitioned triple table "
+                     "(tdb2.tdbloader analog)")
+    ld.add_argument("--data", nargs="+", required=True,
+                    help="RDF file(s)/glob(s)")
+    ld.add_argument("--out", required=True, help="output table directory")
+    ld.add_argument("--buckets", type=int, default=16,
+                    help="predicate-hash partition count")
 
     q = sub.add_parser("query", help="run a SPARQL query over RDF files")
     q.add_argument("--data", nargs="+", required=True, help="RDF file(s)/glob(s)")
@@ -115,6 +153,100 @@ def _run_kg(ns) -> dict:
         with open(ns.metrics, "w") as f:
             json.dump(metrics, f, indent=1, sort_keys=True)
     return metrics
+
+
+def _run_riot(ns) -> dict:
+    """Parse → re-serialize (the riot command: RDFDataMgr.read +
+    RDFDataMgr.write, jena-cmds/.../riot.java). NT/NQ stream one line
+    per triple; the document formats assemble via the grouped writers."""
+    from . import read
+    from .stages.serialize import format_nt_batch
+    from .stages.writers import (
+        assemble,
+        jsonld_groups,
+        rdfjson_groups,
+        rdfxml_groups,
+        trix_groups,
+        turtle_pretty_groups,
+    )
+
+    ds = read(ns.data)
+    n = ds.count()
+    if ns.syntax in ("nt", "nq"):
+        lines = ds.map_batches(format_nt_batch, batch_format="pyarrow")
+        rows = [r["line"] for r in lines.take_all()]
+        payload = "\n".join(rows) + ("\n" if rows else "")
+    else:
+        groups = {
+            "turtle": turtle_pretty_groups,
+            "rdfxml": rdfxml_groups,
+            "jsonld": jsonld_groups,
+            "trix": trix_groups,
+            "rdfjson": rdfjson_groups,
+        }[ns.syntax]
+        payload = assemble(groups(ds), ns.syntax)
+    if ns.out:
+        with open(ns.out, "w") as f:
+            f.write(payload)
+    else:
+        sys.stdout.write(payload)
+    return {"metric": "riot", "triples": n, "syntax": ns.syntax,
+            "out": ns.out}
+
+
+def _run_validate(ns) -> dict:
+    """SHACL / ShEx validation front door (the shacl validate / shex
+    validate commands)."""
+    from . import read
+
+    if (ns.shacl is None) == (ns.shex is None):
+        raise SystemExit("validate: pass exactly one of --shacl / --shex")
+    data = read(ns.data)
+    if ns.shacl:
+        from .stages.shacl import validate
+
+        report = validate(data, open(ns.shacl).read())
+        rows = report.take_all()
+        doc = {"metric": "shacl_validate", "conforms": not rows,
+               "violations": rows}
+    else:
+        from .stages.shex import validate_shex
+
+        smap = ns.shape_map
+        if smap and os.path.exists(smap):
+            smap = open(smap).read()
+        report = validate_shex(data, open(ns.shex).read(), smap or "")
+        rows = report.take_all()
+        doc = {"metric": "shex_validate",
+               "conforms": all(r["status"] == "conformant" for r in rows),
+               "results": rows}
+    payload = json.dumps(doc, indent=1, sort_keys=True, default=str)
+    if ns.out:
+        with open(ns.out, "w") as f:
+            f.write(payload + "\n")
+    else:
+        sys.stdout.write(payload + "\n")
+    return {k: doc[k] for k in ("metric", "conforms")} | {
+        "rows": len(rows), "out": ns.out}
+
+
+def _run_load(ns) -> dict:
+    """Bulk load into the partitioned Parquet triple table — the
+    tdb2.tdbloader analog (TDB2 index build = our predicate-bucket
+    materialize; stages/materialize.py)."""
+    from . import read
+    from .stages.materialize import materialize
+
+    t0 = time.monotonic()
+    ds = read(ns.data)
+    materialize(ds, ns.out, num_buckets=ns.buckets)
+    import ray.data as rd
+
+    n = rd.read_parquet(ns.out).count()
+    wall = time.monotonic() - t0
+    return {"metric": "load", "triples": n, "out": ns.out,
+            "wall_sec": round(wall, 3),
+            "triples_per_sec": round(n / wall, 1) if wall > 0 else None}
 
 
 _RESULT_WRITERS = {"csv", "tsv", "json", "xml"}
@@ -183,7 +315,13 @@ def main(argv: list[str] | None = None) -> dict:
             ignore_reinit_error=True,
         )
     try:
-        metrics = _run_kg(ns) if ns.cmd == "kg" else _run_query(ns)
+        metrics = {
+            "kg": _run_kg,
+            "query": _run_query,
+            "riot": _run_riot,
+            "validate": _run_validate,
+            "load": _run_load,
+        }[ns.cmd](ns)
     finally:
         if owns:
             ray.shutdown()

@@ -138,3 +138,52 @@ def test_job_subprocess_owns_session(nt_file, tmp_path):
     metrics = json.loads(proc.stdout.strip().splitlines()[-1])
     assert metrics["rows"] == 1
     assert open(out, newline="").read().startswith("s\r\n")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_riot_convert(nt_file, tmp_path):
+    """riot subcommand: NT in → Turtle out (re-parses to the same
+    graph) and NT round-trip."""
+    out = str(tmp_path / "out.ttl")
+    m = main(["riot", "--data", nt_file, "--out", out,
+              "--syntax", "turtle"])
+    assert m["triples"] == 4
+    from jena_ray.rdf.turtle import parse_turtle
+
+    assert len(parse_turtle(open(out).read())) == 4
+
+    out_nt = str(tmp_path / "out.nt")
+    m = main(["riot", "--data", nt_file, "--out", out_nt])
+    from jena_ray.rdf.ntriples import parse_ntriples
+
+    assert len(parse_ntriples(open(out_nt).read())) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_validate_shacl(nt_file, tmp_path):
+    shapes = tmp_path / "shapes.ttl"
+    shapes.write_text("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+<http://ex.org/Shape> a sh:NodeShape ;
+  sh:targetNode <http://ex.org/a>, <http://ex.org/b> ;
+  sh:property [ sh:path <http://ex.org/q> ; sh:minCount 1 ] .
+""")
+    out = str(tmp_path / "report.json")
+    m = main(["validate", "--data", nt_file, "--shacl", str(shapes),
+              "--out", out])
+    # <a> has no ex:q → one minCount violation; <b> conforms
+    assert m["conforms"] is False and m["rows"] == 1
+    doc = json.load(open(out))
+    assert doc["violations"][0]["focus"] == "http://ex.org/a"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_load_builds_triple_table(nt_file, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "table")
+    m = main(["load", "--data", nt_file, "--out", out, "--buckets", "4"])
+    assert m["triples"] == 4
+    ds = rd.read_parquet(out)
+    assert ds.count() == 4
+    assert "bucket" in ds.schema().names
