@@ -3539,7 +3539,86 @@ FROM pass2
 """
 
 
+def q_corpus_filter(sf_dir: str):
+    """End-to-end pre-training corpus filter — the composed
+    RefinedWeb/CCNet shape (heuristic thresholds THEN exact normalized
+    dedup): per-doc metrics in one vectorized-batch kernel, threshold
+    filter in-batch (no shuffle), then ONE groupby on the normalized
+    md5 keeps the lowest surviving doc_id per content class. The whole
+    chain is a single streaming pipeline with one shuffle."""
+    import hashlib
+    import re as _re
+
+    from ..ops.textstats import _STOPWORDS
+
+    stop = frozenset(_STOPWORDS)
+    nonword = _re.compile(r"\W")
+
+    def metrics(b: pa.Table) -> pa.Table:
+        ids, ns, sf, ml, hs = [], [], [], [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ts = (text or "").lower().split()
+            n = len(ts)
+            dn = max(1, n)
+            ids.append(d)
+            ns.append(n)
+            sf.append(round(sum(1 for t in ts if t in stop) / dn, 6))
+            ml.append(round(sum(len(t) for t in ts) / dn, 6))
+            hs.append(hashlib.md5(
+                nonword.sub("", (text or "").lower()).encode()).hexdigest())
+        t = pa.table({
+            "doc_id": pa.array(ids, b["doc_id"].type),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "stop_frac": pa.array(sf, pa.float64()),
+            "mean_wlen": pa.array(ml, pa.float64()),
+            "h": pa.array(hs, pa.string()),
+        })
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["n_tokens"], 10),
+                    pc.less_equal(t["n_tokens"], 5000)),
+            pc.and_(pc.greater_equal(t["stop_frac"], 0.02),
+                    pc.and_(pc.greater_equal(t["mean_wlen"], 2.0),
+                            pc.less_equal(t["mean_wlen"], 12.0))),
+        )
+        return t.filter(keep)
+
+    passed = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        metrics, batch_format="pyarrow")
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(idx[:1]).drop_columns(["h"])
+
+    return passed.groupby("h").map_groups(keep_min, batch_format="pyarrow")
+
+
+SQL_CORPUS_FILTER = r"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts,
+         md5(regexp_replace(lower(text), '\W', '', 'g')) AS h
+  FROM documents
+), f AS (
+  SELECT doc_id, h, len(ts) AS n_tokens,
+         round(len(list_filter(ts, x -> list_contains(
+             ['the','and','of','a','to','in','is','it','for','on'], x)))
+           * 1.0 / greatest(len(ts), 1), 6) AS stop_frac,
+         round(list_sum(list_transform(ts, x -> length(x)))
+           * 1.0 / greatest(len(ts), 1), 6) AS mean_wlen
+  FROM m
+), p AS (
+  SELECT * FROM f
+  WHERE n_tokens BETWEEN 10 AND 5000 AND stop_frac >= 0.02
+    AND mean_wlen BETWEEN 2.0 AND 12.0
+), w AS (SELECT h, min(doc_id) AS keep FROM p GROUP BY h)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stop_frac, mean_wlen
+FROM p JOIN w ON p.h = w.h AND p.doc_id = w.keep
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "doc_perplexity": (q_doc_perplexity, SQL_DOC_PERPLEXITY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -3647,7 +3726,7 @@ REGISTRY: dict[str, tuple] = {
 # oracle mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     # new in round 5
-    "seq_pack", "doc_perplexity", "pii_scrub",
+    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter",
     # last driver-sampled before round 4
     "union_bag", "except_minus", "string_funcs", "numeric_funcs",
     "hash_funcs", "datetime_funcs", "datetime_tz_funcs", "duration_funcs",

@@ -388,15 +388,29 @@ def interleaved_docs(
     shard predicate for resumable runs (pushed into the parquet read)."""
     import ray.data as rd
 
+    # Lance-first (BASELINE.json input shape): use the documents.lance
+    # dataset when present, else its Parquet twin (sources/lance_io.py)
+    import os as _os
+
+    from .lance_io import read_table
+
+    src = f"{sf_dir}/documents.lance"
+    is_lance = _os.path.isdir(src)
+    if not is_lance:
+        src = f"{sf_dir}/documents.parquet"
     kw = {}
     if id_range is not None:
-        import pyarrow.compute as _pc
-        import pyarrow.dataset as _pds
+        if is_lance:
+            # lance filters are SQL-expression strings
+            kw["filter"] = (f"doc_id >= {id_range[0]} "
+                            f"and doc_id < {id_range[1]}")
+        else:
+            import pyarrow.dataset as _pds
 
-        kw["filter"] = (_pds.field("doc_id") >= id_range[0]) & (
-            _pds.field("doc_id") < id_range[1]
-        )
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"], **kw)
+            kw["filter"] = (_pds.field("doc_id") >= id_range[0]) & (
+                _pds.field("doc_id") < id_range[1]
+            )
+    ds = read_table(src, columns=["doc_id"], **kw)
     # one parquet file → one read block; spread the synth/extract work
     # across the cluster (a single block would serialize the pipeline)
     ds = ds.repartition(parallelism or 64)

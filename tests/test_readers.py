@@ -177,3 +177,36 @@ def test_front_door_graph_query_over_trig(tmp_path):
         "SELECT ?s WHERE { GRAPH <http://e/g2> { ?s ?p ?o } }",
     ).take_all()
     assert [r["s"] for r in rows2] == ["http://e/s2"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lance_io_facade(tmp_path):
+    """sources/lance_io: Parquet twin round-trips; *.lance paths route
+    to the native Ray connector (live round-trip when the lance wheel
+    is installed, actionable ImportError gate when it is not)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jena_ray.sources.lance_io import (
+        _lance_available,
+        read_table,
+        write_table,
+    )
+
+    ds = rd.from_arrow(pa.table({"doc_id": ["a", "b"], "n": [1, 2]}))
+    pq_dir = str(tmp_path / "twin")
+    write_table(ds, pq_dir)
+    back = read_table(pq_dir, columns=["doc_id"])
+    assert sorted(r["doc_id"] for r in back.take_all()) == ["a", "b"]
+    assert back.schema().names == ["doc_id"]
+
+    lance_path = str(tmp_path / "t.lance")
+    if _lance_available():
+        write_table(ds, lance_path)
+        got = read_table(lance_path, columns=["doc_id", "n"])
+        assert got.count() == 2
+    else:
+        with pytest.raises(ImportError, match="lance"):
+            write_table(ds, lance_path)
+        with pytest.raises(ImportError, match="lance"):
+            read_table(lance_path)
