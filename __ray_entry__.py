@@ -118,6 +118,20 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         )
         return sd(emb, n_clusters=16, threshold=0.95)
 
+    def embedding_kmeans(sf_dir: str):
+        # rows-only: distributed Lloyd refinement (per-batch partial
+        # sums, k-row shuffle per round); blob-recovery test in
+        # tests/test_ops.py
+        import ray.data as rd
+
+        from jena_ray.ops.similarity import kmeans_fit
+
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        _cents, assign = kmeans_fit(emb, k=8, iters=3)
+        return assign
+
     def embedding_near_dup_lsh(sf_dir: str):
         import ray.data as rd
 
@@ -377,6 +391,7 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "countmin_heavy_hitters": countmin_heavy_hitters,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "semdedup": semdedup,
+        "embedding_kmeans": embedding_kmeans,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,

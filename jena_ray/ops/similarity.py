@@ -260,3 +260,97 @@ def semdedup(emb_ds, *, n_clusters: int = 16, threshold: float = 0.95,
     return (emb_ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(dedup_group, batch_format="pyarrow"))
+
+
+def kmeans_fit(emb_ds, k: int = 8, *, iters: int = 5, seed: int = 13,
+               train_size: int = 2048):
+    """Distributed Lloyd's k-means over the full embedding Dataset —
+    the classic scalable shape (MacQueen 1967 / Lloyd 1982; the
+    map-reduce formulation of Zhao et al. 2009): initial centroids from
+    a deterministic driver-side sample, then each refinement round is
+    one map_batches computing PER-BATCH partial sums (k rows × dim per
+    block — the shuffle moves k·blocks tiny rows, never the corpus)
+    plus one groupby(cluster) reduction; the k×dim centroid matrix is
+    the only driver-side state and is re-broadcast per round via
+    ray.put.
+
+    Returns (centroids ndarray, assignment Dataset (vec_id, cluster,
+    dist))."""
+    import ray
+
+    train = []
+    for b in emb_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        train.extend(b["embedding"].to_pylist()[:train_size - len(train)])
+        if len(train) >= train_size:
+            break
+    sample = np.array(train, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(b: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            kk, dim = cents.shape
+            if len(m) == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64())})
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=kk)
+            keep = counts > 0
+            return pa.table({
+                "cluster": pa.array(np.arange(kk)[keep], pa.int64()),
+                "vsum": pa.array([r.tolist() for r in sums[keep]],
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts[keep], pa.int64()),
+            })
+
+        def reduce_group(g: pa.Table) -> pa.Table:
+            vs = np.array(g["vsum"].to_pylist(), dtype=np.float64)
+            n = int(pc.sum(g["n"]).as_py())
+            return pa.table({
+                "cluster": g["cluster"].slice(0, 1),
+                "centroid": pa.array([(vs.sum(axis=0) / n).tolist()],
+                                     pa.list_(pa.float64())),
+            })
+
+        rows = (emb_ds.map_batches(partials, batch_format="pyarrow")
+                .groupby("cluster")
+                .map_groups(reduce_group, batch_format="pyarrow")
+                .take_all())  # k rows × dim — driver-size by construction
+        new = centroids.copy()
+        for r in rows:
+            new[r["cluster"]] = r["centroid"]
+        if np.allclose(new, centroids):
+            centroids = new
+            break
+        centroids = new
+
+    cref = ray.put(centroids)
+
+    def assign_final(b: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        return pa.table({
+            "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+            "dist": pa.array(np.round(np.sqrt(d[np.arange(len(a)), a]), 6),
+                             pa.float64()),
+        })
+
+    return centroids, emb_ds.map_batches(assign_final,
+                                         batch_format="pyarrow")

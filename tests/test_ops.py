@@ -625,3 +625,32 @@ def test_semdedup_drops_planted_near_duplicates():
     assert out[11]["keep"] and not out[101]["keep"]
     # non-duplicates all survive
     assert sum(1 for r in out.values() if not r["keep"]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_fit_recovers_planted_blobs():
+    import numpy as np
+    import ray.data as rd
+
+    from jena_ray.ops.similarity import kmeans_fit
+
+    rng = np.random.RandomState(5)
+    blobs = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    items = []
+    for i in range(90):
+        c = i % 3
+        v = blobs[c] + rng.randn(2) * 0.3
+        items.append({"vec_id": i, "embedding": v.tolist()})
+    cents, assign = kmeans_fit(rd.from_items(items, override_num_blocks=4),
+                               k=3, iters=8)
+    rows = assign.take_all()
+    assert len(rows) == 90
+    # every planted blob maps to exactly one k-means cluster
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+    # centroids land on the blob centers
+    got = sorted(np.round(c).tolist() for c in cents)
+    assert got == [[-10.0, 0.0], [0.0, 10.0], [10.0, 0.0]]
