@@ -291,6 +291,92 @@ def split_iri(iri: str) -> tuple[str, str]:
 
 # ------------------------------------------------------- store relations
 
+LIST_DRIVER_THRESHOLD = 50_000  # rdf:first+rdf:rest rows; above → joins
+
+
+def _list_chain_rels_local(firsts, rests, lvar, ivar, mvar):
+    """Driver-side rdf:first/rdf:rest chain walk — the small-subgraph
+    strategy of _list_chain_rels (outputs and multiplicities identical
+    to the distributed per-depth joins: suffix cells are not heads,
+    multi-first cells fork, chains cap at _MAX_LIST_DEPTH)."""
+    import ray.data as rd
+
+    def _rows(ds, cols):
+        out = []
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            names = set(t.schema.names)
+            data = [t[c].to_pylist() if c in names else [None] * t.num_rows
+                    for c in cols]
+            out.extend(zip(*data))
+        return out
+
+    mk, md, ml = meta_cols_of(mvar)
+    nk, nd, nl = meta_cols_of("__pfn")
+    first_of: dict = {}
+    head_meta: dict = {}
+    for n, n_k, m, m_k, m_d, m_l in _rows(
+            firsts, ["__pfn", nk, mvar, mk, md, ml]):
+        first_of.setdefault(n, []).append((m, m_k, m_d or "", m_l or ""))
+        head_meta[n] = n_k
+    rest_of: dict = {}
+    suffixes: set = set()
+    for a, b in _rows(rests, ["__pfa", "__pfb"]):
+        rest_of.setdefault(a, []).append(b)
+        suffixes.add(b)
+
+    idx_rows: list = []   # (head, head_kind, depth, m, mk, md, ml)
+    len_rows: list = []   # (head, head_kind, length)
+    for h in first_of:
+        if h in suffixes:
+            continue
+        hk = head_meta[h]
+        stack = [(h, 0)]
+        while stack:
+            cur, d = stack.pop()
+            if d > _MAX_LIST_DEPTH:
+                continue
+            entries = first_of.get(cur)
+            if not entries:
+                continue  # no rdf:first → the level row dies here
+            for m in entries:
+                idx_rows.append((h, hk, d, *m))
+            for nxt in rest_of.get(cur, []):
+                if nxt == RDF_NIL:
+                    # one length row per (level row, nil rest) pair
+                    len_rows.extend([(h, hk, d + 1)] * len(entries))
+                else:
+                    # the advance forks once per level row
+                    stack.extend([(nxt, d + 1)] * len(entries))
+
+    lk, ld, ll = meta_cols_of(lvar)
+    ik, idt, il = meta_cols_of(ivar)
+
+    def _table(rows, with_member: bool) -> pa.Table:
+        n = len(rows)
+        cols = {
+            lvar: pa.array([r[0] for r in rows], pa.large_string()),
+            lk: pa.array([r[1] for r in rows], pa.int8()),
+            ld: pa.array([""] * n, pa.large_string()),
+            ll: pa.array([""] * n, pa.large_string()),
+            ivar: pa.array([str(r[2]) for r in rows], pa.large_string()),
+            ik: pa.array([KIND_LITERAL] * n, pa.int8()),
+            idt: pa.array([XSD_INTEGER] * n, pa.large_string()),
+            il: pa.array([""] * n, pa.large_string()),
+        }
+        if with_member:
+            cols[mvar] = pa.array([r[3] for r in rows], pa.large_string())
+            cols[mk] = pa.array([r[4] for r in rows], pa.int8())
+            cols[md] = pa.array([r[5] for r in rows], pa.large_string())
+            cols[ml] = pa.array([r[6] for r in rows], pa.large_string())
+        return pa.table(cols)
+
+    # rdf:nil itself is the empty list (length 0) — same as the
+    # distributed tail
+    len_rows.append((RDF_NIL, KIND_IRI, 0))
+    return (rd.from_arrow(_table(idx_rows, True)),
+            rd.from_arrow(_table(len_rows, False)))
+
+
 def _list_chain_rels(store, graph, lvar, ivar, mvar):
     """(index_rel, length_rel) from the rdf:first/rdf:rest structure in
     the active graph: index_rel binds (?lvar list, ?ivar index, ?mvar
@@ -305,6 +391,12 @@ def _list_chain_rels(store, graph, lvar, ivar, mvar):
                       with_meta=True, graph=graph)
     n_first, firsts = fast_count(firsts)
     n_rest, rests = fast_count(rests)
+    if n_first + n_rest <= LIST_DRIVER_THRESHOLD:
+        # the rdf:first/rdf:rest SUBGRAPH is small: walk the chains on
+        # the driver (the CLOSURE_DRIVER_THRESHOLD strategy switch —
+        # identical semantics, none of the per-DEPTH join/materialize
+        # round-trips, which dominate wall time on short lists)
+        return _list_chain_rels_local(firsts, rests, lvar, ivar, mvar)
     # only true list HEADS seed the walk — a cons cell that is the
     # object of an rdf:rest is a suffix, not a list (ARQ list-6: an
     # unbound-subject list:member must not enumerate suffixes)
