@@ -131,3 +131,43 @@ def bottomk_sample(ds, k: int, key: str = "doc_id"):
         .map_batches(lambda t: t.drop_columns(["__h"]),
                      batch_format="pyarrow")
     )
+
+
+def source_mix(docs_ds, budget_tokens: int, *, source_col: str = "source",
+               key: str = "doc_id", text_col: str = "text"):
+    """Per-source token-budget downsampling — the data-mixing pass of a
+    pre-training pipeline (CCNet-style source reweighting: each source
+    is kept whole if it fits the budget, else hash-downsampled at
+    rate = budget / source_tokens so its EXPECTED contribution is the
+    budget). Deterministic (md5-keyed — same sample across retries and
+    cluster sizes), two passes, no data shuffle: pass 1 is one tiny
+    groupby(source) for token totals (one row per source — the only
+    driver-side state), pass 2 a vectorized per-row rate filter.
+
+    Returns the kept docs as (doc_id, source, n_tokens)."""
+    from ray.data.aggregate import Sum
+
+    def tok(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b[text_col].to_pylist()]
+        return pa.table({
+            key: b[key].combine_chunks(),
+            source_col: b[source_col].combine_chunks(),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    toks = docs_ds.map_batches(tok, batch_format="pyarrow").materialize()
+    totals = toks.groupby(source_col).aggregate(
+        Sum("n_tokens", alias_name="tot")).take_all()
+    bounds = {
+        r[source_col]: _rate_to_hex(min(1.0, budget_tokens / r["tot"]))
+        for r in totals if r["tot"]
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _hash_prefix_col(t, key)
+        srcs = t[source_col].to_pylist()
+        limit = pa.array([bounds.get(s, "0" * _PREFIX) for s in srcs],
+                         pa.string())
+        return t.filter(pc.less(h, limit))
+
+    return toks.map_batches(keep, batch_format="pyarrow")

@@ -3617,7 +3617,42 @@ FROM p JOIN w ON p.h = w.h AND p.doc_id = w.keep
 """
 
 
+def q_source_mix(sf_dir: str):
+    """Per-source token-budget data mixing (ops/sampling.source_mix):
+    sources over 6k tokens hash-downsample to an expected 6k, smaller
+    sources keep everything — deterministic md5 rates, no data
+    shuffle."""
+    from ..ops.sampling import source_mix
+
+    return source_mix(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        budget_tokens=6000)
+
+
+SQL_SOURCE_MIX = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), st AS (
+  SELECT source, sum(n_tokens) AS tot FROM toks GROUP BY source
+), rates AS (
+  SELECT source,
+         CASE WHEN tot <= 6000 THEN 'g'
+              ELSE lpad(to_hex(CAST(floor(
+                  (6000 * 1.0 / tot) * 4294967296) AS BIGINT)), 8, '0')
+         END AS bound
+  FROM st
+)
+SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
+FROM toks t JOIN rates r USING (source)
+WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.bound
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "doc_perplexity": (q_doc_perplexity, SQL_DOC_PERPLEXITY),
@@ -3726,7 +3761,7 @@ REGISTRY: dict[str, tuple] = {
 # oracle mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     # new in round 5
-    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter",
+    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix",
     # last driver-sampled before round 4
     "union_bag", "except_minus", "string_funcs", "numeric_funcs",
     "hash_funcs", "datetime_funcs", "datetime_tz_funcs", "duration_funcs",

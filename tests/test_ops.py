@@ -654,3 +654,32 @@ def test_kmeans_fit_recovers_planted_blobs():
     # centroids land on the blob centers
     got = sorted(np.round(c).tolist() for c in cents)
     assert got == [[-10.0, 0.0], [0.0, 10.0], [10.0, 0.0]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_mix_budgets_per_source():
+    import ray.data as rd
+
+    from jena_ray.ops.sampling import source_mix
+
+    docs = []
+    # big: 200 docs x 100 tokens = 20k tokens; small: 5 x 10 = 50
+    for i in range(200):
+        docs.append({"doc_id": i, "source": "big",
+                     "text": " ".join(["w"] * 100)})
+    for i in range(200, 205):
+        docs.append({"doc_id": i, "source": "small",
+                     "text": " ".join(["w"] * 10)})
+    out = source_mix(rd.from_items(docs), budget_tokens=5000).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # the small source fits the budget → kept whole
+    assert len(by_src["small"]) == 5
+    # the big source downsamples to ~budget expected tokens (rate 0.25)
+    kept_tokens = sum(r["n_tokens"] for r in by_src["big"])
+    assert 2000 <= kept_tokens <= 9000
+    # deterministic: a second run keeps the identical doc set
+    out2 = source_mix(rd.from_items(docs), budget_tokens=5000).take_all()
+    assert sorted(r["doc_id"] for r in out2) == \
+        sorted(r["doc_id"] for r in out)
