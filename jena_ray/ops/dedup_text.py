@@ -872,12 +872,22 @@ def substring_dup_pairs(docs_ds, k: int = 24, df_cap: int = NGRAM_DF_CAP):
              "h": pa.array(hashes, pa.int64())}
         )
 
-    import ray
-
     from ..util import compact_blocks
 
     grams = compact_blocks(docs_ds.map_batches(explode,
                                                batch_format="pyarrow"))
+    return _shared_gram_pairs(grams, id_type, df_cap)
+
+
+def _shared_gram_pairs(grams, id_type, df_cap: int):
+    """Shared pair algebra of the gram-inversion dedup family: a
+    (doc_id, g, h) relation → df-capped stop filter (both sides) →
+    one groupby(gram) for candidate pairs → one groupby(pair) for
+    shared counts → (a, b, shared)."""
+    import ray
+
+    from ..util import compact_blocks
+
     stop_rows = (
         grams.groupby(["h", "g"])
         .count()
@@ -924,3 +934,52 @@ def substring_dup_pairs(docs_ds, k: int = 24, df_cap: int = NGRAM_DF_CAP):
         })
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def winnow_pairs(docs_ds, k: int = 12, w: int = 4,
+                 df_cap: int = NGRAM_DF_CAP):
+    """Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS local document fingerprinting algorithm):
+    md5 hashes of stride-1 char k-grams, one fingerprint per window of
+    ``w`` consecutive hashes (the window MINIMUM — lexicographic over
+    the hex digest, which is what makes the selection exactly
+    SQL-mirrorable via MIN() OVER a rows window), docs pair on shared
+    fingerprints. Winnowing guarantees any shared run of length
+    ≥ k + w - 1 chars produces a shared fingerprint while storing only
+    ~2/(w+1) of the grams — the cheap robust middle ground between
+    exact substring dedup (every gram) and MinHash (global
+    signatures). Docs shorter than k+w-1 chars contribute their single
+    global-minimum hash (the algorithm's at-least-one guarantee).
+
+    Same downstream pair algebra (df-cap stop filter + two groupbys)
+    as substring_dup_pairs."""
+    import hashlib
+
+    from ..util import compact_blocks
+
+    id_type = docs_ds.schema().base_schema.field("doc_id").type
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, fps, hh = [], [], []
+        for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            text = text or ""
+            if len(text) < k:
+                continue
+            hs = [hashlib.md5(text[i:i + k].encode()).hexdigest()
+                  for i in range(len(text) - k + 1)]
+            if len(hs) < w:
+                sel = {min(hs)}
+            else:
+                sel = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+            for fp in sorted(sel):
+                ids.append(d)
+                fps.append(fp)
+                hh.append(zlib.crc32(fp.encode()))
+        return pa.table(
+            {"doc_id": pa.array(ids, id_type), "g": pa.array(fps),
+             "h": pa.array(hh, pa.int64())}
+        )
+
+    grams = compact_blocks(docs_ds.map_batches(explode,
+                                               batch_format="pyarrow"))
+    return _shared_gram_pairs(grams, id_type, df_cap)

@@ -3651,7 +3651,42 @@ WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.bound
 """
 
 
+def q_dedup_winnow(sf_dir: str):
+    """Winnowing fingerprint near-dup pairs (MOSS; Schleimer et al.
+    2003): window-minimum md5 k-gram hashes → shared-fingerprint pair
+    counts (ops/dedup_text.winnow_pairs)."""
+    from ..ops.dedup_text import winnow_pairs
+
+    return winnow_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        k=16, w=8)
+
+
+SQL_DEDUP_WINNOW = r"""
+WITH pos AS (
+  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 16)) AS h
+  FROM documents, UNNEST(range(1, length(text) - 16 + 2)) AS g(i)
+  WHERE length(text) >= 16
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM pos GROUP BY doc_id
+), wins AS (
+  SELECT p.doc_id, p.i, c.n,
+         min(h) OVER (PARTITION BY p.doc_id ORDER BY p.i
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+  FROM pos p JOIN counts c USING (doc_id)
+), sel AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE (n < 8 AND i = 1) OR i <= n - 7
+), kept AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 256
+), s2 AS (SELECT s.doc_id, s.fp FROM sel s JOIN kept USING (fp))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+FROM s2 x JOIN s2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
@@ -3761,7 +3796,7 @@ REGISTRY: dict[str, tuple] = {
 # oracle mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     # new in round 5
-    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix",
+    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix", "dedup_winnow",
     # last driver-sampled before round 4
     "union_bag", "except_minus", "string_funcs", "numeric_funcs",
     "hash_funcs", "datetime_funcs", "datetime_tz_funcs", "duration_funcs",

@@ -683,3 +683,23 @@ def test_source_mix_budgets_per_source():
     out2 = source_mix(rd.from_items(docs), budget_tokens=5000).take_all()
     assert sorted(r["doc_id"] for r in out2) == \
         sorted(r["doc_id"] for r in out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_pairs_guarantee_and_selectivity():
+    """Winnowing guarantee: any shared run of >= k+w-1 chars yields a
+    shared fingerprint; unrelated docs share none."""
+    import ray.data as rd
+
+    from jena_ray.ops.dedup_text import winnow_pairs
+
+    span = "COMMON RUN OF CHARACTERS LONG ENOUGH TO GUARANTEE A PRINT"
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "aqzx one lead " + span + " tail bqzx"},
+        {"doc_id": 2, "text": "cwvu other head " + span + " end dwvu"},
+        {"doc_id": 3, "text": "entirely disjoint characters xyzzy plugh"},
+    ])
+    out = winnow_pairs(ds, k=12, w=4).take_all()
+    pairs = {(r["a"], r["b"]): r["shared"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
