@@ -367,9 +367,29 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
             iterations=3, num_partitions=4,
         )
 
+    def kg_kcore(sf_dir: str):
+        # rows-only: iterative peeling (no SQL fixpoint); planted-graph
+        # contract in tests/test_trix_graphalgo.py
+        from jena_ray.ops.graphalgo import entity_edges, kcore
+        from jena_ray.pipelines.kg import kg_triples
+
+        return kcore(entity_edges(kg_triples(sf_dir, linker_concurrency=2)),
+                     k=2)
+
+    def kg_communities(sf_dir: str):
+        # rows-only: deterministic label propagation
+        from jena_ray.ops.graphalgo import entity_edges, label_propagation
+        from jena_ray.pipelines.kg import kg_triples
+
+        return label_propagation(
+            entity_edges(kg_triples(sf_dir, linker_concurrency=2)),
+            iterations=3)
+
     return {
         "kg_canonical_triples": kg_canonical_triples,
         "kg_pagerank": kg_pagerank,
+        "kg_kcore": kg_kcore,
+        "kg_communities": kg_communities,
         "kg_skolemized": kg_skolemized,
         "kg_rdfs_inference": kg_rdfs_inference,
         "kg_text_query": kg_text_query,

@@ -344,3 +344,150 @@ def triangle_count(edges_ds, *, num_partitions: int | None = None):
     import ray.data as rd
 
     return rd.from_items([{"n_triangles": n}])
+
+
+def kcore(edges_ds, k: int = 2, *, max_rounds: int = 100):
+    """k-core of an undirected graph (Seidman 1983; the standard
+    iterative-peeling formulation): repeatedly drop vertices with
+    degree < k until fixpoint; the survivors are the k-core. The
+    classic graph-quality filter (e.g. keeping densely-linked entities
+    before embedding training).
+
+    Distributed shape per round: symmetrize once up front, then ONE
+    groupby(node) degree count + one hash semi-join of edges against
+    surviving nodes — all state stays in Datasets; the driver sees one
+    count per round (the fixpoint test). Rounds are bounded by
+    max_rounds (each round removes ≥1 vertex or stops, so real graphs
+    terminate long before).
+
+    Returns the surviving (node, degree) relation."""
+    from ray.data.aggregate import Count
+
+    from ..util import compact_blocks, fast_count
+
+    ls = pa.large_string()
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        u0 = t["src"].combine_chunks().cast(ls)
+        v0 = t["dst"].combine_chunks().cast(ls)
+        both = pa.concat_tables([pa.table({"u": u0, "v": v0}),
+                                 pa.table({"u": v0, "v": u0})])
+        # self-loops never count toward coreness
+        return both.filter(pc.not_equal(both["u"], both["v"]))
+
+    edges = compact_blocks(edges_ds.map_batches(sym,
+                                                batch_format="pyarrow"))
+    n_prev, edges = fast_count(edges)
+    for _ in range(max_rounds):
+        deg = edges.groupby("u").aggregate(Count(alias_name="degree"))
+        good = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["degree"], k))
+            if t.num_columns else t,
+            batch_format="pyarrow")
+        # an edge survives iff BOTH endpoints survive: two semi-joins
+        # (key columns re-cast: Ray's hash groupby narrows large_string)
+        keep_u = edges.join(
+            good.map_batches(
+                lambda t: pa.table(
+                    {"u": t["u"].combine_chunks().cast(ls)})
+                if t.num_columns else t,
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("u",))
+        keep_u = compact_blocks(keep_u)
+        vgood = good.map_batches(
+            lambda t: pa.table({"v": t["u"].combine_chunks().cast(ls)})
+            if t.num_columns else t,
+            batch_format="pyarrow")
+        nxt = compact_blocks(keep_u.join(
+            vgood, join_type="inner", num_partitions=8, on=("v",)))
+        n_now, nxt = fast_count(nxt)
+        if n_now == n_prev:
+            break
+        edges, n_prev = nxt, n_now
+        if n_now == 0:
+            break
+    final = edges.groupby("u").aggregate(Count(alias_name="degree"))
+    return final.map_batches(_rename({"u": "node"}),
+                             batch_format="pyarrow")
+
+
+def label_propagation(edges_ds, *, iterations: int = 5):
+    """Community detection by (synchronous, deterministic) label
+    propagation (Raghavan et al. 2007): every node starts as its own
+    label; each round a node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — the deterministic
+    variant, so results are reproducible across retries and cluster
+    sizes (the price is the classic bipartite-oscillation risk, which
+    the fixed iteration count bounds).
+
+    Per round: one hash join (edge ⋈ label of dst) + one
+    groupby(src, label) count + one groupby(src) arg-max — everything
+    stays a Dataset. Returns (node, label)."""
+    from ..util import compact_blocks
+
+    ls = pa.large_string()
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        u0 = t["src"].combine_chunks().cast(ls)
+        v0 = t["dst"].combine_chunks().cast(ls)
+        both = pa.concat_tables([pa.table({"u": u0, "v": v0}),
+                                 pa.table({"u": v0, "v": u0})])
+        return both.filter(pc.not_equal(both["u"], both["v"]))
+
+    edges = compact_blocks(edges_ds.map_batches(sym,
+                                                batch_format="pyarrow"))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        u = t["u"].combine_chunks().cast(ls)
+        return pa.table({"v": u, "label": u}).group_by(
+            ["v", "label"]).aggregate([])
+
+    def cast_vl(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table({"v": t["v"].combine_chunks().cast(ls),
+                         "label": t["label"].combine_chunks().cast(ls)})
+
+    labels = compact_blocks(edges.map_batches(init_labels,
+                                              batch_format="pyarrow"))
+    labels = labels.groupby("v").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow").map_batches(
+        cast_vl, batch_format="pyarrow")
+
+    for _ in range(iterations):
+        nb = compact_blocks(edges.join(labels, join_type="inner",
+                                       num_partitions=8, on=("v",)))
+
+        def counts(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            return pa.table({"u": t["u"].combine_chunks(),
+                             "label": t["label"].combine_chunks()}) \
+                .group_by(["u", "label"]).aggregate([("label", "count")])
+
+        cnt = compact_blocks(nb.map_batches(counts,
+                                            batch_format="pyarrow"))
+
+        def argmax(g: pa.Table) -> pa.Table:
+            # per-batch counts are PARTIAL — re-sum per label inside
+            # the per-node group before taking the arg-max
+            tot = g.group_by("label").aggregate([("label_count", "sum")])
+            idx = pc.sort_indices(
+                tot, sort_keys=[("label_count_sum", "descending"),
+                                ("label", "ascending")])
+            top = tot.take(idx[:1])
+            return pa.table({"v": g["u"].slice(0, 1),
+                             "label": top["label"]})
+
+        labels = compact_blocks(
+            cnt.groupby("u").map_groups(argmax, batch_format="pyarrow")
+            .map_batches(cast_vl, batch_format="pyarrow"))
+
+    return labels.map_batches(_rename({"v": "node"}),
+                              batch_format="pyarrow")

@@ -114,3 +114,40 @@ def test_pagerank_over_kg_edges():
     ranks = pagerank(edges, iterations=2, num_partitions=4)
     rows = ranks.take(5)
     assert rows and all(r["rank"] > 0 for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_peels_to_the_core():
+    import ray.data as rd
+
+    from jena_ray.ops.graphalgo import kcore
+
+    # K4 core {a,b,c,d} + a pendant chain e-f hanging off a
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("a", "e"), ("e", "f")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = {r["node"]: r["degree"] for r in kcore(ds, k=3).take_all()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert all(v == 3 for v in out.values())
+    # k=4: the K4 has degree 3 each → empty core
+    assert kcore(ds, k=4).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_two_communities():
+    import ray.data as rd
+
+    from jena_ray.ops.graphalgo import label_propagation
+
+    # two triangles joined by one weak bridge
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("c", "x")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = {r["node"]: r["label"] for r in
+           label_propagation(ds, iterations=5).take_all()}
+    assert len(out) == 6
+    left = {out[n] for n in "abc"}
+    right = {out[n] for n in "xyz"}
+    # each triangle converges to one label
+    assert len(left) == 1 and len(right) == 1
