@@ -222,6 +222,18 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         )
         return lsh_topk(emb, query_vector(sf_dir, 0), k=5)
 
+    def media_caption_pairs(sf_dir: str):
+        from jena_ray.ops.multimodal import media_caption_pairs as mcp
+        from jena_ray.sources.docs import interleaved_docs
+
+        return mcp(interleaved_docs(sf_dir))
+
+    def media_dedup(sf_dir: str):
+        from jena_ray.ops.multimodal import media_dedup as md
+        from jena_ray.sources.docs import interleaved_docs
+
+        return md(interleaved_docs(sf_dir))
+
     def media_features(sf_dir: str):
         from jena_ray.ops.multimodal import media_features as mf
         from jena_ray.sources.docs import interleaved_docs
@@ -413,6 +425,8 @@ def _kg_queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": semdedup,
         "embedding_kmeans": embedding_kmeans,
         "media_features": media_features,
+        "media_caption_pairs": media_caption_pairs,
+        "media_dedup": media_dedup,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
         "hash_variants": _hash_variants,

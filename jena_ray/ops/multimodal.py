@@ -225,3 +225,93 @@ def media_frame_sample(features_ds, *, k: int = 4, concurrency=2,
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+def media_caption_pairs(docs_ds, *, max_window: int = 1):
+    """(media_ref, caption) training-pair extraction from interleaved
+    documents — the web-corpus image-text pairing step of CLIP/LAION-
+    style pipelines: each media span is paired with the text of its
+    neighboring text spans (up to ``max_window`` on each side, in span
+    order — web-page alt-text/caption heuristics reduced to span
+    adjacency, which is what the interleaved (kind, offset) layout
+    preserves). Pure per-document flat-map over the spans column — no
+    shuffle, embarrassingly parallel.
+
+    Returns (doc_id, media_ref, span_idx, caption_before,
+    caption_after)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, refs, idxs, before, after = [], [], [], [], []
+        for d, spans in zip(b["doc_id"].to_pylist(),
+                            b["spans"].to_pylist()):
+            spans = spans or []
+            for i, s in enumerate(spans):
+                if s["kind"] != "media":
+                    continue
+                pre = [t["text"] for t in spans[max(0, i - max_window):i]
+                       if t["kind"] == "text"]
+                post = [t["text"] for t in spans[i + 1:i + 1 + max_window]
+                        if t["kind"] == "text"]
+                ids.append(d)
+                refs.append(s["media_ref"])
+                idxs.append(i)
+                before.append(" ".join(pre))
+                after.append(" ".join(post))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "span_idx": pa.array(idxs, pa.int64()),
+            "caption_before": pa.array(before, pa.large_string()),
+            "caption_after": pa.array(after, pa.large_string()),
+        })
+
+    return docs_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def media_dedup(docs_ds):
+    """Corpus-wide media dedup by content address — the LAION-style
+    pass that collapses an image reused across many pages to one
+    canonical copy before decode/embedding (by media_ref here; with
+    real payloads the key is the payload digest — same shuffle). One
+    explode + ONE groupby(media_ref): keeper = lexicographically
+    smallest (doc_id, span_idx).
+
+    Returns (media_ref, keep_doc, keep_span, n_uses)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, refs, idxs = [], [], []
+        for d, spans in zip(b["doc_id"].to_pylist(),
+                            b["spans"].to_pylist()):
+            for i, s in enumerate(spans or []):
+                if s["kind"] == "media":
+                    ids.append(d)
+                    refs.append(s["media_ref"])
+                    idxs.append(i)
+        # pack (doc_id, span_idx) so the corpus-wide keeper is ONE Min
+        pack = [f"{d}|{i:06d}" for d, i in zip(ids, idxs)]
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "pack": pa.array(pack, pa.string()),
+        })
+
+    agg = (docs_ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("media_ref")
+           .aggregate(Min("pack", alias_name="keep"),
+                      Count(alias_name="n_uses")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        keep = t["keep"].to_pylist()
+        docs = [x.rsplit("|", 1)[0] for x in keep]
+        spans = [int(x.rsplit("|", 1)[1]) for x in keep]
+        return pa.table({
+            "media_ref": t["media_ref"].combine_chunks().cast(pa.string()),
+            "keep_doc": pa.array(docs, pa.string()),
+            "keep_span": pa.array(spans, pa.int64()),
+            "n_uses": t["n_uses"].combine_chunks().cast(pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -703,3 +703,53 @@ def test_winnow_pairs_guarantee_and_selectivity():
     pairs = {(r["a"], r["b"]): r["shared"] for r in out}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p for p in pairs)
+
+
+def _interleaved(doc_id, spans):
+    return {"doc_id": doc_id,
+            "spans": [{"kind": k, "text": t, "media_ref": m, "offset": i}
+                      for i, (k, t, m) in enumerate(spans)]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_caption_pairs_neighbors():
+    import ray.data as rd
+
+    from jena_ray.ops.multimodal import media_caption_pairs
+
+    docs = [
+        _interleaved("d1", [("text", "intro words", ""),
+                            ("media", "", "img://a"),
+                            ("text", "caption after", "")]),
+        _interleaved("d2", [("media", "", "img://b"),
+                            ("media", "", "img://c")]),
+    ]
+    out = {r["media_ref"]: r for r in
+           media_caption_pairs(rd.from_items(docs)).take_all()}
+    assert out["img://a"]["caption_before"] == "intro words"
+    assert out["img://a"]["caption_after"] == "caption after"
+    # adjacent MEDIA spans are not captions
+    assert out["img://b"]["caption_before"] == ""
+    assert out["img://b"]["caption_after"] == ""
+    assert out["img://c"]["span_idx"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_dedup_collapses_reuse():
+    import ray.data as rd
+
+    from jena_ray.ops.multimodal import media_dedup
+
+    docs = [
+        _interleaved("a", [("media", "", "img://x"),
+                           ("text", "t", "")]),
+        _interleaved("b", [("text", "t", ""),
+                           ("media", "", "img://x"),
+                           ("media", "", "img://y")]),
+    ]
+    out = {r["media_ref"]: r for r in
+           media_dedup(rd.from_items(docs)).take_all()}
+    assert out["img://x"]["n_uses"] == 2
+    assert out["img://x"]["keep_doc"] == "a"
+    assert out["img://x"]["keep_span"] == 0
+    assert out["img://y"]["keep_doc"] == "b" and out["img://y"]["n_uses"] == 1
