@@ -376,3 +376,95 @@ def unigram_xent(docs_ds, total_tokens: int | None = None):
                          "xent": pa.array(x, pa.float64())})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def bigram_pmi(docs_ds, *, min_count: int = 5, top_k: int | None = None):
+    """Corpus-level bigram collocation scoring by pointwise mutual
+    information (Church & Hanks 1990) — the classic phrase-mining /
+    tokenizer-merge signal (e.g. word2vec's phrase pass). PMI =
+    log2(c_ab · N / (c_a · c_b)) over adjacent lowercase token pairs.
+
+    Distributed shape: in-batch Counter explode to (w1, w2, c) partial
+    rows, ONE groupby(w1, w2) sum for pair counts, unigram counts as
+    ONE groupby(w) sum, two hash joins to attach c_a / c_b, vectorized
+    PMI kernel. N (total bigrams) is the only driver scalar. Pairs
+    below ``min_count`` are dropped (PMI is noise at tiny counts —
+    standard practice), keeping the joined relation sparse."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..util import compact_blocks
+
+    def explode(b: pa.Table) -> pa.Table:
+        w1s, w2s, cs = [], [], []
+        for text in b["text"].to_pylist():
+            ts = (text or "").lower().split()
+            for (a, bb), n in Counter(zip(ts, ts[1:])).items():
+                w1s.append(a)
+                w2s.append(bb)
+                cs.append(n)
+        return pa.table({"w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    parts = compact_blocks(docs_ds.map_batches(explode,
+                                               batch_format="pyarrow"))
+    pairs = parts.groupby(["w1", "w2"]).aggregate(
+        Sum("c", alias_name="c_ab"))
+    N = int(parts.sum("c") or 0)
+
+    def left_counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table({"w1": t["w1"].combine_chunks().cast(pa.string()),
+                         "c": t["c"].combine_chunks()})
+
+    uni_l = compact_blocks(parts.map_batches(left_counts,
+                                             batch_format="pyarrow")) \
+        .groupby("w1").aggregate(Sum("c", alias_name="c_a"))
+
+    def right_counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table({"w2": t["w2"].combine_chunks().cast(pa.string()),
+                         "c": t["c"].combine_chunks()})
+
+    uni_r = compact_blocks(parts.map_batches(right_counts,
+                                             batch_format="pyarrow")) \
+        .groupby("w2").aggregate(Sum("c", alias_name="c_b"))
+
+    kept = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_ab"], min_count))
+        if t.num_columns else t,
+        batch_format="pyarrow")
+    kept = compact_blocks(kept)
+    j1 = compact_blocks(kept.join(uni_l, join_type="inner",
+                                  num_partitions=8, on=("w1",)))
+    j2 = compact_blocks(j1.join(uni_r, join_type="inner",
+                                num_partitions=8, on=("w2",)))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_ab": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        cab = t["c_ab"].to_pylist()
+        ca = t["c_a"].to_pylist()
+        cb = t["c_b"].to_pylist()
+        pmi = [round(math.log2(x * N / (a * b)), 6)
+               for x, a, b in zip(cab, ca, cb)]
+        return pa.table({
+            "w1": t["w1"].combine_chunks().cast(pa.string()),
+            "w2": t["w2"].combine_chunks().cast(pa.string()),
+            "c_ab": t["c_ab"].combine_chunks().cast(pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    out = j2.map_batches(score, batch_format="pyarrow")
+    if top_k is not None:
+        out = out.sort(["pmi", "w1", "w2"],
+                       descending=[True, False, False]).limit(top_k)
+    return out

@@ -3685,7 +3685,40 @@ GROUP BY 1, 2
 """
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Corpus bigram collocations by PMI (Church & Hanks 1990 — the
+    word2vec phrase-mining signal; ops/textstats.bigram_pmi): one
+    groupby for pair counts, two unigram joins, vectorized log2
+    kernel."""
+    from ..ops.textstats import bigram_pmi
+
+    return bigram_pmi(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      min_count=5)
+
+
+SQL_BIGRAM_PMI = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), bi AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) AS g(i)
+  WHERE len(ts) >= 2
+), pcnt AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+tot AS (SELECT count(*) AS N FROM bi),
+ca AS (SELECT w1, count(*) AS c_a FROM bi GROUP BY 1),
+cb AS (SELECT w2, count(*) AS c_b FROM bi GROUP BY 1)
+SELECT p.w1, p.w2, CAST(p.c_ab AS BIGINT) AS c_ab,
+       round(log2(p.c_ab * N * 1.0 / (ca.c_a * cb.c_b)), 6) AS pmi
+FROM pcnt p JOIN ca USING (w1) JOIN cb USING (w2), tot
+WHERE p.c_ab >= 5
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
@@ -3796,7 +3829,7 @@ REGISTRY: dict[str, tuple] = {
 # oracle mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     # new in round 5
-    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix", "dedup_winnow",
+    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix", "dedup_winnow", "bigram_pmi",
     # last driver-sampled before round 4
     "union_bag", "except_minus", "string_funcs", "numeric_funcs",
     "hash_funcs", "datetime_funcs", "datetime_tz_funcs", "duration_funcs",
