@@ -3717,7 +3717,112 @@ WHERE p.c_ab >= 5
 """
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding (hopping) windows over the event log — size 1 h, hop
+    15 min: each event explodes to the 4 windows covering it (pure
+    flat-map on epoch arithmetic, no per-event state), then ONE
+    groupby(event_type, window). The overlap factor is size/hop — the
+    explode is the standard distributed realization of hopping windows
+    (same shape as Flink's window assigner)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hop_us = 900 * 1_000_000
+    k_covers = 4  # size / hop
+
+    def explode(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        vs = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(10000.0)),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_pylist()
+        n = len(ts)
+        starts = np.concatenate(
+            [base - k * hop_us for k in range(k_covers)])
+        return pa.table({
+            "event_type": pa.array(et * k_covers, pa.string()),
+            "win": pa.array(starts, pa.int64()),
+            "v": pa.array(np.tile(vs, k_covers), pa.int64()),
+        })
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby(["event_type", "win"])
+           .aggregate(Count(alias_name="cnt"),
+                      Sum("v", alias_name="sum_val_scaled")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return pa.table({
+            "event_type": t["event_type"].combine_chunks().cast(
+                pa.string()),
+            "win": t["win"].combine_chunks().cast(pa.timestamp("us")),
+            "cnt": t["cnt"].combine_chunks().cast(pa.int64()),
+            "sum_val_scaled": t["sum_val_scaled"].combine_chunks().cast(
+                pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WINDOW_SLIDING = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS base,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type,
+       make_timestamp(base - k * 900000000) AS win,
+       count(*) AS cnt,
+       CAST(sum(v) AS BIGINT) AS sum_val_scaled
+FROM e, UNNEST(range(0, 4)) AS g(k)
+GROUP BY 1, 2
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width numeric histogram of the event value column — one
+    vectorized binning pass + one groupby(bin); the telemetry /
+    feature-distribution shape."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def binit(b: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(b["value"], pa.scalar(0.5))),
+                       pa.int64())
+        return pa.table({"bin": bins})
+
+    agg = (ds.map_batches(binit, batch_format="pyarrow")
+           .groupby("bin").aggregate(Count(alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        b = t["bin"].combine_chunks().cast(pa.int64())
+        lo = pc.multiply(pc.cast(b, pa.float64()), pa.scalar(0.5))
+        return pa.table({"bin": b, "lo": lo,
+                         "n": t["n"].combine_chunks().cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(value / 0.5) AS BIGINT) AS bin,
+       CAST(floor(value / 0.5) AS BIGINT) * 0.5 AS lo,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
@@ -3829,7 +3934,7 @@ REGISTRY: dict[str, tuple] = {
 # oracle mirror (tests/test_queries.py) either way.
 _SAMPLE_FIRST = [
     # new in round 5
-    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix", "dedup_winnow", "bigram_pmi",
+    "seq_pack", "doc_perplexity", "pii_scrub", "corpus_filter", "source_mix", "dedup_winnow", "bigram_pmi", "window_sliding", "value_histogram",
     # last driver-sampled before round 4
     "union_bag", "except_minus", "string_funcs", "numeric_funcs",
     "hash_funcs", "datetime_funcs", "datetime_tz_funcs", "duration_funcs",
