@@ -83,6 +83,14 @@ def run_bench(sf_dir: str, num_cpus: int, reps: int) -> dict:
         # round-3 operator families
         "sparql_update",
         "rule_forward_chain",
+        # round-5 training-data families. dedup_winnow is correctness-
+        # gated at sf0.01 but excluded here for the same reason as
+        # dedup_ngram_jaccard: its exact fingerprint pair algebra on
+        # this low-entropy synthetic corpus fans out quadratically at
+        # sf0.1 and dominates the bench.
+        "corpus_filter",
+        "seq_pack",
+        "source_mix",
     ):
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()
