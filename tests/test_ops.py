@@ -753,3 +753,20 @@ def test_media_dedup_collapses_reuse():
     assert out["img://x"]["keep_doc"] == "a"
     assert out["img://x"]["keep_span"] == 0
     assert out["img://y"]["keep_doc"] == "b" and out["img://y"]["n_uses"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_pmi_ranks_true_collocation():
+    import ray.data as rd
+
+    from jena_ray.ops.textstats import bigram_pmi
+
+    # "hong kong" always co-occurs; "the cat"/"the dog" split "the"
+    docs = [{"doc_id": i, "text": "hong kong the cat and the dog"}
+            for i in range(5)]
+    out = {(r["w1"], r["w2"]): r for r in
+           bigram_pmi(rd.from_items(docs), min_count=5).take_all()}
+    assert ("hong", "kong") in out and out[("hong", "kong")]["c_ab"] == 5
+    # exclusive pair scores strictly above the shared-"the" pairs
+    assert (out[("hong", "kong")]["pmi"] >
+            out[("the", "cat")]["pmi"])
